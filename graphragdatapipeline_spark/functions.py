@@ -1,0 +1,142 @@
+"""Scalar/array function layer (SURVEY §2.8, F1–F15).
+
+Everything here is a pure Column→Column expression built from
+pyspark.sql.functions — JVM-side, whole-stage-codegen friendly. The
+only Python kernel in the reference's function layer is ftfy+NFKC
+normalization (F1); we keep the regex chain native and gate the
+unicode-repair step behind an optional pandas UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# F1 — text normalization (reference: utils/data_transformation_helpers.py:20-86)
+# Native chain: unescape \" → collapse newlines → collapse whitespace → trim.
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    c = F.regexp_replace(col, r'\\"', '"')
+    c = F.regexp_replace(c, r"[\n\r]+", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalize_text_nfkc(col: Column) -> Column:
+    """Full F1 including NFKC repair — needs a Python kernel; import is
+    deferred so the native path has zero pandas dependency."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfkc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFKC", x) if x is not None else None)
+
+    return normalize_text(_nfkc(col))
+
+
+# ---------------------------------------------------------------------------
+# F2 — Oxford-comma natural-language list
+# (reference: data_transformation_helpers.py:123-158)
+# ---------------------------------------------------------------------------
+
+
+def format_list_natural_language(col: Column) -> Column:
+    """['A','B','C'] → "A, B, and C"; ['A','B'] → "A and B"; ['A'] → "A"."""
+    items = F.array_distinct(col)
+    n = F.size(items)
+    head = F.slice(items, 1, n - 1)
+    last = F.element_at(items, -1)
+    return (
+        F.when(n <= 0, F.lit(""))
+        .when(n == 1, F.element_at(items, 1))
+        .when(n == 2, F.concat_ws(" and ", items))
+        .otherwise(F.concat(F.array_join(head, ", "), F.lit(", and "), last))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3/F4 — year parsing (musicbrainz_helpers.py:260-277; extract_genres_articles.py:48-66)
+# ---------------------------------------------------------------------------
+
+
+def parse_release_year(col: Column) -> Column:
+    """'YYYY[-MM[-DD]]' → int year, NULL on garbage (try_cast semantics)."""
+    return F.split(col, "-").getItem(0).try_cast("int")
+
+
+def wikidata_time_to_year(col: Column) -> Column:
+    """'+1988-00-00T00:00:00Z' → 1988."""
+    return F.substring(col, 2, 4).try_cast("int")
+
+
+# ---------------------------------------------------------------------------
+# F5/F6 — URI/URL suffix extraction (extract_artists.py:123-126)
+# ---------------------------------------------------------------------------
+
+
+def qid_from_uri(col: Column) -> Column:
+    return F.element_at(F.split(col, "/"), -1)
+
+
+def title_from_url(col: Column) -> Column:
+    return F.regexp_replace(F.element_at(F.split(col, "/"), -1), "_", " ")
+
+
+# F7 — positioned entry string (ingest_graph_db.py:100-102)
+def positioned_entry(pos: Column, title: Column) -> Column:
+    return F.format_string("%d. %s", pos.cast("int"), title)
+
+
+# F8 — list → CSV string with optional cap (ingest_vector_db.py:56-72)
+def list_to_csv(col: Column, max_items: int | None = None) -> Column:
+    c = F.slice(col, 1, max_items) if max_items is not None else col
+    return F.array_join(c, ", ")
+
+
+# F9 — hashing (io_helpers.py:105-115; chroma_helpers.py:111-124)
+def sha256_hex(col: Column) -> Column:
+    return F.sha2(col, 256)
+
+
+def doc_id_hash(article: Column, entity_id: Column) -> Column:
+    """sha256(article + '-' + id)[:32] — reference chroma doc ids."""
+    return F.substring(F.sha2(F.concat_ws("-", article, entity_id), 256), 1, 32)
+
+
+def md5_hex(col: Column) -> Column:
+    return F.md5(col)
+
+
+# F12/F13 — embedding prefixes and context headers
+def with_prefix(col: Column, prefix: str) -> Column:
+    return F.concat(F.lit(prefix), col)
+
+
+# F15 — null-safe list length. Spark gotcha: size(NULL) is -1 under
+# spark.sql.legacy.sizeOfNull and NULL otherwise — handle both.
+# Reference semantics are fill_null(0) (checks.py:70-74).
+def size0(col: Column) -> Column:
+    s = F.size(col)
+    return F.coalesce(F.when(s < 0, F.lit(0)).otherwise(s), F.lit(0)).cast("int")
+
+
+nullsafe_size = size0
+
+
+# P3 — Latin-script predicate (extract_artists.py:41-63), native rlike.
+LATIN_SCRIPT_RE = r"^[\x00-ɏḀ-ỿ]*$"
+
+
+def is_latin_script(col: Column) -> Column:
+    return col.rlike(LATIN_SCRIPT_RE)
+
+
+# Document fingerprint (LLM-pipeline extension): md5 of
+# lowercased, whitespace-collapsed text.
+def text_fingerprint(col: Column) -> Column:
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))

@@ -1,0 +1,101 @@
+"""Table catalog + parquet/JSONL I/O.
+
+Maps the reference's I/O-manager surface (S1–S6,
+reference: defs/io_managers.py:84-232) onto Spark's native readers and
+the Hadoop commit protocol (which already gives the temp-file +
+atomic-rename semantics the reference hand-rolls at io_managers.py:94-114).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+DRIVER_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1/S2: lazy parquet scan of one fixture table.
+
+    Accepts both ``{dir}/{name}.parquet`` single files and
+    ``{dir}/{name}/`` hive-partitioned directories — partition pruning
+    and column pruning are Catalyst-native either way.
+
+    The ``events`` fixture stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; we read nanos as long (runtime conf, so this works
+    under any caller-provided session) and rebuild a microsecond
+    timestamp column — same truncation DuckDB applies.
+    """
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    path = file_path if os.path.exists(file_path) else dir_path
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = DRIVER_TABLES
+) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    for n in DRIVER_TABLES:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S3: parquet sink. Atomicity comes from the Hadoop commit protocol
+    (stage to _temporary/, rename on job commit) — the Spark-native
+    equivalent of the reference's tmp-file + shutil.move."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def rows_to_table(spark: SparkSession, rows: list[dict], schema: StructType) -> DataFrame:
+    """S4: list-of-structs → DataFrame with an explicit schema. Empty
+    inputs yield an empty-but-schemaed frame (never schema-less —
+    reference edge case at io_managers.py:137-140)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S5: JSONL scan with a declared schema (no inference drift)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_sparse_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: sparse JSONL sink — null keys omitted per row, matching the
+    reference's sparse writer (io_managers.py:165-203)."""
+    out = df.select(
+        F.to_json(F.struct(*df.columns), {"ignoreNullFields": "true"}).alias("value")
+    )
+    out.write.mode(mode).text(path)

@@ -1,0 +1,153 @@
+"""Relational operator library (SURVEY §2.2–2.7).
+
+Pure DataFrame→DataFrame functions. Each cites the reference behavior
+it reproduces; all are built on Catalyst-planned primitives so pushdown,
+partial aggregation and AQE apply automatically.
+
+Scale notes baked into the designs:
+- every per-group top-k uses window row_number (one shuffle on the
+  group key, no driver collect);
+- frequency top-N works on (group, item) pre-aggregated counts so the
+  explode never feeds a wide shuffle row;
+- dedup-by-priority cascades two windows; each reuses the same hash
+  partitioning when keys share a prefix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_by_priority(
+    df: DataFrame,
+    unique_cols: Sequence[str],
+    sort_col: str,
+    descending: bool = False,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """W3 — keep the highest-priority row per key, cascaded across key
+    columns (reference: utils/data_transformation_helpers.py:89-120,
+    applied at build_artist_index.py:190-195 with keys
+    [artist_uri, name]).
+
+    The reference relies on a global sort + stable `unique(keep=first)`;
+    Spark has no implicit row order, so we take explicit tiebreakers to
+    make "first" deterministic under shuffles.
+    """
+    order = [F.desc(sort_col) if descending else F.asc(sort_col)]
+    order += [F.asc(t) for t in tiebreakers]
+    out = df
+    for key in unique_cols:
+        w = Window.partitionBy(key).orderBy(*order)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out
+
+
+def best_row_per_group(
+    df: DataFrame, group_cols: Sequence[str], order_by: Sequence[Column]
+) -> DataFrame:
+    """O2 — composite-priority best-row pick per group (reference:
+    utils/musicbrainz_helpers.py:280-308 `select_best_release`:
+    Official-status first, then earliest date with '9999-99-99'
+    null-default). Callers encode the priority as order_by columns."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: Sequence[str], order_by: Sequence[Column], k: int
+) -> DataFrame:
+    """W2 — top-k rows per group by a metric (reference:
+    detect_communities.py:138-165 representative-artist pick). Adds a
+    `rank` column (1-based)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def top_n_frequency(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    n: int,
+    explode_list: bool = False,
+) -> DataFrame:
+    """A10/A11 — top-N most frequent items per group (reference:
+    detect_communities.py:100-135 Counter.most_common over flattened
+    tag/genre lists). Returns (group, items: array<string> sorted by
+    desc count, then item asc for determinism).
+
+    Plan shape: optional explode → partial-agg count on (group, item)
+    → window rank → collect_list of struct → sorted projection. The
+    (group, item) pre-aggregation keeps the window input small — at
+    100 TB the explode output never reaches the window shuffle raw.
+    """
+    items = (
+        df.select(F.col(group_col), F.explode(item_col).alias("_item"))
+        if explode_list
+        else df.select(F.col(group_col), F.col(item_col).alias("_item"))
+    )
+    counts = items.filter(F.col("_item").isNotNull()).groupBy(group_col, "_item").count()
+    w = Window.partitionBy(group_col).orderBy(F.desc("count"), F.asc("_item"))
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n)
+    return ranked.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_rn"), F.col("_item")))
+        ).alias("_ranked")
+    ).select(
+        group_col,
+        F.transform("_ranked", lambda s: s["_item"]).alias(f"top_{item_col}"),
+    )
+
+
+def collect_list_sorted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: Column,
+    alias: str = "items",
+) -> DataFrame:
+    """A1 — deterministic collect_list: sort within a struct carrying
+    the order key, then strip it (Spark collect_list order is not
+    guaranteed; reference relies on Polars row order at
+    ingest_graph_db.py:103-107)."""
+    return (
+        df.select(*group_cols, F.struct(F.col(order_col).alias("_o"), value_col.alias("_v")).alias("_s"))
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_s")).alias("_arr"))
+        .select(*group_cols, F.transform("_arr", lambda s: s["_v"]).alias(alias))
+    )
+
+
+def duplicate_groups(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """A5 — duplicate detection: groups with count > 1 (reference:
+    defs/checks.py:32-41)."""
+    return df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("dup_count")).filter(
+        F.col("dup_count") > 1
+    )
+
+
+def null_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A3 — per-column null counts in one pass (reference:
+    defs/checks.py:27-28)."""
+    aggs = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls")
+        for c in cols
+    ]
+    return df.agg(*aggs)
+
+
+def union_relaxed(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U1 — schema-relaxed vertical concat (reference:
+    merge_wikipedia_articles.py:56 `how=vertical_relaxed`)."""
+    return a.unionByName(b, allowMissingColumns=True)
