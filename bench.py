@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall-clock seconds.
+
+Timing methodology: one warm-up pass of a trivial count to absorb JVM
+startup, then each query is planned + executed to completion via a
+count-style action that forces full materialization without driver
+collect overhead."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
+from graphragdatapipeline_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session(
+        "graphrag-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footer reads
+    from graphragdatapipeline_spark.io import read_table
+
+    read_table(spark, sf_dir, "lineitem").count()
+
+    headline = {n: q for n, q in REGISTRY.items() if q.headline}
+    timings: dict[str, float] = {}
+    for name, qd in sorted(headline.items()):
+        t0 = time.perf_counter()
+        df = qd.fn(spark, sf_dir)
+        # Force full execution of every row (write-free materialization).
+        df.foreach(lambda _: None)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""Graph algorithms as iterative DataFrame programs (SURVEY §2.9).
+
+Design for scale: every iteration is a shuffled join on the edge
+table; lineage is cut with localCheckpoint() every iteration so a
+30-round fixpoint doesn't build a 30-deep plan (SURVEY §4 note 3).
+Convergence checks are cheap aggregates, not collects of the frame.
+
+The community-detection contract replaces the reference's driver-local
+Leiden (utils/neo4j_helpers.py:237-268, single-threaded C core over
+~99k nodes) with a distributed, deterministic label-propagation
+hierarchy: same consumer contract — per-vertex community ids at three
+granularities under a fixed seed (detect_communities.py:218-246) —
+but it scales to edge lists that never fit one machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """G9 — true degree per vertex (out + in), one pass.
+
+    Reference approximates connectivity with size(similar_artists)
+    (detect_communities.py:155-157); this is the exact version."""
+    both = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    return both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def two_hop(edges: DataFrame, rel1: str | None = None, rel2: str | None = None) -> DataFrame:
+    """G10/J9 — 2-hop motif (a)-[e1]->(b)-[e2]->(c) as a self-join
+    (reference Cypher at ingest_graph_db.py:366-377)."""
+    e1 = edges if rel1 is None else edges.filter(F.col("rel_type") == rel1)
+    e2 = edges if rel2 is None else edges.filter(F.col("rel_type") == rel2)
+    a = e1.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    b = e2.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return a.join(b, "b").select("a", "b", "c")
+
+
+def transitive_closure(
+    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+) -> DataFrame:
+    """G11 — full transitive closure (node, ancestor) over a DAG by
+    iterated doubling (reference: SPARQL `wdt:P279*` subclass-of
+    closure at build_artist_index.py:54-57).
+
+    Doubling halves the number of shuffle rounds vs naive BFS:
+    closure_{2k} = closure_k ⋈ closure_k, so depth-d hierarchies finish
+    in ceil(log2 d) joins — at 100 TB the join count, not the row
+    count, is the latency driver."""
+    closure = edges.select(F.col("src").alias("node"), F.col("dst").alias("anc")).distinct()
+    closure = closure.localCheckpoint(eager=True)
+    for i in range(max_iter):
+        hop = (
+            closure.alias("l")
+            .join(closure.alias("r"), F.col("l.anc") == F.col("r.node"))
+            .select(F.col("l.node").alias("node"), F.col("r.anc").alias("anc"))
+        )
+        new_closure = closure.unionByName(hop).distinct()
+        if (i + 1) % checkpoint_every == 0:
+            new_closure = new_closure.localCheckpoint(eager=True)
+        new_count = new_closure.count()
+        old_count = closure.count()
+        closure = new_closure
+        if new_count == old_count:
+            break
+    return closure
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by min-id propagation to fixpoint
+    (undirected). Returns (id, component) where component is the
+    smallest vertex id in the component.
+
+    Each round: component = min(own, min over neighbors). Converges in
+    O(diameter) rounds; localCheckpoint every round keeps plans flat.
+    (Algorithm family: Hash-Min, as in Rastogi et al., "Finding
+    Connected Components in Map-Reduce".)"""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_component", F.col("component")) < F.col("component")
+                ).cast("int").alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.agg(F.sum("_changed")).first()[0] or 0
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Synchronous, deterministic label propagation → (id, community).
+
+    Init: every vertex gets a stable pseudo-random rank derived from
+    xxhash64(id, seed) — the seed plays the role the reference gives
+    leidenalg's seed (settings.py:137). Update: adopt the most frequent
+    neighbor label; ties break on (count desc, label asc), making every
+    round a pure function of the previous one — same input, same
+    communities, on any cluster layout."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    ids = sym.select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        ids = ids.unionByName(vertices.select("id")).distinct()
+    labels = ids.withColumn("community", F.xxhash64(F.col("id"), F.lit(seed))).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        votes = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy(F.col("src").alias("id"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("community"))
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("community").alias("new_community"))
+        )
+        labels = (
+            labels.join(winner, "id", "left")
+            .select(
+                "id", F.coalesce("new_community", F.col("community")).alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def _contract(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Collapse communities into super-vertices (Leiden-style graph
+    aggregation step)."""
+    a_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("csrc"))
+    a_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("cdst"))
+    return (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def detect_communities(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seed: int = 42,
+    iters_per_level: tuple[int, int, int] = (2, 3, 4),
+) -> DataFrame:
+    """G3 — three-granularity community hierarchy → (id, community_L0,
+    community_L1, community_L2).
+
+    Contract parity with the reference (detect_communities.py:218-246):
+    per-vertex community ids at 3 granularities, deterministic under a
+    fixed seed, L0 finest → L2 coarsest (resolutions 2.0/0.5/0.1).
+    Construction guarantees the hierarchy is nested: each level runs
+    label propagation on the previous level's contracted graph, so an
+    L2 community is a union of L1 communities, as in Leiden's
+    multilevel scheme."""
+    base = edges.select("src", "dst")
+    l0 = label_propagation(base, vertices=vertices, max_iter=iters_per_level[0], seed=seed)
+
+    g1 = _contract(base, l0)
+    l1_super = label_propagation(g1, max_iter=iters_per_level[1], seed=seed + 1)
+    l1 = (
+        l0.alias("a")
+        .join(
+            l1_super.select(
+                F.col("id").alias("community"), F.col("community").alias("cl1")
+            ).alias("b"),
+            "community",
+            "left",
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("community").alias("community_L0"),
+            F.coalesce("cl1", F.col("community")).alias("community_L1"),
+        )
+    )
+
+    g2 = _contract(
+        base,
+        l1.select("id", F.col("community_L1").alias("community")),
+    )
+    l2_super = label_propagation(g2, max_iter=iters_per_level[2], seed=seed + 2)
+    out = (
+        l1.alias("a")
+        .join(
+            l2_super.select(
+                F.col("id").alias("community_L1"), F.col("community").alias("cl2")
+            ).alias("b"),
+            "community_L1",
+            "left",
+        )
+        .select(
+            "id",
+            "community_L0",
+            "community_L1",
+            F.coalesce("cl2", F.col("community_L1")).alias("community_L2"),
+        )
+    )
+    return out

@@ -1,0 +1,137 @@
+"""Graph-layer registry queries (SURVEY §2.9) over the driver fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.graph import algorithms as ga
+from graphragdatapipeline_spark.graph.build import build_tpch_graph
+from graphragdatapipeline_spark.io import read_table
+from graphragdatapipeline_spark.registry import register
+
+
+@register(
+    "graph_edge_type_counts",
+    oracle="""
+SELECT 'IN_NATION' AS rel_type, count(*) AS n_edges FROM customer
+UNION ALL
+SELECT 'LOCATED_IN', count(*) FROM supplier
+UNION ALL
+SELECT 'IN_REGION', count(*) FROM nation
+""",
+)
+def graph_edge_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/A14 — edge-type cardinality validation (reference
+    ingest_graph_db.py:336-363 count checks)."""
+    g = build_tpch_graph(spark, sf_dir)
+    return g.edges.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+@register(
+    "graph_degrees",
+    oracle="""
+WITH edges AS (
+  SELECT concat('C', c_custkey) AS src, concat('N', c_nationkey) AS dst FROM customer
+  UNION ALL
+  SELECT concat('S', s_suppkey), concat('N', s_nationkey) FROM supplier
+  UNION ALL
+  SELECT concat('N', n_nationkey), concat('R', n_regionkey) FROM nation
+), all_ids AS (
+  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+)
+SELECT id, count(*) AS degree FROM all_ids GROUP BY id HAVING count(*) >= 5
+""",
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — exact vertex degree (reference proxies with
+    size(similar_artists) at detect_communities.py:155-157)."""
+    g = build_tpch_graph(spark, sf_dir)
+    return ga.degrees(g.edges).filter(F.col("degree") >= 5)
+
+
+@register(
+    "graph_two_hop_motif",
+    oracle="""
+SELECT r.r_name AS region, count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def graph_two_hop_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 — (customer)-[IN_NATION]->(nation)-[IN_REGION]->(region)
+    motif resolved purely on the edges/vertices tables (reference
+    2-hop Cypher at ingest_graph_db.py:366-377)."""
+    g = build_tpch_graph(spark, sf_dir)
+    hops = ga.two_hop(g.edges, rel1="IN_NATION", rel2="IN_REGION")
+    names = g.vertices.filter(F.col("label") == "Region").select(
+        F.col("id").alias("c"), F.col("name").alias("region")
+    )
+    return hops.join(F.broadcast(names), "c").groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "graph_transitive_closure",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS node, CAST(floor(p_partkey / 4) AS BIGINT) AS parent
+  FROM part
+  WHERE CAST(floor(p_partkey / 4) AS BIGINT) >= 1
+    AND CAST(floor(p_partkey / 4) AS BIGINT) <> p_partkey
+), anc AS (
+  SELECT node, parent AS anc FROM edges
+  UNION
+  SELECT a.node, e.parent AS anc
+  FROM anc a JOIN edges e ON a.anc = e.node
+)
+SELECT node, anc FROM anc
+""",
+)
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 — transitive closure by iterated doubling (reference SPARQL
+    `wdt:P279*` at build_artist_index.py:54-57). Synthetic hierarchy:
+    part k → parent floor(k/4)."""
+    p = read_table(spark, sf_dir, "part")
+    parent = F.floor(F.col("p_partkey") / 4).cast("long")
+    edges = (
+        p.select(F.col("p_partkey").alias("src"), parent.alias("dst"))
+        .filter((F.col("dst") >= 1) & (F.col("dst") != F.col("src")))
+    )
+    return ga.transitive_closure(edges).select(
+        F.col("node").cast("long").alias("node"), F.col("anc").cast("long").alias("anc")
+    )
+
+
+@register("graph_connected_components", oracle=None)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (Hash-Min fixpoint) over the fixture graph;
+    non-SQL (iterative). Emits per-component sizes, which are stable
+    invariants. Oracle-less → driver rows-only check; exactness is
+    covered by pytest on hand-built graphs."""
+    g = build_tpch_graph(spark, sf_dir)
+    cc = ga.connected_components(g.edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
+@register("graph_detect_communities", oracle=None)
+def graph_detect_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — 3-level community hierarchy (deterministic LPA ladder,
+    contract of reference detect_communities.py:218-246). Emits
+    communities-per-level counts (seeded → stable)."""
+    g = build_tpch_graph(spark, sf_dir)
+    assign = ga.detect_communities(g.vertices, g.edges, seed=42)
+    return assign.agg(
+        F.countDistinct("community_L0").alias("n_l0"),
+        F.countDistinct("community_L1").alias("n_l1"),
+        F.countDistinct("community_L2").alias("n_l2"),
+        F.count(F.lit(1)).alias("n_vertices"),
+    )

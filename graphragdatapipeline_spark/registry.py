@@ -1010,3 +1010,13 @@ def nullsafe_list_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(ef.nullsafe_size(F.col("tokens")).alias("n_tokens")).groupBy(
         "n_tokens"
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- Submodule registries (import side effect = registration) -------------
+
+
+def _load_submodules() -> None:
+    from graphragdatapipeline_spark.registries import graph_queries  # noqa: F401
+
+
+_load_submodules()

@@ -1,0 +1,148 @@
+"""Unit tests for the graph layer on hand-built fixtures (FIXTURES.md
+shapes: alias-matched SIMILAR_TO, self-loop exclusion, disconnected
+components, depth-3 hierarchy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.graph import algorithms as ga
+from graphragdatapipeline_spark.graph import build as gb
+from graphragdatapipeline_spark.graph.model import PropertyGraph
+from graphragdatapipeline_spark.schemas import ARTIST_SCHEMA, COUNTRY_SCHEMA, GENRE_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def artists(spark):
+    rows = [
+        dict(id="Q1", name="Alpha", mbid="m1", country="Iceland",
+             aliases=["The Alpha"], genres=["G1", "G2"], tags=["tag1"],
+             similar_artists=["Beta", "The Gamma", "Alpha", "Nobody"]),
+        dict(id="Q2", name="Beta", mbid="m2", country="Iceland",
+             aliases=[], genres=["G1"], tags=[], similar_artists=[]),
+        dict(id="Q3", name="Gamma", mbid="m3", country="Norway",
+             aliases=["The Gamma"], genres=None, tags=None, similar_artists=None),
+    ]
+    return spark.createDataFrame(rows, ARTIST_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def genres(spark):
+    rows = [
+        dict(id="G1", name="techno", aliases=[], parent_ids=["G2"]),
+        dict(id="G2", name="electronic", aliases=[], parent_ids=["G3"]),
+        dict(id="G3", name="music", aliases=[], parent_ids=[]),
+        dict(id="G4", name="selfloop", aliases=[], parent_ids=["G4"]),
+    ]
+    return spark.createDataFrame(rows, GENRE_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def countries(spark):
+    rows = [
+        dict(id="C1", name="Iceland", aliases=[]),
+        dict(id="C2", name="Norway", aliases=[]),
+    ]
+    return spark.createDataFrame(rows, COUNTRY_SCHEMA)
+
+
+def test_similar_to_name_and_alias_match(spark, artists):
+    edges = gb.similar_to_edges(artists).collect()
+    pairs = {(r.src, r.dst) for r in edges}
+    # "Beta" matches Q2 by name; "The Gamma" matches Q3 by alias;
+    # "Alpha" self-reference excluded; "Nobody" matches nothing.
+    assert pairs == {("Q1", "Q2"), ("Q1", "Q3")}
+
+
+def test_subgenre_excludes_self_loops(spark, genres):
+    edges = gb.subgenre_of_edges(genres).collect()
+    pairs = {(r.src, r.dst) for r in edges}
+    assert ("G4", "G4") not in pairs
+    assert pairs == {("G1", "G2"), ("G2", "G3")}
+
+
+def test_from_country_natural_key_join(spark, artists, countries):
+    edges = gb.from_country_edges(artists, countries).collect()
+    assert {(r.src, r.dst) for r in edges} == {("Q1", "C1"), ("Q2", "C1"), ("Q3", "C2")}
+
+
+def test_plays_genre_null_handling(spark, artists):
+    edges = gb.plays_genre_edges(artists).collect()
+    assert {(r.src, r.dst) for r in edges} == {("Q1", "G1"), ("Q1", "G2"), ("Q2", "G1")}
+
+
+def test_validate_edges_drops_unknown_endpoints(spark):
+    v = spark.createDataFrame([("a", "L", "a"), ("b", "L", "b")], ["id", "label", "name"])
+    e = spark.createDataFrame(
+        [("a", "b", "R"), ("a", "zz", "R"), ("zz", "b", "R")], ["src", "dst", "rel_type"]
+    )
+    g = PropertyGraph(vertices=v, edges=e)
+    assert [(r.src, r.dst) for r in g.validate_edges().collect()] == [("a", "b")]
+
+
+def test_transitive_closure_chain(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    closure = {(r.node, r.anc) for r in ga.transitive_closure(e).collect()}
+    assert closure == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("x", "y"),
+    }
+
+
+def test_connected_components_two_islands(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], ["src", "dst"]
+    )
+    comp = {r.id: r.component for r in ga.connected_components(e).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_deterministic(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)], ["src", "dst"]
+    )
+    a = {(r.id, r.community) for r in ga.label_propagation(e, seed=42).collect()}
+    b = {(r.id, r.community) for r in ga.label_propagation(e, seed=42).collect()}
+    assert a == b
+    # two triangles → two communities
+    comm = dict(a)
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[10] == comm[11] == comm[12]
+    assert comm[1] != comm[10]
+
+
+def test_detect_communities_hierarchy_nested(spark):
+    # two dense triangles linked by one bridge edge
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        ["src", "dst"],
+    )
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12]], ["id"])
+    out = ga.detect_communities(v, e, seed=42)
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.community_L0 is not None
+        assert r.community_L1 is not None
+        assert r.community_L2 is not None
+    # nested hierarchy: same L0 ⇒ same L1; same L1 ⇒ same L2
+    by_l0 = {}
+    by_l1 = {}
+    for r in rows:
+        by_l0.setdefault(r.community_L0, set()).add(r.community_L1)
+        by_l1.setdefault(r.community_L1, set()).add(r.community_L2)
+    assert all(len(s) == 1 for s in by_l0.values())
+    assert all(len(s) == 1 for s in by_l1.values())
+    # granularity decreases (or stays equal) up the ladder
+    n0 = len({r.community_L0 for r in rows})
+    n2 = len({r.community_L2 for r in rows})
+    assert n0 >= n2
+
+
+def test_degrees(spark):
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["src", "dst"])
+    deg = {r.id: r.degree for r in ga.degrees(e).collect()}
+    assert deg == {1: 2, 2: 2, 3: 2}
