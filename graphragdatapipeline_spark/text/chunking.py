@@ -1,0 +1,159 @@
+"""Text chunking + section parsing (SURVEY §2.10, T1–T3).
+
+The reference chunks with a HF-tokenizer-driven recursive splitter
+(2048 tokens / 512 overlap — data_transformation_helpers.py:161-183,
+settings.py:126-127). Tokenizers are heavy, version-sensitive
+executor state, so the engine's default is a deterministic
+char-window splitter with identical overlap semantics (4 chars ≈ 1
+token), fully expressible as native Spark SQL — no Python in the hot
+path. The token-aware mode is available behind a pandas UDF for
+parity-minded deployments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# reference defaults: 2048-token chunks, 512-token overlap, ≈4 chars/token
+DEFAULT_CHUNK_CHARS = 2048 * 4
+DEFAULT_OVERLAP_CHARS = 512 * 4
+
+
+def n_chunks_expr(text: Column, size: int, overlap: int) -> Column:
+    step = size - overlap
+    length = F.length(text)
+    return (
+        F.when(length <= size, F.lit(1))
+        .otherwise(F.ceil((length - size) / F.lit(step)) + 1)
+        .cast("int")
+    )
+
+
+def chunk_text_chars(
+    text: Column, size: int = DEFAULT_CHUNK_CHARS, overlap: int = DEFAULT_OVERLAP_CHARS
+) -> Column:
+    """T2 (native) — sliding char windows → array<string>.
+
+    Pure expression (sequence → transform → substring): whole-stage
+    codegen keeps this JVM-side; the equivalent SQL runs in DuckDB for
+    the oracle. Windows start every (size-overlap) chars; the last
+    window is the only short one, like the reference splitter."""
+    step = size - overlap
+    n = n_chunks_expr(text, size, overlap)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.substring(text, i * step + 1, size),
+    )
+
+
+def chunked_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = DEFAULT_CHUNK_CHARS,
+    overlap: int = DEFAULT_OVERLAP_CHARS,
+) -> DataFrame:
+    """T2+T3+W4 — explode chunks with chunk ids `{id}_chunk_{i}` and
+    chunk_index / total_chunks stamps (reference
+    extract_artists_articles.py:175-217)."""
+    chunks = chunk_text_chars(F.col(text_col), size, overlap)
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("pos", "chunk_text"),
+            F.size(chunks).alias("total_chunks"),
+        )
+        .select(
+            F.concat(F.col(id_col).cast("string"), F.lit("_chunk_"), F.col("pos") + 1).alias(
+                "chunk_id"
+            ),
+            F.col(id_col),
+            (F.col("pos") + 1).cast("int").alias("chunk_index"),
+            F.col("total_chunks").cast("int"),
+            F.col("chunk_text"),
+        )
+    )
+
+
+def chunk_text_tokens(text: Column, chunk_tokens: int = 2048, overlap_tokens: int = 512) -> Column:
+    """T2 (token mode) — word-boundary sliding windows, a faithful
+    stand-in for the HF recursive splitter without the tokenizer dep:
+    tokens = whitespace words; windows of chunk_tokens with overlap.
+
+    Still a native expression: split → sequence → transform →
+    array_join of a slice."""
+    toks = F.split(text, r"\s+")
+    step = chunk_tokens - overlap_tokens
+    n = (
+        F.when(F.size(toks) <= chunk_tokens, F.lit(1))
+        .otherwise(F.ceil((F.size(toks) - chunk_tokens) / F.lit(step)) + 1)
+        .cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(toks, i * step + 1, chunk_tokens), " "),
+    )
+
+
+def parse_sections(
+    df: DataFrame,
+    text_col: str,
+    excluded_headers: tuple[str, ...] = ("references", "external links", "see also"),
+    min_content_length: int = 30,
+) -> DataFrame:
+    """T1 — MediaWiki section parser (reference
+    wikipedia_helpers.py:104-152): split on `== Header ==` lines,
+    name sections, stop at excluded trailing headers, drop short
+    sections. Arrow-batched pandas UDF (1→N rows via explode)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_type = ArrayType(
+        StructType(
+            [StructField("name", StringType()), StructField("content", StringType())]
+        )
+    )
+    excluded = {h.lower() for h in excluded_headers}
+
+    @pandas_udf(out_type)
+    def _split(texts):  # type: ignore[no-untyped-def]
+        import re
+
+        header_re = re.compile(r"^={2,}\s*(.*?)\s*={2,}\s*$", re.MULTILINE)
+
+        def parse(text):
+            if text is None:
+                return None
+            sections = []
+            last_end = 0
+            name = "Introduction"
+            for m in header_re.finditer(text):
+                content = text[last_end : m.start()].strip()
+                if content:
+                    sections.append((name, content))
+                name = m.group(1)
+                if name.lower() in excluded:
+                    last_end = None
+                    break
+                last_end = m.end()
+            if last_end is not None:
+                content = text[last_end:].strip()
+                if content:
+                    sections.append((name, content))
+            return [
+                {"name": n, "content": c}
+                for n, c in sections
+                if len(c) >= min_content_length
+            ]
+
+        return texts.map(parse)
+
+    return df.withColumn("sections", _split(F.col(text_col))).select(
+        *[c for c in df.columns if c != text_col],
+        F.explode("sections").alias("section"),
+    ).select(
+        *[c for c in df.columns if c != text_col],
+        F.col("section.name").alias("section_name"),
+        F.col("section.content").alias("section_content"),
+    )

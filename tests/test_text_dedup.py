@@ -1,0 +1,93 @@
+"""Unit tests: chunking math, section parsing, dedup on crafted
+near-duplicate fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.operators import dedup as dd
+from graphragdatapipeline_spark.text import chunking as tc
+
+
+def test_chunk_boundaries(spark):
+    df = spark.createDataFrame([(1, "a" * 450)], ["doc_id", "text"])
+    out = tc.chunked_documents(df, "doc_id", "text", size=200, overlap=50).collect()
+    # windows start at 0, 150, 300 → 3 chunks; last is short (150 chars)
+    assert [r.chunk_index for r in out] == [1, 2, 3]
+    assert all(r.total_chunks == 3 for r in out)
+    assert [len(r.chunk_text) for r in out] == [200, 200, 150]
+    assert out[0].chunk_id == "1_chunk_1"
+    # overlap: last 50 chars of chunk i == first 50 of chunk i+1
+    assert out[0].chunk_text[150:] == out[1].chunk_text[:50]
+
+
+def test_chunk_short_text_single_chunk(spark):
+    df = spark.createDataFrame([(1, "short")], ["doc_id", "text"])
+    out = tc.chunked_documents(df, "doc_id", "text", size=200, overlap=50).collect()
+    assert len(out) == 1 and out[0].total_chunks == 1 and out[0].chunk_text == "short"
+
+
+def test_section_parser(spark):
+    text = (
+        "Intro paragraph about the artist, long enough to keep.\n"
+        "== Career ==\n"
+        "Career content that is definitely long enough to survive.\n"
+        "== Tiny ==\n"
+        "too short\n"
+        "== References ==\n"
+        "this trailing content must be dropped entirely"
+    )
+    df = spark.createDataFrame([("Q1", text)], ["qid", "text"])
+    out = tc.parse_sections(df, "text").collect()
+    names = [r.section_name for r in out]
+    assert names == ["Introduction", "Career"]
+    assert all(len(r.section_content) >= 30 for r in out)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "Hello  World"), (1, "hello world"), (2, "different text")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in dd.exact_dedup(df, "doc_id", "text").collect())
+    # 1 and 3 normalize to the same fingerprint → keep 1
+    assert kept == [1, 2]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated content about spark shuffle partitions and joins"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = {(r.a, r.b) for r in dd.minhash_dedup_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], ["doc_id", "text"]
+    )
+    sh = dd.shingle_table(df, "doc_id", "text", k=3)
+    out = dd.jaccard_pairs(sh, "doc_id", threshold=0.0).collect()
+    # shingles(1): {a b c, b c d, c d e}; shingles(2): {a b c, b c d, c d x}
+    # common 2, union 4 → jaccard 0.5
+    assert len(out) == 1 and abs(out[0].jaccard - 0.5) < 1e-12
+
+
+def test_simhash_near_dup_hamming(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    near = base + " thirteen"
+    far = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    fps = dd.simhash(df, "doc_id", "text", bits=16)
+    pairs = {(r.a, r.b): r.hamming for r in
+             dd.simhash_near_dups(fps, "doc_id", max_hamming=4, bits=16).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_shingles_shorter_than_k(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    sh = dd.shingle_table(df, "doc_id", "text", k=3).collect()
+    assert [r.shingle for r in sh] == ["only two"]
