@@ -1,0 +1,120 @@
+"""Event/streaming registry queries (§2.13 extension). Batch-mode
+executions of the shared batch/streaming operators — the DuckDB
+oracles pin the window semantics; pytest runs the same operators as
+real streams (readStream + availableNow) and asserts equal output."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.io import read_table
+from graphragdatapipeline_spark.registry import davg, register
+from graphragdatapipeline_spark.streaming import ops as so
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       floor((sum(CAST(value AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    headline=True,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event_type."""
+    return so.tumbling_window_agg(read_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+WITH starts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - s.i * 1800 AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS i) s
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM starts GROUP BY 1, 2
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min — each event in exactly 2."""
+    return so.sliding_window_counts(
+        read_table(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       floor((sum(CAST(value AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_value
+FROM islands GROUP BY user_id, session_id
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30min gap) per user via native session_window."""
+    return so.session_windows(read_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "events_dedup_keep_first",
+    oracle="""
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def events_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup contract in batch: first event per
+    (user, event_type)."""
+    out = so.dedup_keep_first(
+        read_table(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "events_daily_stats",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       floor(((sum(CAST(value AS DECIMAL(27,6)))::DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type activity rollup (uses UTC day boundaries via
+    epoch arithmetic — engine/timezone-proof)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = read_table(spark, sf_dir, "events")
+    day = F.from_unixtime(
+        F.floor(F.unix_timestamp("ts") / 86400) * 86400, "yyyy-MM-dd"
+    )
+    return e.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        davg(F.col("value"), 4).alias("avg_value"),
+    )

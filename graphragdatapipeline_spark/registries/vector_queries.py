@@ -1,0 +1,158 @@
+"""Vector-layer registry queries (SURVEY §2.11) over the embeddings
+fixture. The query vector is the row with vec_id = 0 (deterministic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.io import read_table
+from graphragdatapipeline_spark.registry import dround, register
+from graphragdatapipeline_spark.vector import similarity as vs
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "vector_knn_bruteforce",
+    oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], qe)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qe, qe))) AS sim
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 8
+""",
+    headline=True,
+)
+def vector_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 — exact cosine top-8 (Chroma n_results=8 parity,
+    scripts/query_embeddings.py:52-58). TakeOrderedAndProject keeps
+    k rows per partition — no global sort."""
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf_dir)
+    out = vs.cosine_topk(e, q, k=8)
+    return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))
+
+
+@register(
+    "vector_search_partitioned",
+    oracle="""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe, label AS qlabel FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+  FROM embeddings e, q
+  WHERE e.label = q.qlabel AND e.vec_id <> 0
+)
+SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 5
+""",
+)
+def vector_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style partition-pruned search: score only the query's cell
+    (here the label column; in a real deployment the kmeans cell id,
+    with the table partitioned by it)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding", "label").first()
+    q = [float(x) for x in qrow[0]]
+    out = vs.partition_pruned_topk(
+        e.filter(F.col("vec_id") != 0), q, cell=qrow[1], k=5
+    )
+    return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))
+
+
+@register(
+    "vector_near_dup_pairs",
+    oracle="""
+SELECT a.label AS blk, a.vec_id AS a, b.vec_id AS b,
+       floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 1000000 + 0.5) / 1000000
+       AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+""",
+)
+def vector_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (equi join —
+    the O(n²) never materializes across blocks)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    out = vs.embedding_near_dup_pairs(e, threshold=0.3, block_col="label")
+    return out.select("blk", "a", "b", dround(F.col("cosine"), 6).alias("cosine"))
+
+
+@register(
+    "vector_norm_stats",
+    oracle="""
+WITH norms AS (
+  SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+       floor(min(nrm) * 1000000 + 0.5) / 1000000 AS min_norm,
+       floor(max(nrm) * 1000000 + 0.5) / 1000000 AS max_norm
+FROM norms GROUP BY label
+""",
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell norm statistics (min/max are order-independent —
+    exact across engines; used as the collection-health check)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    norms = e.select("label", vs.l2_norm(ed).alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        dround(F.min("nrm"), 6).alias("min_norm"),
+        dround(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@register("vector_ivf_centroids", oracle=None)
+def vector_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid computation (element-wise mean per cell). Rows-only:
+    float summation order makes exact cross-engine comparison
+    meaningless; invariants (cell count, dim count) are pytest-gated."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = vs.ivf_assignments(e)
+    return cents.select("label", F.size("centroid").alias("dim"))
+
+
+@register("vector_embed_documents", oracle=None)
+def vector_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 — batch embedding of documents via the deterministic
+    hash-projection pandas UDF (Arrow-batched; the production encoder
+    swaps in behind the same signature). Emits per-lang counts of
+    embedded docs with unit-norm check."""
+    d = read_table(spark, sf_dir, "documents")
+    embed = vs.embed_text_udf(dim=64)
+    emb = d.select("doc_id", "lang", embed(F.col("text")).alias("embedding"))
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        emb.select("lang", vs.l2_norm(ed).alias("nrm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.abs(F.col("nrm") - 1.0) < 1e-5, 1).otherwise(0)).alias(
+                "n_unit_norm"
+            ),
+        )
+    )

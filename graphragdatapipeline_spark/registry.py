@@ -64,6 +64,21 @@ def osql_round(expr: str, digits: int = 2) -> str:
     return f"floor(({expr}) * {f} + 0.5) / {f}"
 
 
+def dsum(col, digits: int = 2):
+    """Order-independent float sum: cast each addend to DECIMAL(27,6)
+    (exact integer arithmetic — partial-agg order can't change the
+    result), sum exactly, then back to double + portable rounding.
+    SQL twin: floor((sum(CAST(x AS DECIMAL(27,6)))::DOUBLE) * 10^d + 0.5)/10^d."""
+    return dround(F.sum(col.cast("decimal(27,6)")).cast("double"), digits)
+
+
+def davg(col, digits: int = 4):
+    """Order-independent float average: exact decimal sum / count."""
+    return dround(
+        F.sum(col.cast("decimal(27,6)")).cast("double") / F.count(F.lit(1)), digits
+    )
+
+
 # ===========================================================================
 # Flagship (SURVEY §7.1): scan → window → agg → join → sort → limit.
 # Spine of reference ingest_graph_db.py:90-115 + checks.py:89-116
@@ -88,7 +103,7 @@ WITH lines AS (
 SELECT o.o_custkey AS custkey,
        count(*) AS n_orders,
        CAST(sum(e.n_lines) AS BIGINT) AS n_lines,
-       floor((sum(o.o_totalprice)) * 100 + 0.5) / 100 AS total_spent,
+       floor((sum(CAST(o.o_totalprice AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS total_spent,
        min(e.line_list) AS sample_rollup
 FROM orders o JOIN entries e ON o.o_orderkey = e.l_orderkey
 GROUP BY o.o_custkey
@@ -125,7 +140,7 @@ def flagship_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("n_lines").alias("n_lines"),
-            dround(F.sum("o_totalprice"), 2).alias("total_spent"),
+            dsum(F.col("o_totalprice"), 2).alias("total_spent"),
             F.min("line_list").alias("sample_rollup"),
         )
         .orderBy(F.desc("n_orders"), F.asc("custkey"))
@@ -182,7 +197,7 @@ def rlike_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "isin_type_filter",
     oracle="""
-SELECT p_brand, count(*) AS n_parts, floor((avg(p_retailprice)) * 100 + 0.5) / 100 AS avg_price
+SELECT p_brand, count(*) AS n_parts, floor(((sum(CAST(p_retailprice AS DECIMAL(27,6)))::DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_price
 FROM part
 WHERE p_size IN (5, 10, 15) AND p_type LIKE '%BRASS%'
 GROUP BY p_brand
@@ -196,7 +211,7 @@ def isin_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            dround(F.avg("p_retailprice"), 2).alias("avg_price"),
+            davg(F.col("p_retailprice"), 2).alias("avg_price"),
         )
     )
 
@@ -233,7 +248,7 @@ def length_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,
        count(DISTINCT c.c_custkey) AS n_customers,
-       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
+       floor((sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -260,9 +275,9 @@ def join_multihop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -275,7 +290,7 @@ SELECT o.o_orderkey AS orderkey, o.o_orderstatus AS status,
        floor((COALESCE(t.sum_qty, 0)) * 100 + 0.5) / 100 AS sum_qty
 FROM orders o
 LEFT JOIN (
-  SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+  SELECT l_orderkey, count(*) AS n_lines, sum(CAST(l_quantity AS DECIMAL(27,6)))::DOUBLE AS sum_qty
   FROM lineitem GROUP BY l_orderkey
 ) t ON o.o_orderkey = t.l_orderkey
 """,
@@ -287,7 +302,8 @@ def join_left_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_quantity").alias("sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("sum_qty"))
     )
     o = _t(spark, sf_dir, "orders")
     return o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
@@ -368,7 +384,7 @@ def theta_join_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast_lookup_join",
     oracle="""
 SELECT n.n_name AS nation, count(*) AS n_suppliers,
-       floor((sum(s.s_acctbal)) * 100 + 0.5) / 100 AS total_bal
+       floor((sum(CAST(s.s_acctbal AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS total_bal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """,
@@ -383,7 +399,7 @@ def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            dround(F.sum("s_acctbal"), 2).alias("total_bal"),
+            dsum(F.col("s_acctbal"), 2).alias("total_bal"),
         )
     )
 
@@ -397,13 +413,13 @@ def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
-       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
-       floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
-       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
-       floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
+       floor((sum(CAST(l_quantity AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_qty,
+       floor((sum(CAST(l_extendedprice AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_base_price,
+       floor((sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_disc_price,
+       floor((sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_charge,
+       floor(((sum(CAST(l_quantity AS DECIMAL(27,6)))::DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor(((sum(CAST(l_extendedprice AS DECIMAL(27,6)))::DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+       floor(((sum(CAST(l_discount AS DECIMAL(27,6)))::DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -418,13 +434,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-        dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        dround(F.sum(disc), 2).alias("sum_disc_price"),
-        dround(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        dround(F.avg("l_quantity"), 4).alias("avg_qty"),
-        dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        dround(F.avg("l_discount"), 6).alias("avg_disc"),
+        dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        dsum(disc, 2).alias("sum_disc_price"),
+        dsum(disc * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+        davg(F.col("l_quantity"), 4).alias("avg_qty"),
+        davg(F.col("l_extendedprice"), 4).alias("avg_price"),
+        davg(F.col("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -594,7 +610,7 @@ def top_n_frequency_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey AS custkey, count(*) AS member_count,
        array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
-       floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_price
+       floor((sum(CAST(o_totalprice AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS total_price
 FROM orders
 GROUP BY o_custkey
 """,
@@ -610,7 +626,7 @@ def groupwise_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
                 "statuses"
             ),
-            dround(F.sum("o_totalprice"), 2).alias("total_price"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -1019,7 +1035,10 @@ def _load_submodules() -> None:
     from graphragdatapipeline_spark.registries import (  # noqa: F401
         dedup_queries,
         graph_queries,
+        events_queries,
+        misc_queries,
         text_queries,
+        vector_queries,
     )
 
 

@@ -1,0 +1,131 @@
+"""Structured Streaming layer (SURVEY §2.13 — engine extension).
+
+The reference has no true streaming; its closest analogues are
+micro-batch slicing (ingest_vector_db.py:76-93) and async batch
+fan-out (network_helpers.py:129-173). This module adds the real
+thing over event tables: watermarked tumbling/sliding/session
+windows, streaming dedup, and foreachBatch sinks mirroring the batch
+ingestion assets.
+
+Every operator is written against a plain DataFrame so the SAME code
+runs in batch mode (driver correctness checks, backfills) and in
+streaming mode (readStream input) — the Structured Streaming
+unification. Window keys are emitted as epoch seconds: timezone-proof
+across engines and serialization boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.registry import dsum
+
+EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """S7-analog as a true stream: file-source readStream over a
+    parquet directory (each new file = a micro-batch)."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Late-data bound; no-op on batch frames."""
+    return df.withWatermark("ts", delay) if df.isStreaming else df
+
+
+def tumbling_window_agg(df: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per event_type: count + value sum.
+    Batch and streaming share this plan; upstream adds the watermark
+    in streaming mode."""
+    w = F.window("ts", width)
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    df: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    w = F.window("ts", width, slide)
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events within `gap` of each other
+    merge. Native session_window works in both batch and streaming."""
+    sw = F.session_window("ts", gap)
+    return (
+        df.groupBy(sw.alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("s.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_col: str = "ts", tiebreak: str = "event_id"
+) -> DataFrame:
+    """Streaming-dedup semantics in batch: keep the earliest row per
+    key (deterministic tiebreak). In streaming mode use
+    dropDuplicatesWithinWatermark(keys) — same contract under the
+    watermark."""
+    if df.isStreaming:
+        return df.dropDuplicatesWithinWatermark(keys)
+    w = Window.partitionBy(*keys).orderBy(F.asc(order_col), F.asc(tiebreak))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def write_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch sink — the streaming mirror of the reference's
+    batched upsert sinks (ingest_vector_db.py:181-204): each
+    micro-batch DataFrame is handed to `batch_fn(df, epoch_id)`."""
+    writer = stream_df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

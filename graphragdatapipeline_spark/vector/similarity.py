@@ -1,0 +1,165 @@
+"""Vector similarity layer (SURVEY §2.11, V1–V4) + ANN extensions.
+
+The reference's vector store is ChromaDB with cosine distance
+(defs/resources.py:96-136; query at scripts/query_embeddings.py:52-58).
+Here the collection is a DataFrame (id, embedding array<float>, …);
+similarity is a native column expression (zip_with + aggregate — pure
+JVM fold, no UDF), top-k is orderBy+limit, and the scale paths are:
+
+- partition-pruned search (IVF-style): restrict the scan to the
+  query's cell/partition before scoring — at 100 TB this is partition
+  pruning on the cell id, reading 1/nlist of the data;
+- embedding near-dup: self-join bounded by a blocking key so the
+  O(n²) never materializes.
+
+Embedding generation (V1/V2) ships as a deterministic hash-projection
+pandas UDF — the reference's SentenceTransformer is swappable in
+production, but correctness gates need determinism (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (bit-compatible with DuckDB's
+    list_dot_product for the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot_product(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """V3 — brute-force cosine top-k (the exact baseline; Chroma
+    n_results=8 default per README.md:459). One scan, one narrow
+    TopK sort — Spark's TakeOrderedAndProject keeps only k rows per
+    partition, so this scales linearly with no full sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        embeddings.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF cell statistics: per-cell centroid (element-wise mean) via
+    posexplode → (cell, dim) partial agg → re-assemble. The shuffle
+    carries cells × dims rows, independent of corpus size."""
+    dims = (
+        embeddings.select(F.col(cell_col), F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(cell_col, "dim")
+        .agg(F.avg("x").alias("mean_x"))
+    )
+    return (
+        dims.groupBy(cell_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_x"))).alias("_d")
+        )
+        .select(
+            cell_col,
+            F.transform("_d", lambda s: s["mean_x"]).alias("centroid"),
+        )
+    )
+
+
+def partition_pruned_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    cell: int | str,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style search: score only the query's cell. With the
+    collection written partitionBy(cell_col), the filter becomes
+    partition pruning — the scan reads 1/nlist of a 100 TB corpus."""
+    return cosine_topk(
+        embeddings.filter(F.col(cell_col) == cell), query_vec, k, id_col, vec_col
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: blocked self-join (same block key →
+    equi join, never a cross join), cosine ≥ threshold."""
+    a = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("blk", "a", "b", "cosine")
+    )
+
+
+def embed_text_udf(dim: int = 64):
+    """V1/V2 — deterministic hash-projection embedding UDF
+    (string → array<float>, L2-normalized). Stands in for the
+    reference's SentenceTransformer batch encoder
+    (chroma_helpers.py:36-81): same dataflow (Arrow-batched, executor-
+    local state, normalized output), deterministic output for tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(f"array<float>")
+    def _embed(texts):  # type: ignore[no-untyped-def]
+        import hashlib
+        import math
+
+        def one(text):
+            if text is None:
+                return None
+            vec = []
+            for i in range(dim):
+                h = hashlib.md5(f"{i}|{text}".encode("utf-8")).hexdigest()
+                vec.append(int(h[:8], 16) / 2**32 - 0.5)
+            norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            return [x / norm for x in vec]
+
+        return texts.map(one)
+
+    return _embed
+
+
+def upsert_dedup(new: DataFrame, existing: DataFrame, id_col: str) -> DataFrame:
+    """V4/J8 — upsert with id-dedup: left-anti against existing ids,
+    union (reference ingest_community_summaries.py:135-178)."""
+    fresh = new.join(existing.select(id_col), id_col, "left_anti")
+    return existing.unionByName(fresh, allowMissingColumns=True)
