@@ -1,0 +1,146 @@
+"""Community-metadata + LLM-surface registry queries: the reference's
+community aggregation pipeline (detect_communities.py:276-333 +
+generate_community_summaries.py) re-expressed over the fixture graph
+(nation = community, customer = member)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark import llm
+from graphragdatapipeline_spark.io import read_table
+from graphragdatapipeline_spark.operators import relational as rel
+from graphragdatapipeline_spark.registry import register
+
+
+@register(
+    "community_metadata_rollup",
+    oracle="""
+WITH members AS (
+  SELECT n.n_name AS community, c.c_custkey AS member_id,
+         c.c_mktsegment AS segment, c.c_acctbal AS bal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+), seg_counts AS (
+  SELECT community, segment, count(*) AS cnt FROM members GROUP BY 1, 2
+), seg_ranked AS (
+  SELECT community, segment,
+         row_number() OVER (PARTITION BY community ORDER BY cnt DESC, segment ASC) AS rn
+  FROM seg_counts
+), top_segments AS (
+  SELECT community, string_agg(segment, ',' ORDER BY rn) AS top_segments
+  FROM seg_ranked WHERE rn <= 2 GROUP BY community
+), rep_ranked AS (
+  SELECT community, member_id,
+         row_number() OVER (PARTITION BY community ORDER BY bal DESC, member_id ASC) AS rn
+  FROM members
+), reps AS (
+  SELECT community, string_agg(CAST(member_id AS VARCHAR), ',' ORDER BY rn) AS representatives
+  FROM rep_ranked WHERE rn <= 5 GROUP BY community
+), rollup_base AS (
+  SELECT community, count(*) AS member_count,
+         array_to_string(list_sort(list(member_id))[1:50], ',') AS member_ids
+  FROM members GROUP BY community
+)
+SELECT r.community, r.member_count, t.top_segments, p.representatives, r.member_ids
+FROM rollup_base r
+JOIN top_segments t ON r.community = t.community
+JOIN reps p ON r.community = p.community
+""",
+    headline=True,
+)
+def community_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A10/W2/F8 composite — per-community member_count, top-N
+    segment frequencies, top-5 representatives by balance, member-id
+    list capped at 50 (reference detect_communities.py:294-328 +
+    settings.py:144-145 cap)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = F.broadcast(read_table(spark, sf_dir, "nation"))
+    members = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("community"),
+        F.col("c_custkey").alias("member_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    top_seg = rel.top_n_frequency(members, "community", "segment", n=2).select(
+        "community", F.array_join("top_segment", ",").alias("top_segments")
+    )
+    reps = (
+        rel.top_k_per_group(
+            members, ["community"], [F.desc("bal"), F.asc("member_id")], k=5
+        )
+        .groupBy("community")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "member_id"))),
+                    lambda s: s["member_id"].cast("string"),
+                ),
+                ",",
+            ).alias("representatives")
+        )
+    )
+    base = members.groupBy("community").agg(
+        F.count(F.lit(1)).alias("member_count"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("member_id")), 1, 50),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("member_ids"),
+    )
+    return (
+        base.join(top_seg, "community")
+        .join(reps, "community")
+        .select("community", "member_count", "top_segments", "representatives", "member_ids")
+    )
+
+
+@register(
+    "community_naming",
+    oracle="""
+WITH seg AS (
+  SELECT r.r_name AS community, n.n_name AS item, count(*) AS cnt
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT community, item,
+         row_number() OVER (PARTITION BY community ORDER BY cnt DESC, item ASC) AS rn
+  FROM seg
+), tops AS (
+  SELECT community, list(item ORDER BY rn) AS top_nations
+  FROM ranked WHERE rn <= 3 GROUP BY community
+)
+SELECT community,
+       concat_ws(' ', top_nations[1], COALESCE(top_nations[2], 'Electronic')) AS name,
+       printf('Community: %s. Members: %d. Tags: %s. Representative artists: %s.',
+              community, CAST(len(top_nations) AS INT),
+              array_to_string(top_nations[1:7], ', '),
+              array_to_string(top_nations[1:4], ', ')) AS prompt
+FROM tops
+""",
+)
+def community_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6/V7 — community naming + prompt construction (deterministic
+    string surface of the LLM stage)."""
+    n = read_table(spark, sf_dir, "nation")
+    r = F.broadcast(read_table(spark, sf_dir, "region"))
+    joined = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("r_name").alias("community"), F.col("n_name").alias("item")
+    )
+    tops = rel.top_n_frequency(joined, "community", "item", n=3).withColumnRenamed(
+        "top_item", "top_nations"
+    )
+    return tops.select(
+        "community",
+        llm.community_name(F.col("top_nations"), F.slice("top_nations", 2, 10)).alias(
+            "name"
+        ),
+        llm.build_prompt(
+            F.col("community"),
+            F.size("top_nations"),
+            F.col("top_nations"),
+            F.col("top_nations"),
+        ).alias("prompt"),
+    )

@@ -30,8 +30,13 @@ toks AS (
 
 
 def _minhash_oracle() -> str:
+    n_salts = (NUM_HASHES + 3) // 4
+    md5_cols = ", ".join(
+        f"md5(concat('{g}|', shingle)) AS m{g}" for g in range(n_salts)
+    )
     sig_cols = ",\n         ".join(
-        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(NUM_HASHES)
+        f"min(substr(m{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}"
+        for i in range(NUM_HASHES)
     )
     band_selects = []
     for b in range(BANDS):
@@ -42,10 +47,12 @@ def _minhash_oracle() -> str:
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
 WITH {_SHINGLES_CTE},
-sig AS (
+hashed AS (
+  SELECT doc_id, {md5_cols} FROM sh
+), sig AS (
   SELECT doc_id,
          {sig_cols}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ), bands AS (
   {bands_sql}
 )

@@ -1033,9 +1033,11 @@ def nullsafe_list_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _load_submodules() -> None:
     from graphragdatapipeline_spark.registries import (  # noqa: F401
+        community_queries,
         dedup_queries,
         graph_queries,
         events_queries,
+        extension_queries,
         misc_queries,
         text_queries,
         vector_queries,
