@@ -49,11 +49,11 @@ def format_list_natural_language(col: Column) -> Column:
     """['A','B','C'] → "A, B, and C"; ['A','B'] → "A and B"; ['A'] → "A"."""
     items = F.array_distinct(col)
     n = F.size(items)
-    head = F.slice(items, 1, n - 1)
-    last = F.element_at(items, -1)
+    head = F.when(n > 1, F.slice(items, 1, n - 1)).otherwise(F.array())
+    last = F.try_element_at(items, F.lit(-1))
     return (
         F.when(n <= 0, F.lit(""))
-        .when(n == 1, F.element_at(items, 1))
+        .when(n == 1, F.try_element_at(items, F.lit(1)))
         .when(n == 2, F.concat_ws(" and ", items))
         .otherwise(F.concat(F.array_join(head, ", "), F.lit(", and "), last))
     )

@@ -22,8 +22,8 @@ def community_name(top_countries: Column, top_genres: Column) -> Column:
     (reference generate_community_summaries.py:28-49)."""
     return F.concat_ws(
         " ",
-        F.element_at(top_countries, 1),
-        F.coalesce(F.element_at(top_genres, 1), F.lit("Electronic")),
+        F.try_element_at(top_countries, F.lit(1)),
+        F.coalesce(F.try_element_at(top_genres, F.lit(1)), F.lit("Electronic")),
     )
 
 
@@ -52,16 +52,18 @@ def generate_summaries(
     df: DataFrame,
     generator: Callable[[Iterator[dict]], Iterator[str]] = template_generator,
 ) -> DataFrame:
-    """V5 — per-row text generation via mapPartitions with an injected
+    """V5 — per-row text generation via mapInPandas with an injected
     generator (reference llm_helpers.py:20-112 sequential loop becomes
-    partition-parallel; a real model is loaded once per partition)."""
-    schema = df.schema.add("summary", "string")
-    cols = df.columns
+    partition-parallel Arrow batches; a real model is loaded once per
+    partition)."""
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    def run(partition):
-        rows = list(partition)
-        dicts = [r.asDict() for r in rows]
-        for row, summary in zip(rows, generator(iter(dicts))):
-            yield (*[row[c] for c in cols], summary)
+    out_schema = StructType(list(df.schema.fields) + [StructField("summary", StringType())])
 
-    return df.rdd.mapPartitions(run).toDF(schema)
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out["summary"] = list(generator(iter(pdf.to_dict("records"))))
+            yield out
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,214 @@
+"""End-to-end test of the reference's 12-asset DAG on domain fixtures
+(FIXTURES.md shapes), plus the source-cache and misc-operator units."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.domain_pipeline import build_domain_pipeline
+from graphragdatapipeline_spark.schemas import (
+    ARTIST_SCHEMA,
+    COUNTRY_SCHEMA,
+    GENRE_SCHEMA,
+    RELEASE_SCHEMA,
+    TRACK_SCHEMA,
+)
+
+
+@pytest.fixture(scope="module")
+def domain_inputs(spark):
+    artist_index = spark.createDataFrame(
+        [
+            ("http://www.wikidata.org/entity/Q1", "Alpha", "1991-05-01T00:00:00Z"),
+            ("http://www.wikidata.org/entity/Q1", "Alpha", "1989-01-01T00:00:00Z"),  # dup uri
+            ("http://www.wikidata.org/entity/Q2", "Beta", "1975-03-01T00:00:00Z"),
+            ("http://www.wikidata.org/entity/Q3", "Gamma", "2001-07-01T00:00:00Z"),
+        ],
+        ["artist_uri", "name", "start_date"],
+    )
+    artists = spark.createDataFrame(
+        [
+            dict(id="Q1", name="Alpha", mbid="m1", country="Iceland",
+                 aliases=["The Alpha"], genres=["G1"], tags=["t"],
+                 similar_artists=["Beta"]),
+            dict(id="Q2", name="Beta", mbid="m2", country="Iceland",
+                 aliases=[], genres=["G1", "G2"], tags=[], similar_artists=["The Alpha"]),
+            dict(id="Q3", name="Битлз", mbid="m3", country="Norway",  # non-Latin → dropped
+                 aliases=[], genres=["G2"], tags=[], similar_artists=[]),
+            dict(id="Q4", name="Delta", mbid=None, country="Norway",  # no mbid → dropped
+                 aliases=[], genres=[], tags=[], similar_artists=[]),
+        ],
+        ARTIST_SCHEMA,
+    )
+    genres = spark.createDataFrame(
+        [
+            dict(id="G1", name="techno", aliases=[], parent_ids=["G2"]),
+            dict(id="G2", name="electronic", aliases=[], parent_ids=[]),
+        ],
+        GENRE_SCHEMA,
+    )
+    countries = spark.createDataFrame(
+        [dict(id="C1", name="Iceland", aliases=[]), dict(id="C2", name="Norway", aliases=[])],
+        COUNTRY_SCHEMA,
+    )
+    releases = spark.createDataFrame(
+        [
+            dict(id="R1", title="First", year=1995, artist_id="Q1"),
+            dict(id="R1", title="First (reissue)", year=2005, artist_id="Q1"),  # dup id
+            dict(id="R2", title="Second", year=None, artist_id="Q2"),
+        ],
+        RELEASE_SCHEMA,
+    )
+    tracks = spark.createDataFrame(
+        [
+            dict(id="T1", title="One", album_id="R1", src_order=1),
+            dict(id="T2", title="Two", album_id="R1", src_order=2),
+            dict(id="T3", title="Solo", album_id="R2", src_order=1),
+        ],
+        TRACK_SCHEMA,
+    )
+    articles = spark.createDataFrame(
+        [
+            (
+                "Q1",
+                "Alpha (band)",
+                "Alpha is an electronic band from Iceland with a long history. "
+                "== Career ==\n"
+                + "Their career spans decades of electronic music production. " * 20
+                + "\n== References ==\nexcluded trailing text",
+            )
+        ],
+        ["qid", "title", "text"],
+    )
+    return dict(
+        artist_index_raw=artist_index,
+        artists_raw=artists,
+        genres_raw=genres,
+        countries_raw=countries,
+        releases_raw=releases,
+        tracks_raw=tracks,
+        articles_raw=articles,
+    )
+
+
+def test_domain_pipeline_end_to_end(spark, tmp_path, domain_inputs):
+    pipe = build_domain_pipeline(str(tmp_path / "warehouse"), **domain_inputs)
+    results = pipe.run(spark)
+    assert len(results) == 12
+
+    idx = spark.read.parquet(results["artist_index"])
+    assert idx.count() == 3  # dup (uri,name) removed, earliest kept
+    kept = idx.filter(F.col("artist_uri").endswith("Q1")).first()
+    assert kept.start_date.startswith("1989")
+    assert kept.decade == "1980s"
+
+    artists = spark.read.parquet(results["artists"])
+    assert sorted(r.id for r in artists.collect()) == ["Q1", "Q2"]
+
+    releases = spark.read.parquet(results["releases"])
+    assert releases.count() == 2  # best-row per release id
+
+    tracks = spark.read.parquet(results["tracks_rolled"])
+    r1 = {r.album_id: r.tracks for r in tracks.collect()}
+    assert r1["R1"] == ["1. One", "2. Two"]
+
+    edges = spark.read.parquet(results["graph_edges"])
+    by_type = {r.rel_type: r["count"] for r in edges.groupBy("rel_type").count().collect()}
+    # Q1-PLAYS->G1, Q2-PLAYS->{G1,G2}; SIMILAR Q1<->Q2 (name + alias);
+    # PERFORMED R1->Q1, R2->Q2; SUBGENRE G1->G2; FROM_COUNTRY Q1,Q2->C1
+    assert by_type["PLAYS_GENRE"] == 3
+    assert by_type["SIMILAR_TO"] == 2
+    assert by_type["PERFORMED_BY"] == 2
+    assert by_type["SUBGENRE_OF"] == 1
+    assert by_type["FROM_COUNTRY"] == 2
+
+    comms = spark.read.parquet(results["communities"])
+    assert comms.count() == 2  # Q1, Q2 assigned at all 3 levels
+    assert comms.filter(F.col("community_L0").isNull()).count() == 0
+
+    summaries = spark.read.parquet(results["community_summaries"])
+    for row in summaries.collect():
+        assert row.summary == (
+            f"Summary of {row['name']}: a community of {row.member_count} members."
+        )
+
+    chunks = spark.read.parquet(results["article_chunks"])
+    assert chunks.count() > 1  # long career section chunked
+    first = chunks.orderBy("chunk_index").first()
+    assert first.chunk_text.startswith("search_document: Topic: Alpha (band)")
+
+    vectors = spark.read.parquet(results["vector_collection"])
+    assert vectors.count() == chunks.count()
+    assert len(vectors.first().embedding) == 32
+
+
+def test_incremental_fetch_cache_diff(spark):
+    from graphragdatapipeline_spark.sources.cache import incremental_fetch
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("key", StringType()), StructField("payload", StringType())]
+    )
+    cache = spark.createDataFrame([("a", "cached-a")], schema)
+    requested = spark.createDataFrame([("a",), ("b",), ("c",), ("b",)], ["key"])
+
+    def fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"key": pdf["key"], "payload": "fetched-" + pdf["key"]}
+            )
+
+    updated, fetched = incremental_fetch(requested, cache, "key", fetch, schema)
+    got = {r.key: r.payload for r in updated.collect()}
+    assert got == {"a": "cached-a", "b": "fetched-b", "c": "fetched-c"}
+    assert {r.key for r in fetched.collect()} == {"b", "c"}
+
+
+def test_nfkc_normalization_udf(spark):
+    from graphragdatapipeline_spark.functions import normalize_text_nfkc
+
+    df = spark.createDataFrame([("ﬁne  \n ½ text",)], ["t"])
+    out = df.select(normalize_text_nfkc(F.col("t")).alias("n")).first().n
+    assert out == "fine 1⁄2 text"  # NFKC: ﬁ→fi, ½→1⁄2; whitespace collapsed
+
+
+def test_generate_summaries_custom_generator(spark):
+    from graphragdatapipeline_spark.llm import generate_summaries
+
+    df = spark.createDataFrame([(1, "X", 5), (2, "Y", 7)], ["community_id", "name", "member_count"])
+
+    def upper_gen(rows):
+        for r in rows:
+            yield f"{r['name']}!{r['member_count']}"
+
+    out = {r.community_id: r.summary for r in generate_summaries(df, upper_gen).collect()}
+    assert out == {1: "X!5", 2: "Y!7"}
+
+
+def test_sparse_jsonl_roundtrip(spark, tmp_path):
+    from graphragdatapipeline_spark.io import read_jsonl, write_sparse_jsonl
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("name", StringType()),
+            StructField("year", LongType()),
+        ]
+    )
+    df = spark.createDataFrame([("a", None, 1990), ("b", "Beta", None)], schema)
+    path = str(tmp_path / "sparse")
+    write_sparse_jsonl(df, path)
+    # null keys dropped on disk (sparse)
+    import glob
+
+    lines = []
+    for f in glob.glob(path + "/part-*"):
+        lines += open(f).read().strip().splitlines()
+    assert any('"name"' not in ln for ln in lines if '"id":"a"' in ln)
+    back = read_jsonl(spark, path, schema)
+    rows = {r.id: (r.name, r.year) for r in back.collect()}
+    assert rows == {"a": (None, 1990), "b": ("Beta", None)}
