@@ -76,12 +76,16 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per doc. Hash family: each salted md5 yields
-    FOUR signature components — its non-overlapping 8-hex-char windows
-    (32 bits each) — so num_hashes=16 costs 4 md5 calls per shingle,
-    not 16 (md5 dominates the scan cost at scale; the windows of a
-    strong hash are independent). Components stay fixed-width hex
-    strings: lexicographic min == numeric min, no conversion.
+    """MinHash signature per doc from an exploded (id, shingle) table.
+    Kept for inverted-index callers that already pay the explode; the
+    zero-shuffle path is minhash_signatures_rowwise below.
+
+    Hash family: each salted md5 yields FOUR signature components —
+    its non-overlapping 8-hex-char windows (32 bits each) — so
+    num_hashes=16 costs 4 md5 calls per shingle, not 16 (md5 dominates
+    the scan cost at scale; the windows of a strong hash are
+    independent). Components stay fixed-width hex strings:
+    lexicographic min == numeric min, no conversion.
 
     The md5s are projected BEFORE the groupBy so each is computed once
     per shingle row (separate aggregate expressions would defeat
@@ -100,6 +104,49 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return with_md5.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_rowwise(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """ZERO-SHUFFLE MinHash: the signature is a per-document min, so it
+    never needs the explode + groupBy round-trip — array_min over a
+    transform of the in-row shingle array computes the identical value
+    map-side. At 100 TB this is the difference between an
+    embarrassingly-parallel scan and shuffling (docs × shingles) rows.
+
+    Same hash family as minhash_signatures (salted md5, 8-hex windows),
+    so both paths and the DuckDB oracle agree bit-for-bit. The md5
+    arrays are materialized as real columns first: a lambda that
+    references an unmaterialized expression re-evaluates it per
+    element (see word_shingles)."""
+    n_salts = (num_hashes + 3) // 4
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+    # Arity matters: a 2-arg lambda is F.transform's (element, index)
+    # form, so closures must come from factories, not default args.
+    def salted(g):
+        return lambda s: F.md5(F.concat(F.lit(f"{g}|"), s))
+
+    def window(off):
+        return lambda m: F.substring(m, off, 8)
+
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    base = base.select(F.col(id_col), word_shingles(F.col("_toks"), k).alias("_sh"))
+    base = base.select(
+        F.col(id_col),
+        *[
+            F.transform(F.col("_sh"), salted(g)).alias(f"_m{g}")
+            for g in range(n_salts)
+        ],
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col(f"_m{i // 4}"), window(1 + 8 * (i % 4)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def lsh_bands(
@@ -152,9 +199,10 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join."""
-    sh = shingle_table(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join.
+    Signatures come from the zero-shuffle row-wise path; the only
+    shuffles left are the band bucket-join and the pair distinct."""
+    sig = minhash_signatures_rowwise(df, id_col, text_col, k, num_hashes)
     return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
 
 

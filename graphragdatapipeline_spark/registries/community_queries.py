@@ -56,11 +56,19 @@ def community_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     settings.py:144-145 cap)."""
     c = read_table(spark, sf_dir, "customer")
     n = F.broadcast(read_table(spark, sf_dir, "nation"))
-    members = c.join(n, c.c_nationkey == n.n_nationkey).select(
-        F.col("n_name").alias("community"),
-        F.col("c_custkey").alias("member_id"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_acctbal").alias("bal"),
+    # One explicit repartition on the rollup key: the three aggregation
+    # branches below and the final joins all require clustering by
+    # community (or a superset), so they reuse this single exchange
+    # (ReusedExchange) instead of shuffling 3× + twice for the joins.
+    members = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("community"),
+            F.col("c_custkey").alias("member_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("bal"),
+        )
+        .repartition("community")
     )
     top_seg = rel.top_n_frequency(members, "community", "segment", n=2).select(
         "community", F.array_join("top_segment", ",").alias("top_segments")
