@@ -96,6 +96,45 @@ def blob_features(blobs: DataFrame, feature_dim: int = 8, batch_size: int = 256)
     return blobs.mapInPandas(extract, FEATURE_DDL)
 
 
+def resize_media(blobs: DataFrame, target_bytes: int = 256, batch_size: int = 256) -> DataFrame:
+    """Resize/downsample plumbing over mapInPandas: per Arrow batch,
+    decode (stub dispatch), clip the payload to target_bytes, emit the
+    resized blob + its hash. For real images this is where
+    PIL.Image.resize plugs in; the deterministic byte-clip keeps the
+    schema/batching/hash contract testable without codecs."""
+    out_ddl = (
+        "blob_id STRING, media_type STRING, orig_bytes BIGINT, "
+        "resized_bytes BIGINT, resized_hash STRING, payload BINARY"
+    )
+
+    def resize(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                decode_media(payload, row["media_type"])  # codec dispatch point
+                resized = payload[:target_bytes]
+                out_rows.append(
+                    {
+                        "blob_id": row["blob_id"],
+                        "media_type": row["media_type"],
+                        "orig_bytes": len(payload),
+                        "resized_bytes": len(resized),
+                        "resized_hash": hashlib.md5(resized).hexdigest(),
+                        "payload": resized,
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    spark = blobs.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return blobs.mapInPandas(resize, out_ddl)
+
+
 def frame_sample_stub(blobs: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: emits (blob_id, frame_idx) rows
     for blobs with a duration, one per `every_ms`. The decode of the

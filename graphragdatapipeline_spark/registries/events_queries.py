@@ -118,3 +118,29 @@ def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         davg(F.col("value"), 4).alias("avg_value"),
     )
+
+
+@register(
+    "events_user_lifetime",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       floor((sum(CAST(value AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_value,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState lifetime aggregator
+    (streaming/stateful.py): per-user running totals as held in the
+    state store after the last micro-batch. The streaming test drives
+    the real stateful operator and asserts it matches this plan."""
+    from graphragdatapipeline_spark.registry import dsum
+
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 2).alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -81,3 +81,57 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = blob_table_from_documents(d)
     feats = blob_features(blobs, feature_dim=8)
     return feats.select("blob_id", "media_type", "n_bytes", "content_hash")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT concat('doc-', doc_id) AS blob_id,
+       CAST(length(text) AS BIGINT) AS orig_bytes,
+       CAST(least(length(text), 256) AS BIGINT) AS resized_bytes,
+       md5(substring(text, 1, 256)) AS resized_hash
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing: blob table → mapInPandas byte-clip
+    (the PIL/ffmpeg plug-point) → resized payload hashes. The oracle
+    pins the clipped sizes and hashes (documents are ASCII, so char
+    substring == byte slice on the SQL side)."""
+    from graphragdatapipeline_spark.multimodal.blob import resize_media
+
+    d = read_table(spark, sf_dir, "documents")
+    resized = resize_media(blob_table_from_documents(d), target_bytes=256)
+    return resized.select("blob_id", "orig_bytes", "resized_bytes", "resized_hash")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH vids AS (
+  SELECT concat('doc-', doc_id) AS blob_id,
+         CAST(length(text) AS BIGINT) * 10 AS duration_ms
+  FROM documents
+)
+SELECT blob_id, CAST(unnest(range(0, greatest(duration_ms // 1000, 1))) AS BIGINT) AS frame_idx
+FROM vids
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: blobs carry duration_ms metadata
+    (synthesized here as 10ms/byte); one frame row per second of
+    media. The explode is the real Spark shape — frame decode itself
+    is the stubbed codec step."""
+    from graphragdatapipeline_spark.multimodal.blob import frame_sample_stub
+
+    d = read_table(spark, sf_dir, "documents")
+    blobs = blob_table_from_documents(d).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (F.col("n_bytes") * 10).alias("duration_ms"),
+            F.col("meta.codec").alias("codec"),
+        ),
+    )
+    return frame_sample_stub(blobs, every_ms=1000)

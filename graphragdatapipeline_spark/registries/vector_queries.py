@@ -156,3 +156,31 @@ def vector_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "vector_upsert_dedup",
+    oracle="""
+WITH new_docs AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label FROM embeddings WHERE vec_id < 50
+), existing AS (
+  SELECT vec_id, label FROM embeddings
+)
+SELECT vec_id, label FROM existing
+UNION ALL
+SELECT n.vec_id, n.label FROM new_docs n
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.vec_id = n.vec_id)
+""",
+)
+def vector_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4/J8 — vector-collection upsert with id-dedup: a re-ingest
+    batch (50 known ids + 50 fresh ids) left-anti joined against the
+    existing collection, then unioned (reference
+    ingest_community_summaries.py:135-178)."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    overlap = emb.filter(F.col("vec_id") < 50)
+    fresh = overlap.withColumn("vec_id", F.col("vec_id") + 100000)
+    new_docs = overlap.unionByName(fresh)
+    return vs.upsert_dedup(new_docs, emb, "vec_id")

@@ -37,7 +37,19 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, headline: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, headline=headline)
+        import functools
+
+        from graphragdatapipeline_spark.session import ensure_package_shipped
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Kernels (mapInPandas etc.) reference package functions by
+            # module path; ship the package so any driver's workers can
+            # import it (cluster deploys need this zip anyway).
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(fn=wrapped, oracle=oracle, headline=headline)
         return fn
 
     return deco

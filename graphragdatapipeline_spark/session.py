@@ -60,3 +60,42 @@ def get_session(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+_SHIPPED_APPS: set[str] = set()
+_PKG_ZIP: str | None = None
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile.
+
+    Arrow/pandas kernels that reference module-level functions are
+    cloudpickled BY REFERENCE (the module is importable on the driver),
+    so Python workers must be able to import the package too. On a real
+    cluster that means shipping a zip with the job — the same holds for
+    a driver process whose cwd/PYTHONPATH doesn't include the repo
+    (the correctness harness runs that way). Zip is built once per
+    driver process, added once per SparkContext."""
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        zpath = os.path.join(
+            tempfile.mkdtemp(prefix="ggdp_spark_"), "graphragdatapipeline_spark.zip"
+        )
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith((".py",)):
+                        full = os.path.join(dirpath, fname)
+                        zf.write(full, os.path.relpath(full, root))
+        _PKG_ZIP = zpath
+    sc.addPyFile(_PKG_ZIP)
+    _SHIPPED_APPS.add(app)

@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator (SURVEY §2.13 extension):
+per-user lifetime aggregates maintained with applyInPandasWithState.
+
+The reference's closest analogue is driver-side resumable caches
+(wikidata_helpers.py:229-246) — state that survives across batches.
+Here the state lives in Spark's state store, keyed by user, updated
+per micro-batch from Arrow-batched pandas frames.
+
+Contract: the emitted rows after the final micro-batch equal the
+batch query user_lifetime_agg(df) — that twin is what the DuckDB
+oracle checks, while the streaming test drives the real stateful
+operator and compares the two.
+
+Scale: state is partitioned by the grouping key across executors
+(HDFS/RocksDB-backed state store on a real cluster); per-key state
+here is O(1) floats, so 10^9 users is bounded by state-store disk,
+not executor memory. GroupStateTimeout would evict idle keys for
+unbounded key spaces.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_DDL = "n_events BIGINT, sum_value DOUBLE, max_value DOUBLE"
+OUTPUT_DDL = "user_id BIGINT, n_events BIGINT, sum_value DOUBLE, max_value DOUBLE"
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one user into running
+    (count, sum, max) state; emit the updated totals."""
+    n, s, mx = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        n += int(len(pdf))
+        s += float(vals.sum())
+        batch_max = float(vals.max()) if len(vals) else None
+        if batch_max is not None:
+            mx = batch_max if mx is None else max(mx, batch_max)
+    state.update((n, s, mx))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "sum_value": s, "max_value": mx}]
+    )
+
+
+def user_lifetime_agg_stream(events_stream: DataFrame) -> DataFrame:
+    """The stateful operator: groupBy(user).applyInPandasWithState.
+    Output mode 'update' — each micro-batch emits refreshed totals for
+    the users it touched."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_DDL,
+        stateStructType=STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_lifetime_agg_batch(events: DataFrame) -> DataFrame:
+    """Batch twin with identical semantics: what the state store holds
+    after all events have streamed through."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -84,3 +84,29 @@ def test_streaming_dedup_within_watermark(spark, events_stream_dir, tmp_path):
     # fixture's 1-day span and 1h watermark we just assert reduction + run
     total = got.count()
     assert 0 < total <= 1000
+
+
+def test_stateful_lifetime_agg_stream_equals_batch(spark, sf_dir, events_stream_dir, tmp_path):
+    """applyInPandasWithState over real micro-batches: the final emitted
+    totals per user must equal the batch twin (and hence the oracle)."""
+    from graphragdatapipeline_spark.streaming import stateful as st
+
+    stream = so.read_events_stream(spark, events_stream_dir)
+    agg = st.user_lifetime_agg_stream(stream)
+    got = _run_stream_to_memory(
+        spark, agg, "stateful_mem", str(tmp_path), output_mode="update"
+    )
+    # update mode appends one row per touched user per micro-batch;
+    # n_events is monotone per user, so the max row is the final state.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        got.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    batch = st.user_lifetime_agg_batch(read_table(spark, sf_dir, "events"))
+    a = {(r.user_id, r.n_events, round(r.sum_value, 6), r.max_value) for r in final.collect()}
+    b = {(r.user_id, r.n_events, round(r.sum_value, 6), r.max_value) for r in batch.collect()}
+    assert a == b and len(a) > 0
