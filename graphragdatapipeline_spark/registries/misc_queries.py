@@ -135,3 +135,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return frame_sample_stub(blobs, every_ms=1000)
+
+
+@register(
+    "source_cache_diff",
+    oracle="""
+WITH requested AS (
+  SELECT DISTINCT vec_id AS key FROM embeddings
+), cache AS (
+  SELECT vec_id AS key, concat('cached:', vec_id) AS payload
+  FROM embeddings WHERE vec_id % 2 = 0
+), fetched AS (
+  SELECT r.key, concat('fetched:', r.key) AS payload
+  FROM requested r WHERE NOT EXISTS (SELECT 1 FROM cache c WHERE c.key = r.key)
+)
+SELECT key, payload FROM cache
+UNION ALL
+SELECT key, payload FROM fetched
+""",
+)
+def source_cache_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8–S12 cache-first incremental fetch: pending keys = left-anti
+    join vs the cache table; the fetch runs executor-side over misses
+    only (mapInPandas kernel — here a deterministic fake); results
+    union back into the cache (reference wikidata_helpers.py:229-246).
+    The anti-join replaces a file-per-key cache dir — at 10^9 keys the
+    reference's layout is 10^9 inodes; this is one shuffle."""
+    from graphragdatapipeline_spark.sources.cache import incremental_fetch
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    requested = emb.select(F.col("vec_id").alias("key"))
+    cache = (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .select(
+            F.col("vec_id").alias("key"),
+            F.concat(F.lit("cached:"), F.col("vec_id")).alias("payload"),
+        )
+    )
+
+    def fake_fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"key": pdf["key"], "payload": "fetched:" + pdf["key"].astype(str)}
+            )
+
+    updated, _fetched = incremental_fetch(
+        requested, cache, "key", fake_fetch, "key BIGINT, payload STRING"
+    )
+    return updated

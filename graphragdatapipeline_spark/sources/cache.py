@@ -22,7 +22,7 @@ def incremental_fetch(
     cache: DataFrame,
     key_col: str,
     fetch_fn: Callable[[Iterator], Iterator],
-    result_schema: StructType,
+    result_schema: StructType | str,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (updated_cache, fetched_only).
 

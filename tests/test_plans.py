@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the scale properties SURVEY §4 promises
+are pinned here so a refactor can't silently regress them.
+
+What a 100 TB run needs from these plans:
+- dimension joins broadcast (no shuffle of the fact side's join key),
+- filters and column pruning reaching the parquet scan,
+- whole-stage codegen around the relational hot path,
+- no row-at-a-time Python eval (BatchEvalPython) in any registered
+  query — Python only ever appears as Arrow-batched kernels,
+- rank-limited windows using WindowGroupLimit pushdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphragdatapipeline_spark.registry import REGISTRY
+
+
+def _plan(spark, name, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "community_metadata_rollup", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # the fact side must not sort-merge against the tiny dim
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    plan = _plan(spark, "filter_project_pushdown", sf_dir)
+    assert "PushedFilters: [IsNotNull" in plan
+    # pruned read schema — 2 projected + 4 filter columns, never all 16
+    assert "ReadSchema: struct<" in plan
+    scan_schema = plan.split("ReadSchema: struct<", 1)[1].split("...", 1)[0]
+    assert len(scan_schema.split(",")) <= 6
+
+
+def test_no_row_at_a_time_python_in_any_query(spark, sf_dir):
+    """Python may only appear Arrow-batched (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) — BatchEvalPython is the
+    10-100x-slower row-serialization path."""
+    offenders = []
+    for name, qd in sorted(REGISTRY.items()):
+        plan = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_whole_stage_codegen_on_relational_path(spark, sf_dir):
+    # toString() renders WholeStageCodegen stages as "*(n)" prefixes;
+    # under AQE the final plan only exists after execution.
+    df = REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # finalize the AQE plan on THIS QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan
+
+
+def test_topk_window_uses_group_limit_pushdown(spark, sf_dir):
+    """row_number()<=k filters must push a WindowGroupLimit below the
+    sort — at scale this is the difference between sorting every
+    group fully and keeping k rows per group."""
+    plan = _plan(spark, "topk_per_group", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_signatures_have_no_exchange(spark, sf_dir):
+    """The row-wise MinHash signature stage is map-only: no Exchange
+    may appear below the LSH band join."""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dd.minhash_signatures_rowwise(docs, "doc_id", "text")
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_events_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + partition-key filter → PartitionFilters
+    populated, unselected partitions never scanned."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table, write_parquet
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_part")
+    write_parquet(events, path, partition_by=["day"])
+    scan = spark.read.parquet(path).filter(F.col("day") == "2024-01-01")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(day" in plan or "day#" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
