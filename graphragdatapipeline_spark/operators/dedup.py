@@ -62,6 +62,9 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     """(id, shingle) exploded-distinct table — the shared input of
     MinHash and Jaccard. Tokenizes into a materialized column first
     (see word_shingles)."""
+    from graphragdatapipeline_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "").alias(
@@ -202,7 +205,11 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join.
     Signatures come from the zero-shuffle row-wise path; the only
     shuffles left are the band bucket-join and the pair distinct."""
-    sig = minhash_signatures_rowwise(df, id_col, text_col, k, num_hashes)
+    from graphragdatapipeline_spark.session import ensure_parallelism
+
+    sig = minhash_signatures_rowwise(
+        ensure_parallelism(df), id_col, text_col, k, num_hashes
+    )
     return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
 
 
@@ -247,6 +254,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     each token). Bit b votes +1/−1 by token-hash bit; fingerprint bit
     = sign of the vote sum. One explode + one groupBy with `bits`
     conditional sums — no UDF, no per-bit shuffle."""
+    from graphragdatapipeline_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
         F.explode(

@@ -29,6 +29,10 @@ _DEFAULTS = {
     # 96 MiB input splits: big enough to amortize task overhead locally,
     # small enough that a 100 TB table still yields ~1M tasks, not 10M.
     "spark.sql.files.maxPartitionBytes": "96m",
+    # ...but never fewer splits than cores: a 30 MB table must still
+    # fan out across the executor slots instead of running on 1-3 tasks
+    # (advisory; maxPartitionBytes still governs huge inputs).
+    "spark.sql.files.minPartitionNum": str(os.cpu_count() or 8),
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -99,3 +103,20 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         _PKG_ZIP = zpath
     sc.addPyFile(_PKG_ZIP)
     _SHIPPED_APPS.add(app)
+
+
+def ensure_parallelism(df):
+    """Fan a narrow source out across the executor slots before
+    CPU-heavy per-row work (hashing, shingling, chunking, embedding).
+
+    Parquet cannot split inside a row group, so a small file with one
+    row group scans as ONE task no matter how many cores exist — and
+    everything map-side after it inherits that. When the scan's
+    parallelism is below the cluster's slot count, a round-robin
+    repartition (cheap at the sizes where this triggers) unlocks the
+    other cores. At 100 TB the input has thousands of row groups, the
+    condition is false, and this is a no-op — no shuffle added."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, slots // 2):
+        return df.repartition(slots)
+    return df

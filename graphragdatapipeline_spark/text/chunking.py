@@ -57,6 +57,9 @@ def chunked_documents(
     """T2+T3+W4 — explode chunks with chunk ids `{id}_chunk_{i}` and
     chunk_index / total_chunks stamps (reference
     extract_artists_articles.py:175-217)."""
+    from graphragdatapipeline_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     chunks = chunk_text_chars(F.col(text_col), size, overlap)
     return (
         df.select(
