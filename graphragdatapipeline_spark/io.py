@@ -99,3 +99,29 @@ def write_sparse_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> Non
         F.to_json(F.struct(*df.columns), {"ignoreNullFields": "true"}).alias("value")
     )
     out.write.mode(mode).text(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table: pre-shuffled on disk by bucket_cols.
+
+    Two tables bucketed on the same key with the same bucket count
+    join with ZERO exchanges — the shuffle was paid once at write time
+    and amortizes over every subsequent join/aggregation on that key.
+    This is the 100 TB answer for repeatedly-joined fact tables
+    (reference's Neo4j id-indexed lookups play this role at its scale,
+    ingest_graph_db.py:23-46)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

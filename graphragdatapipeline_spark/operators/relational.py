@@ -151,3 +151,29 @@ def union_relaxed(a: DataFrame, b: DataFrame) -> DataFrame:
     """U1 — schema-relaxed vertical concat (reference:
     merge_wikipedia_articles.py:56 `how=vertical_relaxed`)."""
     return a.unionByName(b, allowMissingColumns=True)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: a hot key that would pin one reducer
+    gets spread over `salt_buckets` partitions.
+
+    fact side: salt = pmod(hash(row), B) — splits each key's rows B
+    ways. dim side: exploded B× so every (key, salt) pair exists.
+    Equivalent to fact ⋈ dim on key for any 1:N dim (each fact row
+    meets exactly one replica). AQE's skew-join handles sort-merge
+    skew adaptively; explicit salting is for the cases AQE can't fix —
+    aggregation-feeding joins and stream-side skew at known hot keys.
+    Cost: dim replicated B×, so keep B modest and the dim slim."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = f.join(d, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -158,3 +158,33 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "text_section_parse",
+    oracle="""
+WITH base AS (SELECT doc_id, trim(text) AS body FROM documents)
+SELECT doc_id, 'Introduction' AS section_name, body AS section_content FROM base
+UNION ALL
+SELECT doc_id, 'Details', body FROM base
+""",
+)
+def text_section_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — MediaWiki section parser (reference
+    wikipedia_helpers.py:104-152) driven end-to-end: documents are
+    wrapped with `== Details ==` headers, a sub-minimum stub section
+    (dropped by the 30-char floor) and an excluded `== References ==`
+    tail (parsing stops there). The oracle states the expected
+    sections directly — intro + details, both trimmed."""
+    d = read_table(spark, sf_dir, "documents")
+    sectioned = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n== Details ==\n"),
+            F.col("text"),
+            F.lit("\n== Stub ==\nshort one"),
+            F.lit("\n== References ==\nexcluded tail"),
+        ).alias("text"),
+    )
+    return tc.parse_sections(sectioned, "text")

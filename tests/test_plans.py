@@ -96,3 +96,52 @@ def test_events_scan_prunes_partitions(spark, sf_dir, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "isnotnull(day" in plan or "day#" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key join WITHOUT shuffling — the
+    write-time bucketing satisfies the join's distribution. (Broadcast
+    disabled to force the sort-merge path a 100 TB fact-fact join
+    takes.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table, write_bucketed
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    write_bucketed(o, "t_orders_b", ["o_custkey"], 8, path=os.path.join(str(tmp_path), "ob"))
+    write_bucketed(c, "t_customer_b", ["c_custkey"], 8, path=os.path.join(str(tmp_path), "cb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_orders_b").join(
+            spark.table("t_customer_b"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join must be semantically identical to the plain equi
+    join while spreading each key over salt_buckets partitions."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators.relational import salted_join
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey")
+    salted = salted_join(o, c, "o_custkey", salt_buckets=4)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.select(*plain.columns).collect()}
+    assert a == b
