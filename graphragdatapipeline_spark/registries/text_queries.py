@@ -188,3 +188,42 @@ def text_section_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tc.parse_sections(sectioned, "text")
+
+
+@register(
+    "text_context_headers",
+    oracle="""
+SELECT doc_id,
+       concat_ws(' ',
+         concat('search_document: Topic: doc-', doc_id, '.'),
+         'Context:',
+         CASE WHEN lang <> 'zh' THEN concat('language ', lang, ';') END,
+         CASE WHEN n_chars >= 300 THEN concat('length ', n_chars, ';') END,
+         concat('| ', source, ' (Section: Introduction) |')
+       ) AS header
+FROM documents
+""",
+)
+def text_context_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — natural-language context header from conditional parts
+    (reference extract_artists_articles.py:146-193): optional clauses
+    drop out via null-skipping concat_ws, exactly how the reference
+    skips missing genres/country/year."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("search_document: Topic: doc-"), F.col("doc_id"), F.lit(".")),
+            F.lit("Context:"),
+            F.when(
+                F.col("lang") != "zh",
+                F.concat(F.lit("language "), F.col("lang"), F.lit(";")),
+            ),
+            F.when(
+                F.col("n_chars") >= 300,
+                F.concat(F.lit("length "), F.col("n_chars"), F.lit(";")),
+            ),
+            F.concat(F.lit("| "), F.col("source"), F.lit(" (Section: Introduction) |")),
+        ).alias("header"),
+    )
