@@ -146,3 +146,24 @@ def test_degrees(spark):
     e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["src", "dst"])
     deg = {r.id: r.degree for r in ga.degrees(e).collect()}
     assert deg == {1: 2, 2: 2, 3: 2}
+
+
+def test_leiden_exact_gated_on_optional_deps(spark):
+    """The exact-Leiden rung raises a clear NotImplementedError when
+    igraph/leidenalg are absent (this container), and must keep the
+    same output contract when present."""
+    import pytest
+
+    from graphragdatapipeline_spark.graph import algorithms as ga
+
+    v = spark.createDataFrame([("a",), ("b",)], "id STRING")
+    e = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
+    try:
+        import igraph  # noqa: F401
+        import leidenalg  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            ga.detect_communities_leiden_exact(v, e)
+        return
+    out = ga.detect_communities_leiden_exact(v, e)
+    assert set(out.columns) == {"id", "community_L0", "community_L1", "community_L2"}
