@@ -133,7 +133,15 @@ def label_propagation(
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    # Partition the (big) edge table by the join key ONCE — every
+    # iteration's join then shuffles only the (small) label table.
+    # localCheckpoint preserves the physical partitioning.
+    sym = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("dst")
+        .localCheckpoint(eager=True)
+    )
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id")).distinct()
@@ -146,11 +154,15 @@ def label_propagation(
             .groupBy(F.col("src").alias("id"), F.col("community"))
             .agg(F.count(F.lit(1)).alias("votes"))
         )
-        w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("community"))
-        winner = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("community").alias("new_community"))
+        # Winner per vertex = max by (votes, then smallest label).
+        # max_by over struct(votes, ~community) gives exactly the
+        # (count desc, label asc) tie-break — ~x is the overflow-free
+        # monotone negation — as a partial-aggregating agg, one sort
+        # and one shuffle cheaper per round than a rank window.
+        winner = votes.groupBy("id").agg(
+            F.max_by(
+                "community", F.struct(F.col("votes"), F.bitwise_not(F.col("community")))
+            ).alias("new_community")
         )
         labels = (
             labels.join(winner, "id", "left")

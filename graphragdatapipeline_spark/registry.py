@@ -291,23 +291,29 @@ GROUP BY r.r_name, n.n_name
 def join_multihop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 (multi-hop) — TPC-H Q5-shaped chain. Dimension sides are
     broadcast (nation/region are tiny, like the reference's 754-genre /
-    112-country dims — SURVEY §4)."""
+    112-country dims — SURVEY §4). Revenue is pre-aggregated to order
+    grain BELOW the join — the fact side entering the join chain
+    shrinks ~4× (lines→orders) and the heavy sum happens map-side on
+    exact micro-unit longs; the final agg just re-sums the partials."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
+    rev_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_micros"
+        )
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev_per_order.join(orders, rev_per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            dround(F.sum("rev_micros").cast("double") / F.lit(1e6), 2).alias("revenue"),
         )
     )
 
