@@ -142,3 +142,31 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "grouping_cube",
+    oracle="""
+SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+       COALESCE(n.n_name, '<all>') AS nation,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE (c_mktsegment, n.n_name)
+""",
+)
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (extension — SURVEY §2.4: absent in the
+    reference, free via Catalyst; completes rollup/cube pair)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = F.broadcast(read_table(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            "n_customers",
+        )
+    )

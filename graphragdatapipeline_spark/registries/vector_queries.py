@@ -184,3 +184,33 @@ def vector_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = overlap.withColumn("vec_id", F.col("vec_id") + 100000)
     new_docs = overlap.unionByName(fresh)
     return vs.upsert_dedup(new_docs, emb, "vec_id")
+
+
+@register(
+    "vector_lsh_buckets",
+    oracle="""
+WITH h AS (
+  SELECT vec_id AS h_id, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+), sig AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.embedding::DOUBLE[]) > 0
+                  THEN CAST(power(2, h.h_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN h
+  GROUP BY e.vec_id
+)
+SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+FROM sig GROUP BY bucket
+""",
+)
+def vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketing (ANN scale path alongside IVF): 8
+    deterministic hyperplanes (embeddings 1–8), map-side signatures,
+    bucket histogram. Bit-compatible dot products on both engines."""
+    e = read_table(spark, sf_dir, "embeddings")
+    planes = e.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("h_id"), "embedding"
+    )
+    sig = vs.lsh_hyperplane_buckets(e, planes)
+    return sig.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )

@@ -163,3 +163,37 @@ def upsert_dedup(new: DataFrame, existing: DataFrame, id_col: str) -> DataFrame:
     union (reference ingest_community_summaries.py:135-178)."""
     fresh = new.join(existing.select(id_col), id_col, "left_anti")
     return existing.unionByName(fresh, allowMissingColumns=True)
+
+
+def lsh_hyperplane_buckets(
+    embeddings: DataFrame,
+    hyperplanes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    h_id_col: str = "h_id",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH: each vector's
+    bucket is the bit signature of sign(dot(v, h_r)) over R broadcast
+    hyperplanes. Cosine-similar vectors collide with probability
+    1 - angle/pi per bit; ANN search probes only the query's bucket
+    (plus Hamming-1 neighbors for higher recall).
+
+    Scale shape: hyperplanes broadcast (R rows), signature is map-side
+    per vector — the only shuffle is the per-bucket aggregation the
+    caller adds. The complement of IVF (ivf_assign): LSH needs no
+    training pass; IVF adapts to the data distribution."""
+    h = F.broadcast(
+        hyperplanes.select(
+            F.col(h_id_col).alias("_h_id"), F.col(vec_col).alias("_h")
+        )
+    )
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    hd = F.transform(F.col("_h"), lambda x: x.cast("double"))
+    bit = F.when(dot_product(ed, hd) > 0, F.pow(F.lit(2.0), F.col("_h_id") - 1)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        embeddings.crossJoin(h)
+        .groupBy(id_col)
+        .agg(F.sum(bit).cast("long").alias("bucket"))
+    )
