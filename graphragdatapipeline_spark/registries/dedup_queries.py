@@ -170,3 +170,48 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     fps = dd.simhash(d, "doc_id", "text", bits=16)
     return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=16)
+
+
+def _minhash_verified_oracle(threshold: float = 0.2) -> str:
+    base = _minhash_oracle().strip()
+    # reuse the candidate pipeline as a CTE, verify with exact Jaccard
+    body = base[len("WITH "):]
+    head, final_select = body.rsplit("SELECT DISTINCT", 1)
+    return f"""
+WITH {head.rstrip().rstrip(",")},
+cands AS (
+  SELECT DISTINCT {final_select}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS common
+  FROM sh s1 JOIN sh s2 USING (shingle)
+  WHERE s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       floor((c.common / (sa.sz + sb.sz - c.common)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM common c
+JOIN cands k ON c.a = k.a AND c.b = k.b
+JOIN sizes sa ON c.a = sa.doc_id
+JOIN sizes sb ON c.b = sb.doc_id
+WHERE c.common / (sa.sz + sb.sz - c.common) >= {threshold}
+"""
+
+
+@register("dedup_minhash_verified", oracle=_minhash_verified_oracle())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup flow end-to-end: LSH candidate pairs →
+    exact Jaccard verification joined on candidates only. At scale the
+    verification join touches |candidates| pairs, never the corpus²;
+    false LSH positives are filtered here, false negatives bounded by
+    the band collision curve (1-(1-s^4)^4)."""
+    from graphragdatapipeline_spark.registry import dround
+
+    d = read_table(spark, sf_dir, "documents")
+    cands = dd.minhash_dedup_pairs(
+        d, "doc_id", "text", k=3, num_hashes=NUM_HASHES, bands=BANDS
+    )
+    sh = dd.shingle_table(d, "doc_id", "text", k=3)
+    pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
+    return pairs.select("a", "b", dround(F.col("jaccard"), 6).alias("jaccard"))
