@@ -1,0 +1,78 @@
+"""CLI entry point — the engine as an operable product.
+
+The reference is driven through the Dagster CLI/UI ("Materialize
+all", per-asset runs — README.md:735). The Spark engine's equivalent:
+
+    python -m graphragdatapipeline_spark query <name> [--sf-dir DIR] [-n 20]
+    python -m graphragdatapipeline_spark list
+    python -m graphragdatapipeline_spark checks [--sf-dir DIR]
+    python -m graphragdatapipeline_spark bench
+
+`query` runs any registered query and shows rows; `checks` runs the
+data-quality gates (reference defs/checks.py) and exits non-zero on
+failure — the CI shape of Dagster's asset checks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="graphragdatapipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a registered query and print rows")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("-n", type=int, default=20, help="rows to show")
+
+    sub.add_parser("list", help="list registered queries")
+
+    c = sub.add_parser("checks", help="run data-quality gates (exit 1 on failure)")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    sub.add_parser("bench", help="run the benchmark (one JSON line)")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench  # repo-root harness
+
+        bench.main()
+        return 0
+
+    from graphragdatapipeline_spark.registry import REGISTRY
+
+    if args.cmd == "list":
+        for name, qd in sorted(REGISTRY.items()):
+            kind = "oracle" if qd.oracle else "rows-only"
+            star = " *" if qd.headline else ""
+            print(f"{name}  [{kind}]{star}")
+        return 0
+
+    from graphragdatapipeline_spark.session import get_session
+
+    spark = get_session("graphragdatapipeline-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "query":
+        if args.name not in REGISTRY:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        REGISTRY[args.name].fn(spark, args.sf_dir).show(args.n, truncate=60)
+        return 0
+
+    if args.cmd == "checks":
+        rows = REGISTRY["quality_check_gates"].fn(spark, args.sf_dir).collect()
+        failed = [r for r in rows if not r.passed]
+        for r in rows:
+            print(f"{'PASS' if r.passed else 'FAIL'}  {r.check_name}")
+        return 1 if failed else 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
