@@ -133,14 +133,28 @@ def normalize_text_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", ef.normalize_text(F.col("text")).alias("normalized"))
 
 
-@register("approx_count_distinct", oracle=None)
+@register(
+    "approx_count_distinct",
+    oracle="""
+SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_10pct
+FROM lineitem
+""",
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 scale path — HLL approximate distinct (engines' sketches
-    differ → rows-only; pytest bounds the relative error vs exact)."""
+    """A4 scale path — HLL approximate distinct. Sketch values differ
+    per engine, so the oracle pins the checkable contract instead:
+    the exact count plus a 10%-band accuracy flag (rsd=0.02 → a 10%
+    miss is a 5-sigma event, deterministic in practice)."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= F.countDistinct("l_partkey") * 0.10
+        ).alias("within_10pct"),
     )
 
 

@@ -136,12 +136,20 @@ def vector_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select("label", F.size("centroid").alias("dim"))
 
 
-@register("vector_embed_documents", oracle=None)
+@register(
+    "vector_embed_documents",
+    oracle="""
+SELECT lang, count(*) AS n_docs, count(*) AS n_unit_norm
+FROM documents GROUP BY lang
+""",
+)
 def vector_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1 — batch embedding of documents via the deterministic
     hash-projection pandas UDF (Arrow-batched; the production encoder
     swaps in behind the same signature). Emits per-lang counts of
-    embedded docs with unit-norm check."""
+    embedded docs with unit-norm check; the oracle pins the contract
+    (every document embedded, every embedding unit-norm) — the hash
+    values themselves are the stub's choice, not the contract."""
     d = read_table(spark, sf_dir, "documents")
     embed = vs.embed_text_udf(dim=64)
     emb = d.select("doc_id", "lang", embed(F.col("text")).alias("embedding"))
