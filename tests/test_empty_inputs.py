@@ -1,0 +1,110 @@
+"""Empty-input edge cases: the reference returns schemaed-empty
+frames for missing upstreams (io_managers.py:137-140) and guards
+assets with row-count early-exits (merge_wikipedia_articles.py:37-53).
+Every engine operator must come back empty WITH ITS SCHEMA, never
+throw, when fed zero rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty(spark, ddl):
+    return spark.createDataFrame([], ddl)
+
+
+def test_dedup_by_priority_empty(spark):
+    from graphragdatapipeline_spark.operators.relational import dedup_by_priority
+
+    df = _empty(spark, "k INT, prio INT, uid INT")
+    out = dedup_by_priority(df, unique_cols=["k"], sort_col="prio", tiebreakers=["uid"])
+    assert out.count() == 0
+    assert out.columns == df.columns
+
+
+def test_top_n_frequency_empty(spark):
+    from graphragdatapipeline_spark.operators.relational import top_n_frequency
+
+    out = top_n_frequency(_empty(spark, "g INT, item STRING"), "g", "item", n=3)
+    assert out.count() == 0
+
+
+def test_minhash_pipeline_empty(spark):
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    docs = _empty(spark, "doc_id BIGINT, text STRING")
+    assert dd.minhash_dedup_pairs(docs, "doc_id", "text").count() == 0
+    assert dd.exact_dedup(docs, "doc_id", "text").count() == 0
+    assert dd.simhash(docs, "doc_id", "text").count() == 0
+
+
+def test_chunking_empty_and_null_text(spark):
+    from graphragdatapipeline_spark.text.chunking import chunked_documents
+
+    empty = chunked_documents(_empty(spark, "doc_id INT, text STRING"), "doc_id", "text")
+    assert empty.count() == 0
+    # null text → no chunks for that row, no crash
+    df = spark.createDataFrame([(1, None), (2, "hello world")], "doc_id INT, text STRING")
+    rows = chunked_documents(df, "doc_id", "text", size=5, overlap=2).collect()
+    assert all(r.doc_id == 2 for r in rows) and len(rows) > 0
+
+
+def test_detect_communities_empty_graph(spark):
+    from graphragdatapipeline_spark.graph import algorithms as ga
+
+    v = _empty(spark, "id STRING")
+    e = _empty(spark, "src STRING, dst STRING")
+    out = ga.detect_communities(v, e, seed=42)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "community_L0", "community_L1", "community_L2"}
+
+
+def test_upsert_dedup_empty_sides(spark):
+    from graphragdatapipeline_spark.vector.similarity import upsert_dedup
+
+    filled = spark.createDataFrame([(1, "a")], "id INT, doc STRING")
+    empty = _empty(spark, "id INT, doc STRING")
+    assert upsert_dedup(empty, filled, "id").count() == 1
+    assert upsert_dedup(filled, empty, "id").count() == 1
+    assert upsert_dedup(empty, empty, "id").count() == 0
+
+
+def test_incremental_fetch_all_hits(spark):
+    """No misses → fetch kernel sees zero rows, cache unchanged."""
+    from graphragdatapipeline_spark.sources.cache import incremental_fetch
+
+    cache = spark.createDataFrame([(1, "x"), (2, "y")], "key INT, payload STRING")
+    requested = spark.createDataFrame([(1,), (2,)], "key INT")
+
+    def fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"key": pdf["key"], "payload": "f:" + pdf["key"].astype(str)})
+
+    updated, fetched = incremental_fetch(
+        requested, cache, "key", fetch, "key INT, payload STRING"
+    )
+    assert fetched.count() == 0
+    assert updated.count() == 2
+
+
+def test_pipeline_stage_with_empty_output(spark, tmp_path):
+    """A stage producing zero rows still writes a schemaed table that
+    downstream stages can read."""
+    from graphragdatapipeline_spark.pipeline import Pipeline, Stage
+
+    def empty_stage(sp, cat):
+        return _empty(sp, "id INT, name STRING")
+
+    def downstream(sp, cat):
+        return cat["src"].select(F.col("id"))
+
+    p = Pipeline(
+        warehouse=str(tmp_path / "wh"),
+        stages=[Stage("src", empty_stage), Stage("out", downstream, deps=["src"])],
+    )
+    p.run(spark)
+    got = spark.read.parquet(str(tmp_path / "wh" / "out"))
+    assert got.count() == 0
+    assert got.columns == ["id"]
