@@ -135,3 +135,20 @@ def graph_detect_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("community_L2").alias("n_l2"),
         F.count(F.lit(1)).alias("n_vertices"),
     )
+
+
+@register("graph_pagerank", oracle=None)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (power iteration, dangling-mass redistribution) over
+    the fixture graph; non-SQL (iterative numeric fixpoint) → rows-only
+    driver check. Exactness vs an independent Python implementation is
+    pinned in pytest. Emits the top-20 vertices by rank."""
+    from graphragdatapipeline_spark.registry import dround
+
+    g = build_tpch_graph(spark, sf_dir)
+    pr = ga.pagerank(g.edges, damping=0.85, iters=8)
+    return (
+        pr.select("id", dround(F.col("rank") * 1000, 4).alias("rank_permille"))
+        .orderBy(F.desc("rank_permille"), F.asc("id"))
+        .limit(20)
+    )

@@ -167,3 +167,31 @@ def test_leiden_exact_gated_on_optional_deps(spark):
         return
     out = ga.detect_communities_leiden_exact(v, e)
     assert set(out.columns) == {"id", "community_L0", "community_L1", "community_L2"}
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Power iteration vs an independent pure-Python implementation on
+    a small digraph with a dangling node."""
+    from graphragdatapipeline_spark.graph import algorithms as ga
+
+    eds = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]  # c dangles
+    e = spark.createDataFrame(eds, "src STRING, dst STRING")
+    got = {r.id: r.rank for r in ga.pagerank(e, damping=0.85, iters=12).collect()}
+
+    nodes = sorted({x for p in eds for x in p})
+    n = len(nodes)
+    out = {}
+    for s, _ in eds:
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(12):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        recv = {v: 0.0 for v in nodes}
+        for s, d in eds:
+            recv[d] += ranks[s] / out[s]
+        ranks = {
+            v: 0.15 / n + 0.85 * (recv[v] + dangling / n) for v in nodes
+        }
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # stochastic vector
