@@ -360,3 +360,34 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 6
+) -> DataFrame:
+    """Unweighted shortest-path distances from a source set → (id,
+    dist), reachable-within-max_depth only. Frontier BFS: each round
+    joins the frontier to the edge table and anti-joins the visited
+    set — rows carried per round = |frontier|, not |V|.
+
+    GraphFrames.shortestPaths analog; bounded depth makes the result
+    SQL-expressible (recursive CTE with the same bound), so unlike
+    most iterative ops this one gets a full value-hash oracle."""
+    visited = sources.select(F.col("id")).distinct().withColumn("dist", F.lit(0))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    e = edges.select("src", "dst").distinct().repartition("src").localCheckpoint(eager=True)
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

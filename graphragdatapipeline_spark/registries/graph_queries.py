@@ -152,3 +152,37 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_permille"), F.asc("id"))
         .limit(20)
     )
+
+
+@register(
+    "graph_bfs_distances",
+    oracle="""
+WITH RECURSIVE redges AS (
+  -- build_tpch_graph edges, reversed (region <- nation <- customer/supplier)
+  SELECT concat('R', n_regionkey) AS src, concat('N', n_nationkey) AS dst FROM nation
+  UNION ALL
+  SELECT concat('N', c_nationkey), concat('C', c_custkey) FROM customer
+  UNION ALL
+  SELECT concat('N', s_nationkey), concat('S', s_suppkey) FROM supplier
+), walk(id, dist) AS (
+  SELECT concat('R', r_regionkey), 0 FROM region WHERE r_regionkey IN (0, 1)
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN redges e ON e.src = w.id
+  WHERE w.dist < 6
+)
+SELECT id, min(dist) AS dist FROM walk GROUP BY id
+""",
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the reversed fixture graph from regions 0-1:
+    reaches nations at depth 1, their customers/suppliers at depth 2.
+    An iterative Spark fixpoint with a FULL value oracle — the depth
+    bound makes a recursive CTE terminate with identical semantics
+    (min dist per reached vertex)."""
+    g = build_tpch_graph(spark, sf_dir)
+    rev = g.edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    sources = g.vertices.filter(F.col("id").isin("R0", "R1")).select("id")
+    return ga.bfs_distances(rev, sources, max_depth=6)
