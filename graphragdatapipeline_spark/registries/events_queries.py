@@ -144,3 +144,30 @@ def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value"), 2).alias("sum_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@register(
+    "events_stream_stream_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_seconds
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 60 MINUTE
+""",
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    1h, batch twin). In streaming mode the same operator runs with
+    watermarks on both sides so join state expires — see the
+    two-readStream pytest."""
+    ev = read_table(spark, sf_dir, "events")
+    return so.click_purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_minutes=60,
+    )

@@ -129,3 +129,41 @@ def write_foreach_batch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, horizon_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's clicks in the preceding horizon (click ≤ purchase <
+    click + horizon). In streaming mode both inputs carry watermarks
+    and the time-bound lets Spark expire join state — unbounded
+    stream-stream joins are impossible without it. Identical plan
+    runs in batch for the oracle."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
+            "lag_seconds"
+        ),
+    )

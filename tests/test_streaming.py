@@ -138,3 +138,36 @@ def test_transform_with_state_distinct_types(spark, sf_dir, events_stream_dir, t
     a = {(r.user_id, r.n_distinct_types) for r in final.collect()}
     b = {(r.user_id, r.n_distinct_types) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_stream_dir, tmp_path):
+    """Two readStreams, watermarked, interval-joined — output must
+    equal the batch twin once all files are processed."""
+    # The staged files are in random order, so event time regresses
+    # across micro-batches; the watermark must exceed the fixture's
+    # total span (30 days) or regressed rows are dropped as late and
+    # the equality below fails — exactly the semantics a production
+    # deployment tunes with its real disorder bound.
+    clicks = so.with_watermark(
+        so.read_events_stream(spark, events_stream_dir).filter(
+            F.col("event_type") == "click"
+        ),
+        "40 days",
+    )
+    purchases = so.with_watermark(
+        so.read_events_stream(spark, events_stream_dir).filter(
+            F.col("event_type") == "purchase"
+        ),
+        "40 days",
+    )
+    joined = so.click_purchase_attribution(clicks, purchases, horizon_minutes=60)
+    got = _run_stream_to_memory(spark, joined, "ssj_mem", str(tmp_path))
+    ev = read_table(spark, sf_dir, "events")
+    batch = so.click_purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_minutes=60,
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
