@@ -177,3 +177,52 @@ def salted_join(
     )
     out = f.join(d, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: each left row picks the LATEST right row with
+    right_ts <= left_ts for its key (DuckDB/kdb ASOF semantics; the
+    custom-operator example Spark lacks natively).
+
+    Not a range join: tagged union + one per-key window with
+    last(ignorenulls) carry — a single shuffle+sort on (key, ts),
+    O(n log n) within partitions, no (left × right-window) blowup.
+    Right rows sort before left rows at equal ts so exact-tie matches
+    are included, like DuckDB's ASOF >=."""
+    rc = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in rc],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in rc],
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left_row"),
+    )
+    r = r.withColumn("_left_row", F.lit(None).cast(l.schema["_left_row"].dataType))
+    tagged = r.unionByName(l)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "_side",
+        "_left_row",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rc],
+    ).filter(F.col("_side") == 1)
+    return carried.select(
+        *[F.col("_left_row")[c].alias(c) for c in left.columns],
+        *[F.col(c) for c in rc],
+    )

@@ -171,3 +171,47 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         horizon_minutes=60,
     )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       c.event_id AS last_click_id,
+       CASE WHEN c.event_id IS NOT NULL
+            THEN CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) END AS lag_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched with the user's latest click
+    at-or-before it (engine operator asof_join; oracle = DuckDB's
+    native ASOF LEFT JOIN — two independent implementations of the
+    same semantics)."""
+    from graphragdatapipeline_spark.operators.relational import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("last_click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, "user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["last_click_id", "click_ts"],
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "last_click_id",
+        F.when(
+            F.col("last_click_id").isNotNull(),
+            F.unix_timestamp("ts") - F.unix_timestamp("click_ts"),
+        ).alias("lag_seconds"),
+    )
