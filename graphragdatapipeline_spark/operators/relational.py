@@ -226,3 +226,39 @@ def asof_join(
         *[F.col("_left_row")[c].alias(c) for c in left.columns],
         *[F.col(c) for c in rc],
     )
+
+
+def range_join_buckets(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Range join (fact.value ∈ [range.lo, range.hi)) rewritten as an
+    equi join on discretized buckets.
+
+    Naive range joins broadcast-nested-loop (O(|fact|·|ranges|)); here
+    each range row explodes into its covered buckets and the fact side
+    joins on floor(value/width) — an equi join Catalyst shuffles/
+    broadcasts like any other, then a cheap residual filter re-checks
+    the exact bounds. Pick bucket_width ≈ typical range span so range
+    rows explode into O(1) buckets."""
+    b_fact = fact.withColumn(
+        "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
+    )
+    b_ranges = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        b_fact.join(b_ranges, "_bucket")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("_bucket")
+    )

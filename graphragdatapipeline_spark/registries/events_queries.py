@@ -215,3 +215,60 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp("click_ts"),
         ).alias("lag_seconds"),
     )
+
+
+@register(
+    "events_range_join_tiers",
+    oracle="""
+WITH tiers AS (
+  SELECT 'low' AS tier, 0.0 AS lo, 100.0 AS hi
+  UNION ALL SELECT 'mid', 100.0, 500.0
+  UNION ALL SELECT 'high', 500.0, 1000000.0
+)
+SELECT t.tier, count(*) AS n_events,
+       floor((sum(CAST(e.value AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+""",
+)
+def events_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value-tier banding) via the bucketized equi-join
+    rewrite — the scale path for non-equi joins (the naive plan is a
+    nested-loop product)."""
+    from graphragdatapipeline_spark.operators.relational import range_join_buckets
+    from graphragdatapipeline_spark.registry import dsum
+
+    ev = read_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1000000.0)],
+        "tier STRING, lo DOUBLE, hi DOUBLE",
+    )
+    joined = range_join_buckets(ev, tiers, "value", bucket_width=100.0)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+SELECT event_type,
+       floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+       floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+       floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
+FROM events GROUP BY event_type
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type (Spark
+    `percentile` == DuckDB `quantile_cont`; the approx_percentile
+    sketch is the scale path when exactness isn't required)."""
+    from graphragdatapipeline_spark.registry import dround
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        dround(F.percentile("value", 0.5), 4).alias("p50"),
+        dround(F.percentile("value", 0.9), 4).alias("p90"),
+        dround(F.percentile("value", 0.99), 4).alias("p99"),
+    )
