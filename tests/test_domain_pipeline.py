@@ -212,3 +212,78 @@ def test_sparse_jsonl_roundtrip(spark, tmp_path):
     back = read_jsonl(spark, path, schema)
     rows = {r.id: (r.name, r.year) for r in back.collect()}
     assert rows == {"a": (None, 1990), "b": ("Beta", None)}
+
+
+def test_domain_pipeline_on_driver_fixtures(spark, sf_dir, tmp_path):
+    """The 12-asset DAG fed from the driver's parquet fixtures (TPC-H
+    analog mapped into the domain shapes) — proves the pipeline runs
+    on real columnar inputs end-to-end, not only hand-built frames."""
+    from graphragdatapipeline_spark.io import read_table
+
+    cust = read_table(spark, sf_dir, "customer").limit(200)
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region")
+    orders = read_table(spark, sf_dir, "orders").limit(200)
+    li = read_table(spark, sf_dir, "lineitem").limit(400)
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+
+    artist_index_raw = cust.select(
+        F.concat(F.lit("uri/C"), F.col("c_custkey")).alias("artist_uri"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("19"), F.lpad(F.col("c_nationkey") % 100, 2, "0"),
+                 F.lit("-01-01T00:00:00Z")).alias("start_date"),
+    )
+    artists_raw = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("id"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("mb-"), F.col("c_custkey")).alias("mbid"),
+        F.col("n_name").alias("country"),
+        F.array().cast("array<string>").alias("aliases"),
+        F.array(F.concat(F.lit("N"), F.col("c_nationkey"))).alias("genres"),
+        F.array(F.col("c_mktsegment")).alias("tags"),
+        F.array().cast("array<string>").alias("similar_artists"),
+    )
+    genres_raw = nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("id"),
+        F.col("n_name").alias("name"),
+        F.array().cast("array<string>").alias("aliases"),
+        F.array(F.concat(F.lit("R"), F.col("n_regionkey"))).alias("parent_ids"),
+    )
+    countries_raw = nat.select(
+        F.concat(F.lit("CY"), F.col("n_nationkey")).alias("id"),
+        F.col("n_name").alias("name"),
+    )
+    releases_raw = orders.select(
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("id"),
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("artist_id"),
+        F.col("o_orderstatus").alias("title"),
+        F.year("o_orderdate").alias("year"),
+        F.lit("Official").alias("status"),
+    )
+    tracks_raw = li.select(
+        F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("id"),
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("album_id"),
+        F.concat(F.lit("part "), F.col("l_partkey")).alias("title"),
+        F.col("l_linenumber").alias("src_order"),
+    )
+    articles_raw = docs.select(
+        F.concat(F.lit("Q"), F.col("doc_id")).alias("qid"),
+        F.concat(F.lit("Doc "), F.col("doc_id")).alias("title"),
+        F.col("text"),
+    )
+
+    pipe = build_domain_pipeline(
+        warehouse=str(tmp_path / "wh"),
+        artist_index_raw=artist_index_raw,
+        artists_raw=artists_raw,
+        genres_raw=genres_raw,
+        countries_raw=countries_raw,
+        releases_raw=releases_raw,
+        tracks_raw=tracks_raw,
+        articles_raw=articles_raw,
+    )
+    pipe.run(spark)
+    for table in ("artists", "graph_vertices", "graph_edges", "communities",
+                  "community_summaries", "article_chunks", "vector_collection"):
+        got = spark.read.parquet(str(tmp_path / "wh" / table))
+        assert got.count() > 0, table
