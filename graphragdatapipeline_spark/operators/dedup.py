@@ -311,3 +311,18 @@ def simhash_near_dups(fps: DataFrame, id_col: str, max_hamming: int = 2, bits: i
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_corpus(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Corpus-level dedup from a near-dup pair set: drop every doc
+    that appears as the LARGER id of any (a < b) pair — the smallest
+    id of each duplicate group survives as representative.
+
+    One anti-join; no union-find needed for the drop rule (standard
+    production shape: every non-representative is the b of at least
+    one pair with a smaller doc). Deterministic and SQL-expressible,
+    unlike a full connected-components canonicalization."""
+    drop = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -215,3 +215,30 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dd.shingle_table(d, "doc_id", "text", k=3)
     pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
     return pairs.select("a", "b", dround(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def _dedup_corpus_oracle() -> str:
+    base = _minhash_oracle().strip()
+    body = base[len("WITH "):]
+    head, final_select = body.rsplit("SELECT DISTINCT", 1)
+    return f"""
+WITH {head.rstrip().rstrip(",")},
+cands AS (
+  SELECT DISTINCT {final_select}
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM cands c WHERE c.b = d.doc_id)
+"""
+
+
+@register("dedup_corpus_minhash", oracle=_dedup_corpus_oracle())
+def dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-user dedup operation: MinHash-LSH pairs → drop every doc
+    that is the larger id of any pair → cleaned corpus (smallest id
+    per duplicate group survives). The whole flow — shingle, sign,
+    band, bucket-join, anti-join — replayed by the oracle in SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        d, "doc_id", "text", k=3, num_hashes=NUM_HASHES, bands=BANDS
+    )
+    return dd.dedup_corpus(d.select("doc_id", "lang"), pairs, "doc_id")
