@@ -146,3 +146,41 @@ def frame_sample_stub(blobs: DataFrame, every_ms: int = 1000) -> DataFrame:
         "blob_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     )
+
+
+def waveform_stats(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Audio-style numeric feature extraction plumbing: treat the
+    payload as 8-bit samples and emit mean amplitude + RMS. Real
+    audio decode (librosa/pyav) plugs into the same kernel; sums are
+    computed in exact integer arithmetic so the oracle (ASCII codes in
+    SQL for text payloads) matches bit-for-bit."""
+    out_ddl = (
+        "blob_id STRING, n_samples BIGINT, mean_amp DOUBLE, rms_amp DOUBLE"
+    )
+
+    def stats(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                decode_media(payload, row["media_type"])  # codec dispatch point
+                n = len(payload)
+                s = sum(payload)
+                sq = sum(b * b for b in payload)
+                rows.append(
+                    {
+                        "blob_id": row["blob_id"],
+                        "n_samples": n,
+                        "mean_amp": s / n if n else None,
+                        "rms_amp": math.sqrt(sq / n) if n else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    spark = blobs.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return blobs.mapInPandas(stats, out_ddl)

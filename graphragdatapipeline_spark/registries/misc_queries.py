@@ -185,3 +185,35 @@ def source_cache_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         requested, cache, "key", fake_fetch, "key BIGINT, payload STRING"
     )
     return updated
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+WITH codes AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+  FROM documents
+)
+SELECT concat('doc-', doc_id) AS blob_id,
+       CAST(n AS BIGINT) AS n_samples,
+       floor((list_sum(cs) / n) * 1000000 + 0.5) / 1000000 AS mean_amp,
+       floor(sqrt(list_sum(list_transform(cs, c -> c * c)) / n) * 1000000 + 0.5) / 1000000 AS rms_amp
+FROM codes
+""",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature plumbing: payload bytes → mean/RMS amplitude via
+    the mapInPandas kernel (integer-exact sums, so the SQL twin over
+    ASCII codes matches exactly)."""
+    from graphragdatapipeline_spark.multimodal.blob import waveform_stats
+    from graphragdatapipeline_spark.registry import dround
+
+    d = read_table(spark, sf_dir, "documents")
+    out = waveform_stats(blob_table_from_documents(d))
+    return out.select(
+        "blob_id",
+        "n_samples",
+        dround(F.col("mean_amp"), 6).alias("mean_amp"),
+        dround(F.col("rms_amp"), 6).alias("rms_amp"),
+    )
