@@ -227,3 +227,55 @@ def text_context_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("| "), F.col("source"), F.lit(" (Section: Introduction) |")),
         ).alias("header"),
     )
+
+
+@register(
+    "text_chunking_tokens",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 40 THEN 1
+              ELSE CAST(ceil((len(w) - 40) / 30.0) AS INT) + 1 END AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_index,
+       array_to_string(w[(i - 1) * 30 + 1 : (i - 1) * 30 + 40], ' ') AS chunk_text
+FROM sized, unnest(generate_series(1, n_chunks)) AS t(i)
+""",
+)
+def text_chunking_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 token mode — 40-word windows with 10-word overlap, all
+    native expressions over a materialized token array (the HF
+    tokenizer swaps in behind the same window semantics)."""
+    d = read_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split("text", r"\s+").alias("_toks"))
+    return toked.select(
+        "doc_id",
+        F.posexplode(tc.chunk_text_tokens(F.col("_toks"), 40, 10)).alias(
+            "pos", "chunk_text"
+        ),
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("chunk_index"), "chunk_text"
+    )
+
+
+@register(
+    "text_normalize_nfkc",
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
+FROM documents
+""",
+)
+def text_normalize_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 full chain including the NFKC pandas-UDF kernel (identity on
+    the ASCII fixture, so the oracle is the native chain — the point
+    of the gate is that the Arrow kernel executes under the driver's
+    vanilla session, proving the UDF + package-shipping path)."""
+    from graphragdatapipeline_spark.functions import normalize_text_nfkc
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_text_nfkc(F.col("text")).alias("normalized"))

@@ -79,14 +79,16 @@ def chunked_documents(
     )
 
 
-def chunk_text_tokens(text: Column, chunk_tokens: int = 2048, overlap_tokens: int = 512) -> Column:
+def chunk_text_tokens(tokens: Column, chunk_tokens: int = 2048, overlap_tokens: int = 512) -> Column:
     """T2 (token mode) — word-boundary sliding windows, a faithful
     stand-in for the HF recursive splitter without the tokenizer dep:
     tokens = whitespace words; windows of chunk_tokens with overlap.
 
-    Still a native expression: split → sequence → transform →
-    array_join of a slice."""
-    toks = F.split(text, r"\s+")
+    Still a native expression: sequence → transform → array_join of a
+    slice. `tokens` must be a MATERIALIZED array column (same
+    convention as word_shingles): an inline split() expression is
+    re-evaluated once per chunk by the lambda."""
+    toks = tokens
     step = chunk_tokens - overlap_tokens
     n = (
         F.when(F.size(toks) <= chunk_tokens, F.lit(1))
