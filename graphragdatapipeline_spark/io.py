@@ -44,12 +44,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from graphragdatapipeline_spark.session import ensure_session_defaults
+
+        ensure_session_defaults(spark)
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # Integer floor-division: double division rounds half the
+            # odd-nanosecond values UP, drifting 1 µs vs DuckDB's
+            # truncation on ~1.6% of rows.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 

@@ -13,9 +13,12 @@ end-to-end.
 
 At 100 TB: blobs dominate bytes, so the table is written with the
 payload column LAST (parquet column pruning skips it for metadata
-queries), partitioned by media_type, and feature extraction uses
-mapInPandas with small `maxRecordsPerBatch` to bound executor memory
-per Arrow batch.
+queries), partitioned by media_type, and feature extraction bounds
+its working set by re-chunking each incoming Arrow batch to
+`batch_size` rows inside the kernel (plus the session-level
+`arrow.maxRecordsPerBatch` default in session.py — query bodies never
+mutate session conf). Kernel math is numpy over the Arrow batch, not
+per-row Python (VERDICT r2 #5).
 """
 
 from __future__ import annotations
@@ -24,6 +27,15 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _rechunk(batches: Iterator, batch_size: int) -> Iterator:
+    """Slice incoming Arrow batches to ≤batch_size rows so a kernel's
+    per-batch working set (decoded payloads, feature matrices) stays
+    bounded regardless of the session's Arrow batch size."""
+    for pdf in batches:
+        for lo in range(0, len(pdf), batch_size):
+            yield pdf.iloc[lo : lo + batch_size]
 
 FEATURE_DDL = (
     "blob_id STRING, media_type STRING, n_bytes BIGINT, "
@@ -68,31 +80,38 @@ def blob_features(blobs: DataFrame, feature_dim: int = 8, batch_size: int = 256)
     def extract(batches: Iterator) -> Iterator:
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                digest = hashlib.md5(payload).hexdigest()
-                feats = [
-                    (int(hashlib.md5(f"{i}|{digest}".encode()).hexdigest()[:8], 16) / 2**32)
+        for pdf in _rechunk(batches, batch_size):
+            payloads = [bytes(p) for p in pdf["payload"]]
+            digests = [hashlib.md5(p).hexdigest() for p in payloads]
+            # One md5 per (row, dim) is inherent to the deterministic
+            # fake; the [:8]-hex → uint32 → unit-interval projection is
+            # vectorized over the whole batch.
+            hex8 = np.array(
+                [
+                    hashlib.md5(f"{i}|{d}".encode()).hexdigest()[:8]
+                    for d in digests
                     for i in range(feature_dim)
                 ]
-                out_rows.append(
-                    {
-                        "blob_id": row["blob_id"],
-                        "media_type": row["media_type"],
-                        "n_bytes": len(payload),
-                        "content_hash": digest,
-                        "feature_dim": feature_dim,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(out_rows)
+            )
+            feats = (
+                np.array([int(h, 16) for h in hex8], dtype=np.float64) / 2**32
+            ).reshape(len(payloads), feature_dim)
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": np.fromiter(
+                        (len(p) for p in payloads), np.int64, len(payloads)
+                    ),
+                    "content_hash": digests,
+                    "feature_dim": np.full(len(payloads), feature_dim, np.int32),
+                    "features": list(feats),
+                }
+            )
 
-    spark = blobs.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return blobs.mapInPandas(extract, FEATURE_DDL)
 
 
@@ -110,28 +129,29 @@ def resize_media(blobs: DataFrame, target_bytes: int = 256, batch_size: int = 25
     def resize(batches: Iterator) -> Iterator:
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                decode_media(payload, row["media_type"])  # codec dispatch point
-                resized = payload[:target_bytes]
-                out_rows.append(
-                    {
-                        "blob_id": row["blob_id"],
-                        "media_type": row["media_type"],
-                        "orig_bytes": len(payload),
-                        "resized_bytes": len(resized),
-                        "resized_hash": hashlib.md5(resized).hexdigest(),
-                        "payload": resized,
-                    }
-                )
-            yield pd.DataFrame(out_rows)
+        for pdf in _rechunk(batches, batch_size):
+            payloads = [bytes(p) for p in pdf["payload"]]
+            for p, mt in zip(payloads, pdf["media_type"]):
+                decode_media(p, mt)  # codec dispatch point
+            resized = [p[:target_bytes] for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "orig_bytes": np.fromiter(
+                        (len(p) for p in payloads), np.int64, len(payloads)
+                    ),
+                    "resized_bytes": np.fromiter(
+                        (len(r) for r in resized), np.int64, len(resized)
+                    ),
+                    "resized_hash": [hashlib.md5(r).hexdigest() for r in resized],
+                    "payload": resized,
+                }
+            )
 
-    spark = blobs.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return blobs.mapInPandas(resize, out_ddl)
 
 
@@ -159,28 +179,38 @@ def waveform_stats(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
     )
 
     def stats(batches: Iterator) -> Iterator:
-        import math
-
+        import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                decode_media(payload, row["media_type"])  # codec dispatch point
-                n = len(payload)
-                s = sum(payload)
-                sq = sum(b * b for b in payload)
-                rows.append(
-                    {
-                        "blob_id": row["blob_id"],
-                        "n_samples": n,
-                        "mean_amp": s / n if n else None,
-                        "rms_amp": math.sqrt(sq / n) if n else None,
-                    }
-                )
-            yield pd.DataFrame(rows)
+        for pdf in _rechunk(batches, batch_size):
+            payloads = [bytes(p) for p in pdf["payload"]]
+            for p, mt in zip(payloads, pdf["media_type"]):
+                decode_media(p, mt)  # codec dispatch point
+            n_rows = len(payloads)
+            lens = np.fromiter((len(p) for p in payloads), np.int64, n_rows)
+            # Segmented sums over ONE concatenated uint8 view of the
+            # whole batch — int64-exact, no per-byte Python loop.
+            concat = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64)
+            sums = np.zeros(n_rows, np.int64)
+            sqs = np.zeros(n_rows, np.int64)
+            nz = np.flatnonzero(lens)
+            if nz.size:
+                starts = np.concatenate(([0], np.cumsum(lens)))[nz]
+                sums[nz] = np.add.reduceat(concat, starts)
+                sqs[nz] = np.add.reduceat(concat * concat, starts)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = np.where(lens > 0, sums / lens, np.nan)
+                rms = np.where(lens > 0, np.sqrt(sqs / lens), np.nan)
+            ok = lens > 0
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"].to_numpy(),
+                    "n_samples": lens,
+                    # NaN is a VALUE to Spark, not NULL — empty payloads
+                    # must surface as NULL like the scalar kernel did.
+                    "mean_amp": pd.Series(mean).where(ok, None),
+                    "rms_amp": pd.Series(rms).where(ok, None),
+                }
+            )
 
-    spark = blobs.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return blobs.mapInPandas(stats, out_ddl)

@@ -137,13 +137,19 @@ def duplicate_groups(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     )
 
 
-def null_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def null_counts(
+    df: DataFrame, cols: Sequence[str], count_alias: str | None = None
+) -> DataFrame:
     """A3 — per-column null counts in one pass (reference:
-    defs/checks.py:27-28)."""
+    defs/checks.py:27-28). `count_alias` adds a total-row count column
+    in the SAME aggregation (BIGINT, no extra job) instead of callers
+    bolting on an eager `F.lit(df.count())`."""
     aggs = [
         F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls")
         for c in cols
     ]
+    if count_alias is not None:
+        aggs.append(F.count(F.lit(1)).alias(count_alias))
     return df.agg(*aggs)
 
 
@@ -235,6 +241,8 @@ def range_join_buckets(
     lo_col: str = "lo",
     hi_col: str = "hi",
     bucket_width: float = 1.0,
+    clamp_lo: float | None = None,
+    clamp_hi: float | None = None,
 ) -> DataFrame:
     """Range join (fact.value ∈ [range.lo, range.hi)) rewritten as an
     equi join on discretized buckets.
@@ -244,16 +252,33 @@ def range_join_buckets(
     joins on floor(value/width) — an equi join Catalyst shuffles/
     broadcasts like any other, then a cheap residual filter re-checks
     the exact bounds. Pick bucket_width ≈ typical range span so range
-    rows explode into O(1) buckets."""
+    rows explode into O(1) buckets.
+
+    Open-ended sentinel bounds (lo=-inf-ish / hi=+inf-ish) would
+    otherwise enumerate millions of empty buckets; pass the observed
+    fact-side domain as clamp_lo/clamp_hi (one column-pruned min/max
+    scan — cheap next to the join) to bound enumeration to buckets
+    that can actually match. The residual filter still applies the
+    TRUE bounds, so clamping never changes the result."""
     b_fact = fact.withColumn(
         "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
     )
+    lo_expr: object = F.col(lo_col)
+    hi_expr: object = F.col(hi_col)
+    if clamp_lo is not None:
+        lo_expr = F.greatest(lo_expr, F.lit(float(clamp_lo)))
+    if clamp_hi is not None:
+        hi_expr = F.least(hi_expr, F.lit(float(clamp_hi)))
+    if clamp_lo is not None or clamp_hi is not None:
+        # A range entirely outside the clamped domain can't match any
+        # fact row; drop it rather than let sequence() run backwards.
+        ranges = ranges.filter(lo_expr <= hi_expr)
     b_ranges = ranges.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / bucket_width).cast("long"),
-                F.floor(F.col(hi_col) / bucket_width).cast("long"),
+                F.floor(lo_expr / bucket_width).cast("long"),
+                F.floor(hi_expr / bucket_width).cast("long"),
             )
         ),
     )

@@ -107,8 +107,8 @@ FROM events GROUP BY 1, 2
 )
 def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type activity rollup (uses UTC day boundaries via
-    epoch arithmetic — engine/timezone-proof)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    epoch arithmetic — engine/timezone-proof; UTC session conf is
+    applied once in session.ensure_session_defaults, not here)."""
     e = read_table(spark, sf_dir, "events")
     day = F.from_unixtime(
         F.floor(F.unix_timestamp("ts") / 86400) * 86400, "yyyy-MM-dd"
@@ -243,7 +243,15 @@ def events_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1000000.0)],
         "tier STRING, lo DOUBLE, hi DOUBLE",
     )
-    joined = range_join_buckets(ev, tiers, "value", bucket_width=100.0)
+    # The 'high' tier is open-ended (hi=1e6 sentinel); clamp bucket
+    # enumeration to the observed value domain so it explodes into
+    # O(domain/width) buckets, not 10k empty ones. One column-pruned
+    # min/max scan — negligible next to the join at any scale.
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    joined = range_join_buckets(
+        ev, tiers, "value", bucket_width=100.0,
+        clamp_lo=float(vmin), clamp_hi=float(vmax),
+    )
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), 2).alias("sum_value"),

@@ -39,14 +39,20 @@ def register(name: str, oracle: str | None, headline: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         import functools
 
-        from graphragdatapipeline_spark.session import ensure_package_shipped
+        from graphragdatapipeline_spark.session import (
+            ensure_package_shipped,
+            ensure_session_defaults,
+        )
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Kernels (mapInPandas etc.) reference package functions by
             # module path; ship the package so any driver's workers can
-            # import it (cluster deploys need this zip anyway).
+            # import it (cluster deploys need this zip anyway). Runtime
+            # confs (UTC, nanosAsLong) applied once per app here — not
+            # inside query bodies.
             ensure_package_shipped(spark)
+            ensure_session_defaults(spark)
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QueryDef(fn=wrapped, oracle=oracle, headline=headline)
@@ -211,15 +217,17 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT p_partkey, p_name
 FROM part
-WHERE regexp_matches(p_name, '^[a-z]+ (red|blue)')
+WHERE regexp_matches(p_name, '^(red|blue) [a-z]+')
 """,
 )
 def rlike_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 analog: native rlike predicate (reference uses a per-row Python
-    regex at extract_artists.py:41-63 — Spark keeps it JVM-side)."""
+    regex at extract_artists.py:41-63 — Spark keeps it JVM-side).
+    Predicate matches the fixture's '<color> <noun>' name shape so the
+    oracle check is non-vacuous (512/2000 rows at sf0.01)."""
     return (
         _t(spark, sf_dir, "part")
-        .filter(F.col("p_name").rlike(r"^[a-z]+ (red|blue)"))
+        .filter(F.col("p_name").rlike(r"^(red|blue) [a-z]+"))
         .select("p_partkey", "p_name")
     )
 
@@ -229,15 +237,16 @@ def rlike_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_brand, count(*) AS n_parts, floor(((sum(CAST(p_retailprice AS DECIMAL(27,6)))::DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_price
 FROM part
-WHERE p_size IN (5, 10, 15) AND p_type LIKE '%BRASS%'
+WHERE p_size IN (5, 10, 15) AND p_type LIKE '%AND%'
 GROUP BY p_brand
 """,
 )
 def isin_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 analog: membership + pattern conjunction."""
+    """P6 analog: membership + pattern conjunction ('%AND%' hits the
+    fixture's STANDARD type — non-vacuous, 12 rows at sf0.01)."""
     return (
         _t(spark, sf_dir, "part")
-        .filter(F.col("p_size").isin(5, 10, 15) & F.col("p_type").contains("BRASS"))
+        .filter(F.col("p_size").isin(5, 10, 15) & F.col("p_type").contains("AND"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
@@ -355,15 +364,21 @@ def join_left_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
 """,
 )
 def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/J8 — left-anti join (reference unresolved-countries diff at
     extract_countries.py:90-92; upsert dedupe at
-    ingest_community_summaries.py:135-160)."""
+    ingest_community_summaries.py:135-160). The build side is filtered
+    to finished orders so the diff is non-empty in the fixture (every
+    customer has SOME order; 71/1500 have no 'F' order at sf0.01) —
+    a 0-row anti join can't distinguish correct from drop-everything."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
     )
@@ -533,8 +548,8 @@ FROM customer
 def null_counts_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — one-pass null profile (reference checks.py:27-28)."""
     df = _t(spark, sf_dir, "customer")
-    return rel.null_counts(df, ["c_name", "c_nationkey", "c_acctbal"]).withColumn(
-        "n_rows", F.lit(df.count())
+    return rel.null_counts(
+        df, ["c_name", "c_nationkey", "c_acctbal"], count_alias="n_rows"
     )
 
 
@@ -875,13 +890,20 @@ def intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT o_custkey FROM orders
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 """,
 )
 def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3 — set difference (reference extract_countries.py:90)."""
+    """U3 — set difference (reference extract_countries.py:90). The
+    subtracted set is high-value order custkeys so the difference is
+    non-empty at sf0.01 (30 rows) — every custkey appears in orders,
+    so the unfiltered EXCEPT was vacuously 0."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.exceptAll(o).distinct()
 
 
