@@ -161,12 +161,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(d, "doc_id", "text", bits=16)
 
 
-@register("dedup_simhash_pairs", oracle=None)
+def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 16) -> str:
+    """Pairs oracle: the engine's segment bucketing is exhaustive by
+    pigeonhole (hamming ≤ h ⇒ ≥1 of h+1 segments equal), so the result
+    set is exactly {a<b : popcount(fa⊻fb) ≤ h} — which DuckDB states
+    directly with xor + bit_count over the replayed fingerprints. The
+    oracle self-join is quadratic but sf0.01 is 500 docs; the ENGINE
+    side stays bucketed."""
+    return f"""
+WITH fps AS ({_simhash_oracle(bits)})
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs by pigeonhole segment bucketing +
-    in-bucket Hamming verification. Rows-only for the driver (pair set
-    is exact but the oracle SQL would triple the simhash pipeline);
-    exactness covered in pytest on crafted near-dup fixtures."""
+    in-bucket Hamming verification; exactness also covered in pytest
+    on crafted near-dup fixtures."""
     d = read_table(spark, sf_dir, "documents")
     fps = dd.simhash(d, "doc_id", "text", bits=16)
     return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=16)

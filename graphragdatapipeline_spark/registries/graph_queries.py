@@ -106,12 +106,38 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_connected_components", oracle=None)
+@register(
+    "graph_connected_components",
+    oracle="""
+WITH RECURSIVE dedges AS (
+  -- build_tpch_graph edges (customer/supplier -> nation -> region)
+  SELECT concat('C', c_custkey) AS src, concat('N', c_nationkey) AS dst FROM customer
+  UNION ALL
+  SELECT concat('S', s_suppkey), concat('N', s_nationkey) FROM supplier
+  UNION ALL
+  SELECT concat('N', n_nationkey), concat('R', n_regionkey) FROM nation
+), uedges AS (
+  SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges
+), walk(id, label) AS (
+  -- min-label propagation: label set saturates (UNION dedups over a
+  -- finite (id, label) universe), so recursion terminates at the
+  -- component closure; min(label) == smallest reachable vertex id
+  SELECT src, src FROM uedges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN uedges e ON e.src = w.id
+), comp AS (
+  SELECT id, min(label) AS component FROM walk GROUP BY id
+), sizes AS (
+  SELECT component, count(*) AS size FROM comp GROUP BY component
+)
+SELECT size, count(*) AS n_components FROM sizes GROUP BY size
+""",
+)
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components (Hash-Min fixpoint) over the fixture graph;
-    non-SQL (iterative). Emits per-component sizes, which are stable
-    invariants. Oracle-less → driver rows-only check; exactness is
-    covered by pytest on hand-built graphs."""
+    """Connected components (Hash-Min fixpoint) over the fixture graph.
+    Emits the per-component size distribution — label-free, so the
+    engine's min-id labels and the oracle's min-label CTE agree exactly.
+    Exactness on hand-built graphs is additionally covered by pytest."""
     g = build_tpch_graph(spark, sf_dir)
     cc = ga.connected_components(g.edges)
     return (
