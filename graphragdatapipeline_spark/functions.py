@@ -26,7 +26,7 @@ def normalize_text(col: Column) -> Column:
 
 
 def normalize_text_nfkc(col: Column) -> Column:
-    """Full F1 including NFKC repair — needs a Python kernel; import is
+    """F1 with NFKC repair — needs a Python kernel; import is
     deferred so the native path has zero pandas dependency."""
     from pyspark.sql.functions import pandas_udf
 
@@ -37,6 +37,51 @@ def normalize_text_nfkc(col: Column) -> Column:
         return s.map(lambda x: unicodedata.normalize("NFKC", x) if x is not None else None)
 
     return normalize_text(_nfkc(col))
+
+
+def mojibake_repair_default():
+    """ftfy.fix_text when the library is importable, else None.
+    Import-gated the same way as exact Leiden (graph/algorithms.py):
+    the engine works without the optional dependency and upgrades
+    in-place when it's installed."""
+    try:
+        import ftfy
+
+        return ftfy.fix_text
+    except ImportError:
+        return None
+
+
+def normalize_text_full(col: Column, repair_fn=None) -> Column:
+    """Complete F1 mirroring the reference pipeline (reference
+    utils/data_transformation_helpers.py:20-86): mojibake repair
+    (ftfy) → NFKC → native regex chain.
+
+    ``repair_fn`` is an injectable str→str mojibake repairer (same
+    injection seam as llm.py's generator): default is ftfy.fix_text
+    when importable, falling back to NFKC-only when not — the rung is
+    exercised in pytest through injection even where ftfy is absent.
+    The repair runs inside ONE Arrow-batched pandas UDF together with
+    NFKC (one Python boundary crossing, not two); the regex chain
+    stays JVM-native."""
+    if repair_fn is None:
+        repair_fn = mojibake_repair_default()
+    if repair_fn is None:
+        return normalize_text_nfkc(col)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _repair_nfkc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFKC", repair_fn(x))
+            if x is not None
+            else None
+        )
+
+    return normalize_text(_repair_nfkc(col))
 
 
 # ---------------------------------------------------------------------------

@@ -175,6 +175,52 @@ def test_nfkc_normalization_udf(spark):
     assert out == "fine 1⁄2 text"  # NFKC: ﬁ→fi, ½→1⁄2; whitespace collapsed
 
 
+def test_full_normalize_repair_rung_injected(spark):
+    """The ftfy rung of F1 via the injection seam: repair runs before
+    NFKC inside the kernel, then the native chain. The injected
+    repairer undoes the classic UTF-8-as-latin1 mojibake."""
+    from graphragdatapipeline_spark.functions import normalize_text_full
+
+    def fake_fix_text(s: str) -> str:
+        return s.replace("Ã©", "é")  # 'Ã©' → 'é'
+
+    df = spark.createDataFrame([("cafÃ©  \n ﬁne", ), (None,)], ["t"])
+    rows = df.select(
+        normalize_text_full(F.col("t"), repair_fn=fake_fix_text).alias("n")
+    ).collect()
+    assert rows[0].n == "café fine"  # repaired + NFKC (ﬁ→fi) + collapsed
+    assert rows[1].n is None
+
+
+def test_full_normalize_real_ftfy_if_present(spark):
+    """Exercises the default rung with the real library when installed
+    (skips in containers without ftfy — the fallback path is then the
+    NFKC-only chain, covered above)."""
+    import pytest
+
+    pytest.importorskip("ftfy")
+    from graphragdatapipeline_spark.functions import (
+        mojibake_repair_default,
+        normalize_text_full,
+    )
+
+    assert mojibake_repair_default() is not None
+    df = spark.createDataFrame([("cafÃ© test",)], ["t"])
+    out = df.select(normalize_text_full(F.col("t")).alias("n")).first().n
+    assert out == "café test"
+
+
+def test_full_normalize_fallback_without_repair(spark, monkeypatch):
+    """With no repairer importable the full chain degrades to the
+    NFKC-only path (documented partial, SURVEY §7.3)."""
+    from graphragdatapipeline_spark import functions as ef
+
+    monkeypatch.setattr(ef, "mojibake_repair_default", lambda: None)
+    df = spark.createDataFrame([("ﬁne  \n text",)], ["t"])
+    out = df.select(ef.normalize_text_full(F.col("t")).alias("n")).first().n
+    assert out == "fine text"  # NFKC + chain still applied
+
+
 def test_generate_summaries_custom_generator(spark):
     from graphragdatapipeline_spark.llm import generate_summaries
 
