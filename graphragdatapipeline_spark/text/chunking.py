@@ -101,6 +101,123 @@ def chunk_text_tokens(tokens: Column, chunk_tokens: int = 2048, overlap_tokens: 
     )
 
 
+def hf_tokenizer_default(model: str = "nomic-ai/nomic-embed-text-v1"):
+    """Zero-arg tokenizer factory using HuggingFace libs when
+    importable, else None — the same import gate as ftfy repair
+    (functions.py) and exact Leiden (graph/algorithms.py). The factory
+    (not the tokenizer) is shipped to executors; each Python worker
+    constructs and caches its own tokenizer instance."""
+    try:
+        from tokenizers import Tokenizer  # noqa: F401
+
+        def factory():
+            from tokenizers import Tokenizer
+
+            tok = Tokenizer.from_pretrained(model)
+
+            class _Wrap:
+                def encode(self, text: str) -> list[int]:
+                    return tok.encode(text).ids
+
+                def decode(self, ids: list[int]) -> str:
+                    return tok.decode(ids)
+
+            return _Wrap()
+
+        return factory
+    except ImportError:
+        pass
+    try:
+        from transformers import AutoTokenizer  # noqa: F401
+
+        def factory():
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(model)
+
+        return factory
+    except ImportError:
+        return None
+
+
+class WhitespaceTokenizer:
+    """Dependency-free tokenizer honoring the encode/decode contract
+    (ids index a per-instance vocab built on the fly). The default
+    stand-in for HF tokenizers in tests and HF-less deployments —
+    token-mode chunking through the exact same windowing code path."""
+
+    def __init__(self) -> None:
+        self.vocab: dict[str, int] = {}
+        self.words: list[str] = []
+
+    def encode(self, text: str) -> list[int]:
+        ids = []
+        for w in text.split():
+            if w not in self.vocab:
+                self.vocab[w] = len(self.words)
+                self.words.append(w)
+            ids.append(self.vocab[w])
+        return ids
+
+    def decode(self, ids: list[int]) -> str:
+        return " ".join(self.words[i] for i in ids)
+
+
+def chunk_text_tokenizer(
+    text: Column,
+    chunk_tokens: int = 2048,
+    overlap_tokens: int = 512,
+    tokenizer_factory=None,
+) -> Column:
+    """T2 (tokenizer mode) — the reference's HF-token-exact chunking
+    (data_transformation_helpers.py:161-183; 2048 tokens / 512 overlap
+    from settings.py:126-127): encode → sliding id-windows → decode,
+    inside ONE Arrow-batched pandas UDF.
+
+    ``tokenizer_factory`` is a zero-arg callable returning an object
+    with ``encode(str) -> list[int]`` / ``decode(list[int]) -> str``
+    (injectable for tests; default = HF when importable). Raises
+    ImportError when neither is available — the char/word-window modes
+    above are the no-dependency paths with identical overlap
+    semantics."""
+    if tokenizer_factory is None:
+        tokenizer_factory = hf_tokenizer_default()
+    if tokenizer_factory is None:
+        raise ImportError(
+            "token-exact chunking needs `tokenizers` or `transformers` "
+            "(or an injected tokenizer_factory); use chunk_text_chars / "
+            "chunk_text_tokens for the dependency-free modes"
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    step = chunk_tokens - overlap_tokens
+    cache: dict = {}
+
+    @pandas_udf("array<string>")
+    def _chunk(texts):  # type: ignore[no-untyped-def]
+        import math
+
+        if "tok" not in cache:
+            cache["tok"] = tokenizer_factory()
+        tok = cache["tok"]
+
+        def split(s):
+            if s is None:
+                return None
+            ids = tok.encode(s)
+            if len(ids) <= chunk_tokens:
+                return [tok.decode(ids)]
+            n = math.ceil((len(ids) - chunk_tokens) / step) + 1
+            return [
+                tok.decode(ids[i * step : i * step + chunk_tokens]) for i in range(n)
+            ]
+
+        return texts.map(split)
+
+    return _chunk(text)
+
+
 def parse_sections(
     df: DataFrame,
     text_col: str,

@@ -91,3 +91,44 @@ def test_shingles_shorter_than_k(spark):
     df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
     sh = dd.shingle_table(df, "doc_id", "text", k=3).collect()
     assert [r.shingle for r in sh] == ["only two"]
+
+
+def test_tokenizer_chunking_injected(spark):
+    """HF-mode chunking via the injection seam: windows over token ids
+    with reference overlap semantics, decoded back to text."""
+    from graphragdatapipeline_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)  # kernel references the package class
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, None)], ["doc_id", "text"])
+    import pyspark.sql.functions as F
+
+    out = df.select(
+        "doc_id",
+        tc.chunk_text_tokenizer(
+            F.col("text"), chunk_tokens=4, overlap_tokens=2,
+            tokenizer_factory=tc.WhitespaceTokenizer,
+        ).alias("chunks"),
+    ).collect()
+    by_id = {r.doc_id: r.chunks for r in out}
+    # 10 tokens, window 4, step 2 -> ceil((10-4)/2)+1 = 4 chunks
+    assert by_id[1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    assert by_id[2] == ["short"]
+    assert by_id[3] is None
+
+
+def test_tokenizer_chunking_import_gate():
+    """Without HF libs (and no injected factory) the mode refuses with
+    a clear error instead of failing on executors mid-job."""
+    import pytest
+
+    from graphragdatapipeline_spark.text.chunking import hf_tokenizer_default
+
+    if hf_tokenizer_default() is not None:
+        pytest.skip("HF tokenizers present; gate not reachable")
+    import pyspark.sql.functions as F
+
+    with pytest.raises(ImportError, match="chunk_text_chars"):
+        tc.chunk_text_tokenizer(F.lit("x"))
