@@ -163,12 +163,58 @@ def graph_detect_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank", oracle=None)
+def _pagerank_oracle(damping: float = 0.85, iters: int = 8, top: int = 20) -> str:
+    """Fixed-iteration power iteration unrolled into one CTE per
+    superstep (DuckDB recursive CTEs forbid aggregates over the
+    recursive term). Each step mirrors the engine's expression
+    STRUCTURE exactly — (1-d)/n + d*(received + dangling/n) — so both
+    sides run the same IEEE operations and the portable rounding
+    absorbs addition-order drift."""
+    edges = (
+        "SELECT concat('C', c_custkey) AS src, concat('N', c_nationkey) AS dst FROM customer "
+        "UNION ALL SELECT concat('S', s_suppkey), concat('N', s_nationkey) FROM supplier "
+        "UNION ALL SELECT concat('N', n_nationkey), concat('R', n_regionkey) FROM nation"
+    )
+    parts = [
+        f"dedges AS ({edges})",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges))",
+        "deg AS (SELECT src, count(*) AS deg FROM dedges GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "pr0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(iters):
+        prev = f"pr{i}"
+        parts.append(
+            f"dang{i} AS (SELECT COALESCE(sum(p.rank), 0.0) AS d FROM {prev} p "
+            "LEFT JOIN deg ON p.id = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"recv{i} AS (SELECT e.dst AS id, sum(p.rank / e.odeg) AS r "
+            "FROM (SELECT d.src, d.dst, g.deg AS odeg FROM dedges d JOIN deg g ON d.src = g.src) e "
+            f"JOIN {prev} p ON e.src = p.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pr{i + 1} AS (SELECT v.id, "
+            f"(1.0 - {damping})/(SELECT n FROM nn) + {damping} * "
+            f"(COALESCE(r.r, 0.0) + (SELECT d FROM dang{i})/(SELECT n FROM nn)) AS rank "
+            f"FROM verts v LEFT JOIN recv{i} r ON v.id = r.id)"
+        )
+    sep = ",\n"
+    return (
+        f"WITH {sep.join(parts)}\n"
+        f"SELECT id, floor((rank * 1000) * 10000 + 0.5)/10000 AS rank_permille\n"
+        f"FROM pr{iters}\n"
+        f"ORDER BY rank_permille DESC, id ASC LIMIT {top}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (power iteration, dangling-mass redistribution) over
-    the fixture graph; non-SQL (iterative numeric fixpoint) → rows-only
-    driver check. Exactness vs an independent Python implementation is
-    pinned in pytest. Emits the top-20 vertices by rank."""
+    the fixture graph. Value-oracled against an unrolled fixed-
+    iteration CTE replay in DuckDB; exactness vs an independent Python
+    implementation is additionally pinned in pytest. Emits the top-20
+    vertices by rank."""
     from graphragdatapipeline_spark.registry import dround
 
     g = build_tpch_graph(spark, sf_dir)

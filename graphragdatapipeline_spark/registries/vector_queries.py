@@ -126,14 +126,37 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vector_ivf_centroids", oracle=None)
+@register(
+    "vector_ivf_centroids",
+    oracle="""
+SELECT label,
+       count(*) AS n_members,
+       CAST(max(len(embedding)) AS INT) AS dim,
+       floor((sum(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / count(*)) * 10000 + 0.5) / 10000
+         AS centroid_sum
+FROM embeddings GROUP BY label
+""",
+)
 def vector_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF centroid computation (element-wise mean per cell). Rows-only:
-    float summation order makes exact cross-engine comparison
-    meaningless; invariants (cell count, dim count) are pytest-gated."""
+    """IVF centroid computation (element-wise mean per cell), verified
+    through an exact invariant: sum over dims of per-dim means equals
+    (total element sum) / n_members, so the oracle checks the centroid
+    VALUES without replaying the per-dim aggregation; portable
+    rounding absorbs the differing float summation orders. Full
+    element-wise checks are pytest-gated."""
+    from graphragdatapipeline_spark.registry import dround
+
     e = read_table(spark, sf_dir, "embeddings")
     cents = vs.ivf_assignments(e)
-    return cents.select("label", F.size("centroid").alias("dim"))
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return cents.join(counts, "label").select(
+        "label",
+        "n_members",
+        F.size("centroid").alias("dim"),
+        dround(
+            F.aggregate("centroid", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("centroid_sum"),
+    )
 
 
 @register(
