@@ -125,3 +125,45 @@ def test_top_n_frequency_matches_reference(spark, rows):
         counts = Counter(items)
         ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
         assert got[g] == [k for k, _ in ranked], (g, counts)
+
+
+def test_range_join_clamp_never_changes_result(spark):
+    """clamp_lo/clamp_hi bound bucket ENUMERATION only; the residual
+    filter applies the true bounds, so results are invariant — while a
+    sentinel-open tier enumerates O(domain/width) buckets, not
+    O(sentinel/width)."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators.relational import range_join_buckets
+
+    fact = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 557).cast("double").alias("value")
+    )
+    ranges = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("open", 100.0, 1e9), ("void", 1e8, 2e8)],
+        "tier STRING, lo DOUBLE, hi DOUBLE",
+    )
+    plain = range_join_buckets(fact, ranges, "value", bucket_width=50.0)
+    clamped = range_join_buckets(
+        fact, ranges, "value", bucket_width=50.0, clamp_lo=0.0, clamp_hi=556.0
+    )
+    a = {(r.id, r.tier) for r in plain.collect()}
+    b = {(r.id, r.tier) for r in clamped.collect()}
+    assert a == b and len(b) == 1000  # every value lands in exactly one tier
+
+    # enumeration bound: the open tier explodes into ceil(556/50)+1
+    # buckets under the clamp instead of 20M
+    n_buckets = (
+        ranges.filter("tier = 'open'")
+        .select(
+            F.size(
+                F.sequence(
+                    F.floor(F.greatest("lo", F.lit(0.0)) / 50.0),
+                    F.floor(F.least("hi", F.lit(556.0)) / 50.0),
+                )
+            ).alias("n")
+        )
+        .first()
+        .n
+    )
+    assert n_buckets <= 12
