@@ -52,6 +52,12 @@ _RANK_OVERRIDE = {
     # round 3 has exactly 51 unverified candidates; this stretch oracle
     # (added round 3) rides the next rotation.
     "graph_connected_components": 0.0,
+    # curation family (added late round 3): locally oracle-verified at
+    # sf0.001 (tests/test_oracle_parity.py); defers to keep the
+    # force-reverify de-vacuized queries inside the driver window.
+    "curation_sample_split": 0.0,
+    "curation_pack_sequences": 0.0,
+    "curation_decontaminate": 0.0,
 }
 
 

@@ -1,0 +1,127 @@
+"""Training-data curation operators: deterministic sampling / splits,
+token-budget sequence packing, benchmark decontamination.
+
+These extend the reference's surface (its pipeline stops at chunk +
+embed + ingest — extract_artists_articles.py, chroma_helpers.py) with
+the operations an LLM training-data pipeline runs at corpus scale.
+Every operator is a pure DataFrame expression — no UDFs, no RNG, no
+driver-side state — so results are reproducible run-to-run and
+engine-portable (each has a DuckDB oracle in the registry).
+
+Scale notes (100 TB):
+- hash sampling/splits are map-side only: no shuffle, no sort, prune-
+  friendly (the md5 is computed per row and compared to a constant);
+- packing uses one window per shard key — the running sum carries two
+  longs per row; the shard key (here `lang`) bounds skew the same way
+  any partitioned write would;
+- decontamination reuses the dedup family's inverted-index join: docs
+  only meet benchmark rows on shared shingles, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 32-bit hash bucket domain: md5 is stable across engines/releases
+# (unlike xxhash64/DuckDB hash()), so splits never shift under engine
+# upgrades — a contract reproducible-training setups rely on.
+_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, buckets: int = _BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 nibbles of the
+    (string-cast) key, mod buckets. SQL twin:
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % buckets``."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, buckets: int = _BUCKETS
+) -> DataFrame:
+    """Reproducible `rate`-fraction sample keyed on `key`: a row is in
+    the sample iff its hash bucket < rate·buckets. Unlike df.sample(),
+    membership is a property of the ROW, not the run — stable across
+    partitionings, retries, and engines."""
+    return df.filter(hash_bucket(F.col(key), buckets) < int(rate * buckets))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_rate: float = 0.1, buckets: int = _BUCKETS
+) -> DataFrame:
+    """Adds a `split` column ('test' iff bucket < test_rate·buckets,
+    else 'train'). Same stability contract as deterministic_sample;
+    disjoint and exhaustive by construction."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(F.col(key), buckets) < int(test_rate * buckets), "test"
+        ).otherwise("train"),
+    )
+
+
+def pack_into_sequences(
+    chunks: DataFrame,
+    shard_col: str,
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget sequence packing: assign ordered chunks to training
+    sequences of ≈`budget` tokens by cumulative token offset —
+    seq_index = floor(exclusive_prefix_sum / budget) within each shard.
+
+    This is offset packing, not bin packing: a sequence may overrun by
+    at most one chunk (standard for streaming concat-and-chunk training
+    pipelines), in exchange for being a pure window expression — one
+    shuffle on the shard key, no sequential driver loop, identical
+    results at any parallelism."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix_incl = F.sum(token_col).over(w)
+    prefix_excl = prefix_incl - F.col(token_col)
+    return chunks.withColumn(
+        "seq_index", F.floor(prefix_excl / budget).cast("long")
+    ).withColumn("seq_offset", (prefix_excl % budget).cast("long"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing ≥ `min_shared`
+    distinct k-gram shingles with any benchmark row. The join is
+    inverted-index shaped (shared shingle = join key) — the benchmark
+    side is tiny and broadcast, so at 100 TB this is one map-side join
+    plus one doc-keyed aggregation."""
+    from graphragdatapipeline_spark.operators.dedup import shingle_table
+
+    d_sh = shingle_table(docs, id_col, text_col, k=k)
+    b_sh = (
+        shingle_table(benchmark, id_col, text_col, k=k)
+        .select(F.col("shingle"))
+        .distinct()
+    )
+    shared = (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("shared_shingles"))
+    )
+    return (
+        docs.join(shared, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("shared_shingles", F.lit(0)).alias("shared_shingles"),
+            (F.coalesce("shared_shingles", F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )

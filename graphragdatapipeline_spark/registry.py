@@ -1092,6 +1092,7 @@ def nullsafe_list_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _load_submodules() -> None:
     from graphragdatapipeline_spark.registries import (  # noqa: F401
         community_queries,
+        curation_queries,
         dedup_queries,
         graph_queries,
         events_queries,

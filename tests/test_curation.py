@@ -1,0 +1,94 @@
+"""Property tests for training-data curation operators: stability of
+hash sampling/splits, packing budget invariants, decontamination hits.
+Value parity vs DuckDB is covered by test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphragdatapipeline_spark.io import read_table
+from graphragdatapipeline_spark.operators import curation as cu
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_split_disjoint_exhaustive_and_stable(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = cu.train_test_split(d, "doc_id", test_rate=0.2)
+    rows = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
+    assert set(rows) <= {"train", "test"}
+    assert sum(rows.values()) == d.count()
+    # membership is a row property: identical under any repartitioning
+    a = {r.doc_id: r.split for r in s.select("doc_id", "split").collect()}
+    s2 = cu.train_test_split(d.repartition(7, "lang"), "doc_id", test_rate=0.2)
+    b = {r.doc_id: r.split for r in s2.select("doc_id", "split").collect()}
+    assert a == b
+    # rate lands near the target (hash uniformity, 500 rows)
+    assert 0.1 < rows.get("test", 0) / sum(rows.values()) < 0.3
+
+
+def test_deterministic_sample_is_subset_property_not_run_property(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s1 = {r.doc_id for r in cu.deterministic_sample(d, "doc_id", 0.25).collect()}
+    s2 = {
+        r.doc_id
+        for r in cu.deterministic_sample(d.repartition(11), "doc_id", 0.25).collect()
+    }
+    assert s1 == s2 and 0 < len(s1) < d.count()
+    # nested rates: a 10% sample is a subset of the 25% sample
+    s3 = {r.doc_id for r in cu.deterministic_sample(d, "doc_id", 0.10).collect()}
+    assert s3 <= s1
+
+
+def test_pack_sequences_budget_invariants(spark, sf_dir):
+    budget = 4000
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    p = cu.pack_into_sequences(d, "lang", ["doc_id"], "n_chars", budget)
+    rows = p.collect()
+    assert len(rows) == d.count()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.lang, []).append(r)
+    for lang, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        # offsets replay the exclusive prefix sum
+        prefix = 0
+        for r in rs:
+            assert r.seq_index == prefix // budget
+            assert r.seq_offset == prefix % budget
+            prefix += r.n_chars
+        # each sequence overruns by at most its last chunk
+        totals: dict[int, int] = {}
+        for r in rs:
+            totals[r.seq_index] = totals.get(r.seq_index, 0) + r.n_chars
+        maxc = max(r.n_chars for r in rs)
+        for tot in totals.values():
+            assert tot < budget + maxc
+        # sequence indexes are contiguous from 0
+        assert sorted(totals) == list(range(len(totals)))
+
+
+def test_decontaminate_flags_benchmark_members_and_spares_unique(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    out = cu.decontaminate(d, bench, "doc_id", "text", k=3, min_shared=2)
+    flagged = {r.doc_id for r in out.filter("contaminated").collect()}
+    # every benchmark doc with >= 4 words shares >= 2 shingles with itself
+    wc = bench.select(
+        "doc_id", F.size(F.split(F.lower("text"), r"\s+")).alias("n")
+    ).collect()
+    for r in wc:
+        if r.n >= 4:
+            assert r.doc_id in flagged
+    # output covers every doc exactly once
+    assert out.count() == d.count()
+    assert out.filter(F.col("shared_shingles").isNull()).count() == 0
+
+
+def test_hash_bucket_range(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    b = d.select(cu.hash_bucket(F.col("doc_id")).alias("b"))
+    mn, mx = b.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx < 10_000
