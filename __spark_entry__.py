@@ -58,6 +58,8 @@ _RANK_OVERRIDE = {
     "curation_sample_split": 0.0,
     "curation_pack_sequences": 0.0,
     "curation_decontaminate": 0.0,
+    "curation_repetition_stats": 0.0,
+    "curation_pii_redaction": 0.0,
 }
 
 

@@ -89,6 +89,36 @@ def pack_into_sequences(
     ).withColumn("seq_offset", (prefix_excl % budget).cast("long"))
 
 
+# (label, pattern, replacement). Patterns stick to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded repetition, \b, non-capturing groups.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}", "<PHONE>"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing: count and mask emails / phone numbers / IPv4
+    addresses. Counts are per-pattern over the ORIGINAL text (so they
+    are order-independent); the redacted text applies the replacements
+    sequentially in PII_PATTERNS order. Pure regexp_count /
+    regexp_replace column expressions — whole-stage codegen, no UDFs,
+    map-side only at any scale."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col), *counts, F.md5(redacted).alias("redacted_hash")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from graphragdatapipeline_spark.io import read_table
 from graphragdatapipeline_spark.operators import curation as cu
-from graphragdatapipeline_spark.registry import register
+from graphragdatapipeline_spark.registry import osql_round, register
+from graphragdatapipeline_spark.text import analysis as ta
 
 # DuckDB twin of curation.hash_bucket: first 8 md5 nibbles of the
 # string-cast key as an unsigned 32-bit int, mod the bucket count.
@@ -106,3 +107,96 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.decontaminate(
         d, bench, id_col="doc_id", text_col="text", k=3, min_shared=2
     )
+
+
+_REP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), tc AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY 1, 2
+), ts AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct_tokens,
+         max(c) AS top_token_count
+  FROM tc GROUP BY 1
+), bc AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1])) AS b
+        FROM toks) GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(ts.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+       {osql_round('COALESCE(ts.n_distinct_tokens, 0) / greatest(COALESCE(ts.n_tokens, 1), 1)', 4)} AS distinct_frac,
+       {osql_round('COALESCE(ts.top_token_count, 0) / greatest(COALESCE(ts.n_tokens, 1), 1)', 4)} AS top_token_frac,
+       {osql_round('COALESCE(bs.top_bigram_count, 0) / greatest(COALESCE(ts.n_tokens, 1) - 1, 1)', 4)} AS top_bigram_frac
+FROM documents d
+LEFT JOIN ts ON d.doc_id = ts.doc_id
+LEFT JOIN bs ON d.doc_id = bs.doc_id
+"""
+
+
+@register("curation_repetition_stats", oracle=_REP_ORACLE)
+def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-repetition features per document (distinct /
+    top-token / top-bigram fractions) — the repetition gates an LLM
+    curation pipeline thresholds on (Rae et al. 2021 §A1.1). See
+    text.analysis.word_repetition_stats for the 100 TB shape."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.word_repetition_stats(d, "doc_id", "text")
+
+
+# DuckDB twin of the deterministic PII augmentation in the query below.
+_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+_PII_IP = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+_PII_ORACLE = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS redacted_hash
+FROM aug
+"""
+
+
+@register("curation_pii_redaction", oracle=_PII_ORACLE)
+def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phones / IPv4 masked, per-pattern
+    counts). The fixture corpus contains no PII, so the query first
+    appends a DETERMINISTIC synthetic contact line per doc — the
+    operator under test is the regex chain in curation.redact_pii,
+    exercised identically on both engines; the hash pins the exact
+    redacted text."""
+    d = read_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("t"),
+    )
+    return cu.redact_pii(aug, "doc_id", "t")

@@ -80,6 +80,74 @@ def quality_features(text: Column) -> list[Column]:
     ]
 
 
+def word_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition features at word granularity: distinct-
+    token fraction, most-frequent-token fraction, most-frequent-bigram
+    fraction. High repetition flags boilerplate/spam for curation
+    filters (Rae et al. 2021 §A1.1 repetition rules; the fixture corpus
+    has no newlines, so the line/paragraph variants degenerate and the
+    word-level ones are the informative family).
+
+    Shape at 100 TB: two explode→groupBy aggregations keyed by
+    (doc, token) — partial aggregation combines map-side, the shuffle
+    key includes the doc id so no single hot key forms, and the final
+    per-doc join is between two doc-keyed aggregates that AQE plans as
+    a co-partitioned join. No UDFs, no driver state."""
+    toks = tokens_ws(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    # (t, i) -> is transform's documented (element, index) form; the
+    # bigram at slice-position i pairs token i with token i+1
+    # (element_at is 1-based, hence i + 2). Slice keeps ANSI happy.
+    bigrams = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
+    )
+    tok_stats = (
+        base.select(id_col, F.explode("toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("c").alias("top_token_count"),
+        )
+    )
+    bigram_stats = (
+        base.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    from graphragdatapipeline_spark.registry import dround
+
+    n_tok = F.greatest(F.col("n_tokens"), F.lit(1))
+    return (
+        df.select(id_col)
+        .join(tok_stats, id_col, "left")
+        .join(bigram_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_tokens"),
+            dround(F.coalesce("n_distinct_tokens", F.lit(0)) / n_tok, 4).alias(
+                "distinct_frac"
+            ),
+            dround(F.coalesce("top_token_count", F.lit(0)) / n_tok, 4).alias(
+                "top_token_frac"
+            ),
+            dround(
+                F.coalesce("top_bigram_count", F.lit(0))
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def build_inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """F14 (scalable form) — (token, doc_id, tf) posting table. A
     fulltext query becomes a semi-join against this table instead of a

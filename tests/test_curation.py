@@ -92,3 +92,53 @@ def test_hash_bucket_range(spark, sf_dir):
     b = d.select(cu.hash_bucket(F.col("doc_id")).alias("b"))
     mn, mx = b.agg(F.min("b"), F.max("b")).first()
     assert 0 <= mn and mx < 10_000
+
+
+def test_repetition_stats_invariants(spark, sf_dir):
+    from graphragdatapipeline_spark.text.analysis import word_repetition_stats
+
+    d = _docs(spark, sf_dir)
+    out = word_repetition_stats(d, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        assert 0 < r.n_distinct_tokens <= r.n_tokens
+        assert 0.0 < r.distinct_frac <= 1.0
+        # most-frequent token covers at least the mean share
+        assert r.top_token_frac >= 1.0 / r.n_distinct_tokens - 1e-4
+        assert 0.0 < r.top_bigram_frac <= 1.0
+    # hand-checked tiny doc: "a a a b" -> 4 tokens, 2 distinct,
+    # top token 3/4, top bigram "a a" 2/3
+    tiny = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    t = word_repetition_stats(tiny, "doc_id", "text").first()
+    assert (t.n_tokens, t.n_distinct_tokens) == (4, 2)
+    assert abs(t.top_token_frac - 0.75) < 1e-9
+    assert abs(t.top_bigram_frac - 0.6667) < 1e-4
+
+
+def test_redact_pii_masks_all_patterns(spark):
+    from graphragdatapipeline_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1-555-0199 or 44-123-456 today"),
+            (3, "host 192.168.0.1 and 10.0.255.3"),
+            (4, "clean text with no pii at all"),
+            (5, "combo a@b.io +1-555-0000 1.2.3.4"),
+        ],
+        "doc_id long, t string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df, "doc_id", "t").collect()}
+    assert (out[1].n_email, out[2].n_phone, out[3].n_ip) == (1, 2, 2)
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ip) == (0, 0, 0)
+    assert (out[5].n_email, out[5].n_phone, out[5].n_ip) == (1, 1, 1)
+    # redaction removed every match: counts on the redacted text are 0
+    from pyspark.sql import functions as SF
+    from graphragdatapipeline_spark.operators.curation import PII_PATTERNS
+
+    red = df.select("doc_id", "t")
+    for _, pat, repl in PII_PATTERNS:
+        red = red.withColumn("t", SF.regexp_replace("t", pat, repl))
+    for _, pat, _ in PII_PATTERNS:
+        assert red.filter(SF.regexp_count("t", SF.lit(pat)) > 0).count() == 0
