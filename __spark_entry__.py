@@ -60,6 +60,8 @@ _RANK_OVERRIDE = {
     "curation_decontaminate": 0.0,
     "curation_repetition_stats": 0.0,
     "curation_pii_redaction": 0.0,
+    "text_tfidf_top_terms": 0.0,
+    "curation_stratified_sample": 0.0,
 }
 
 

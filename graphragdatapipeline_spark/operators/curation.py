@@ -89,6 +89,31 @@ def pack_into_sequences(
     ).withColumn("seq_offset", (prefix_excl % budget).cast("long"))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample a dominant
+    language): a row survives iff its hash bucket < its stratum's
+    threshold. Thresholds are computed ONCE in Python as integers, so
+    the executed plan compares a long against a long — no per-row
+    float arithmetic to drift between engines. The rate table is a
+    handful of rows, broadcast; the filter itself is map-side only, so
+    rebalancing 100 TB is still a filter-only scan."""
+    spark = df.sparkSession
+    rate_rows = [(k, int(v * buckets)) for k, v in rates.items()]
+    thresholds = spark.createDataFrame(
+        rate_rows, f"{strata_col} string, threshold long"
+    )
+    joined = df.join(F.broadcast(thresholds), strata_col, "left")
+    thr = F.coalesce("threshold", F.lit(int(default_rate * buckets)))
+    return joined.filter(hash_bucket(F.col(key), buckets) < thr).drop("threshold")
+
+
 # (label, pattern, replacement). Patterns stick to syntax with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
 # character classes, bounded repetition, \b, non-capturing groups.

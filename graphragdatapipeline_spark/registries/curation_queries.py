@@ -200,3 +200,23 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return cu.redact_pii(aug, "doc_id", "t")
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_BUCKET_SQL} < CASE lang WHEN 'en' THEN 2000 ELSE 5000 END
+""",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: keep 20% of the dominant 'en'
+    stratum and 50% of every other language. Integer bucket thresholds
+    via a broadcast rate table — map-side only at any scale (see
+    curation.stratified_sample)."""
+    d = read_table(spark, sf_dir, "documents")
+    rates = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    return cu.stratified_sample(d, "doc_id", "lang", rates, default_rate=0.5).select(
+        "doc_id", "lang"
+    )

@@ -279,3 +279,34 @@ def text_normalize_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", normalize_text_nfkc(F.col("text")).alias("normalized"))
+
+
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf / dfreq.df DESC, tf.term ASC) AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("text_tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf-idf order (tf/df desc,
+    term asc). Integer (tf, df) output keeps the compare float-free;
+    see text.analysis.tfidf_top_terms for the 100 TB join shape."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.tfidf_top_terms(d, "doc_id", "text", k=3)

@@ -160,6 +160,48 @@ def build_inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k most characteristic terms per document by tf-idf ORDER
+    (tf/df descending, term ascending). Emits the integer (tf, df)
+    pair instead of a float score: tf/df is a single IEEE division —
+    exactly rounded and bit-identical on every engine — whereas ln()
+    implementations differ in the last ulp across libms, which would
+    make a tf·idf float engine-dependent at tie boundaries.
+
+    Shape at 100 TB: the posting table shuffles on (token, doc) — doc
+    id in the key kills token hot spots; the df table is one row per
+    distinct token, so broadcasting it joins document-frequency onto
+    postings WITHOUT shuffling the posting table on token alone (which
+    would send every "the" posting to one partition). For vocabularies
+    past the broadcast threshold, drop the hint and AQE's skew-join
+    splits the hot tokens. The final top-k is a WindowGroupLimit per
+    doc, not a global sort."""
+    from pyspark.sql import Window
+
+    index = build_inverted_index(df, id_col, text_col)
+    dfreq = index.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = index.join(F.broadcast(dfreq), "token")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy((F.col("tf") / F.col("df")).desc(), F.col("token").asc())
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("token").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def fulltext_lookup(index: DataFrame, terms: list[str], id_col: str = "doc_id") -> DataFrame:
     """AND-semantics fulltext query over the inverted index."""
     hits = index.filter(F.col("token").isin(*[t.lower() for t in terms]))

@@ -142,3 +142,50 @@ def test_redact_pii_masks_all_patterns(spark):
         red = red.withColumn("t", SF.regexp_replace("t", pat, repl))
     for _, pat, _ in PII_PATTERNS:
         assert red.filter(SF.regexp_count("t", SF.lit(pat)) > 0).count() == 0
+
+
+def test_stratified_sample_rates_and_stability(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    rates = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    s = cu.stratified_sample(d, "doc_id", "lang", rates, default_rate=0.5)
+    tot = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    kept = {r.lang: r["count"] for r in s.groupBy("lang").count().collect()}
+    # en downsampled well below the others' rate
+    assert kept["en"] / tot["en"] < 0.35
+    for lang in ("de", "es", "fr", "zh"):
+        assert 0.3 < kept.get(lang, 0) / tot[lang] < 0.7
+    # partitioning-invariant membership
+    a = {r.doc_id for r in s.select("doc_id").collect()}
+    s2 = cu.stratified_sample(d.repartition(13), "doc_id", "lang", rates, 0.5)
+    assert a == {r.doc_id for r in s2.select("doc_id").collect()}
+    # a stratum's sample nests inside the plain sample at the same rate
+    plain = {
+        r.doc_id
+        for r in cu.deterministic_sample(d, "doc_id", 0.5).collect()
+    }
+    non_en = {r.doc_id for r in s.filter("lang <> 'en'").collect()}
+    assert non_en <= plain
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    from graphragdatapipeline_spark.text.analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df) for r in out.collect()
+    }
+    # df: apple 1, banana 2, cherry 2, date 1
+    assert got[(1, 1)] == ("apple", 2, 1)   # 2/1 beats 1/2
+    assert got[(1, 2)] == ("banana", 1, 2)
+    assert got[(2, 1)] == ("banana", 1, 2)  # tie 0.5 -> term asc
+    assert got[(2, 2)] == ("cherry", 1, 2)
+    assert got[(3, 1)] == ("cherry", 3, 2)  # 1.5 beats date 1/1
+    assert got[(3, 2)] == ("date", 1, 1)
