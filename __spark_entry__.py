@@ -62,6 +62,7 @@ _RANK_OVERRIDE = {
     "curation_pii_redaction": 0.0,
     "text_tfidf_top_terms": 0.0,
     "curation_stratified_sample": 0.0,
+    "curation_quality_filter": 0.0,
 }
 
 

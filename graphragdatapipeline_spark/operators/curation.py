@@ -89,6 +89,43 @@ def pack_into_sequences(
     ).withColumn("seq_offset", (prefix_excl % budget).cast("long"))
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 30,
+    max_mean_word_len: float = 5.0,
+    min_stopword_ratio: float = 0.02,
+) -> DataFrame:
+    """Gopher-style composite quality gate: keep a document iff it
+    passes every rule; emit the failed rule names so curation runs are
+    auditable (which gate dropped how much is the first question every
+    corpus-ablation asks). All features are integer counts divided
+    once — IEEE-exact on every engine — and the whole operator is a
+    map-side projection + filter expression: no shuffle at any scale.
+    Thresholds are Gopher-flavored defaults (Rae et al. 2021 §A1.1)
+    tuned to the fixture's synthetic corpus so the gate is non-vacuous.
+    """
+    from graphragdatapipeline_spark.text.analysis import quality_features
+
+    feats = df.select(F.col(id_col), *quality_features(F.col(text_col)))
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("long_words", F.col("mean_word_len") > max_mean_word_len),
+        ("low_stopword", F.col("stopword_ratio") < min_stopword_ratio),
+    ]
+    failed = F.filter(
+        F.array(*[F.when(cond, name) for name, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return feats.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.size(failed) == 0).alias("keep"),
+        F.array_join(failed, ",").alias("fail_reasons"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key: str,

@@ -220,3 +220,41 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.stratified_sample(d, "doc_id", "lang", rates, default_rate=0.5).select(
         "doc_id", "lang"
     )
+
+
+_QF_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+      AS n_tokens,
+    length(regexp_replace(text, '\s', '', 'g')) /
+      greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '')), 1) AS mean_word_len,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['the','a','and','of','to','in','is'], x))) /
+      greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '')), 1) AS stopword_ratio
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         list_filter([
+           CASE WHEN n_tokens < 30 THEN 'too_short' END,
+           CASE WHEN mean_word_len > 5.0 THEN 'long_words' END,
+           CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END
+         ], x -> x IS NOT NULL) AS failed
+  FROM f
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       len(failed) = 0 AS keep,
+       COALESCE(array_to_string(failed, ','), '') AS fail_reasons
+FROM r
+"""
+
+
+@register("curation_quality_filter", oracle=_QF_ORACLE)
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate with per-rule audit trail
+    (see curation.quality_filter). Map-side only; the three rules each
+    drop a non-trivial minority of the fixture corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    return cu.quality_filter(d, "doc_id", "text")

@@ -189,3 +189,21 @@ def test_tfidf_top_terms_hand_checked(spark):
     assert got[(2, 2)] == ("cherry", 1, 2)
     assert got[(3, 1)] == ("cherry", 3, 2)  # 1.5 beats date 1/1
     assert got[(3, 2)] == ("date", 1, 1)
+
+
+def test_quality_filter_rules_and_audit_trail(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = cu.quality_filter(d, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == d.count()
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    # non-vacuous: both sides populated
+    assert kept and dropped
+    # audit trail consistent with the verdict
+    for r in rows:
+        assert r.keep == (r.fail_reasons == "")
+    # every short doc carries the too_short reason
+    for r in rows:
+        if r.n_tokens < 30:
+            assert "too_short" in r.fail_reasons
