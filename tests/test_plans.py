@@ -145,3 +145,28 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in salted.select(*plain.columns).collect()}
     assert a == b
+
+
+def test_tfidf_broadcasts_df_table_and_group_limits(spark, sf_dir):
+    """The df-count join must be broadcast (shuffling postings on
+    token alone would hot-spot stopwords) and the per-doc top-k must
+    be a WindowGroupLimit, not a full sort."""
+    plan = _plan(spark, "text_tfidf_top_terms", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_map_side_curation_ops_have_no_shuffle(spark, sf_dir):
+    """PII redaction and the quality gate are pure map expressions —
+    any Exchange in their plans is a regression. The stratified sample
+    may only exchange for the broadcast of the threshold table."""
+    for name in ("curation_pii_redaction", "curation_quality_filter"):
+        plan = _plan(spark, name, sf_dir)
+        assert "Exchange" not in plan, name
+    plan = _plan(spark, "curation_stratified_sample", sf_dir)
+    import re
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert non_broadcast == []
