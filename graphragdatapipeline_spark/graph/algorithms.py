@@ -136,16 +136,36 @@ def label_propagation(
     # Partition the (big) edge table by the join key ONCE — every
     # iteration's join then shuffles only the (small) label table.
     # localCheckpoint preserves the physical partitioning.
+    # Partition count pinned to cluster parallelism, NOT the session's
+    # shuffle.partitions: under an untuned session (200 default) every
+    # localCheckpoint would write 200 tiny files per iteration, and the
+    # accumulated open block files can exhaust the process FD limit
+    # before the fixture-scale run finishes.
+    par = max(edges.sparkSession.sparkContext.defaultParallelism, 2)
     sym = (
         sym.filter(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition("dst")
+        .repartition(par, "dst")
         .localCheckpoint(eager=True)
     )
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id")).distinct()
-    labels = ids.withColumn("community", F.xxhash64(F.col("id"), F.lit(seed))).localCheckpoint(
+    # Engine-portable seeded init: first 15 md5 nibbles of "id:seed"
+    # as a positive 60-bit long. (xxhash64 would be marginally cheaper
+    # but is Spark-specific; md5 exists everywhere, which lets the
+    # whole LPA ladder be value-oracled by a SQL replay in DuckDB, and
+    # the init runs once per vertex.)
+    init = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("id").cast("string"), F.lit(str(seed)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    labels = ids.withColumn("community", init).repartition(par, "id").localCheckpoint(
         eager=True
     )
     for _ in range(max_iter):
@@ -169,6 +189,7 @@ def label_propagation(
             .select(
                 "id", F.coalesce("new_community", F.col("community")).alias("community")
             )
+            .coalesce(par)
             .localCheckpoint(eager=True)
         )
     return labels

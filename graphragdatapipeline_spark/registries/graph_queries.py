@@ -148,11 +148,98 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_detect_communities", oracle=None)
+def _lpa_sql(parts: list[str], p: str, raw_edges: str, iters: int, seed: int,
+             ids_extra: str | None = None) -> str:
+    """Append the CTEs for one unrolled label-propagation run (same
+    superstep-per-CTE scheme as _pagerank_oracle) and return the name
+    of the final label CTE. Tie-break parity: the engine's
+    max_by(community, struct(votes, ~community)) is exactly
+    ORDER BY votes DESC, community ASC."""
+    parts.append(
+        f"{p}sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM {raw_edges} WHERE src <> dst "
+        f"UNION ALL SELECT dst AS src, src AS dst FROM {raw_edges} WHERE src <> dst))"
+    )
+    ids = f"SELECT DISTINCT src AS id FROM {p}sym"
+    if ids_extra:
+        ids = f"SELECT DISTINCT id FROM ({ids} UNION ALL {ids_extra})"
+    parts.append(f"{p}ids AS MATERIALIZED ({ids})")
+    init = f"('0x' || substr(md5(CAST(id AS VARCHAR) || ':{seed}'), 1, 15))::BIGINT"
+    parts.append(f"{p}s0 AS MATERIALIZED (SELECT id, {init} AS community FROM {p}ids)")
+    for i in range(iters):
+        prev, nxt = f"{p}s{i}", f"{p}s{i + 1}"
+        parts.append(
+            f"{p}w{i} AS MATERIALIZED (SELECT id, community AS nc FROM ("
+            f"SELECT e.src AS id, l.community, count(*) AS votes "
+            f"FROM {p}sym e JOIN {prev} l ON e.dst = l.id GROUP BY 1, 2) "
+            f"QUALIFY row_number() OVER (PARTITION BY id "
+            f"ORDER BY votes DESC, community ASC) = 1)"
+        )
+        parts.append(
+            f"{nxt} AS MATERIALIZED (SELECT l.id, COALESCE(w.nc, l.community) AS community "
+            f"FROM {prev} l LEFT JOIN {p}w{i} w USING (id))"
+        )
+    return f"{p}s{iters}"
+
+
+def _detect_communities_oracle(iters=(2, 3, 4), seed: int = 42) -> str:
+    """Full SQL replay of the 3-level detect_communities ladder:
+    LPA(L0) on the fixture graph, contract, LPA(L1) on the community
+    graph, contract, LPA(L2); then the per-level distinct counts. The
+    engine's seeded init (first 15 md5 nibbles of "id:seed") is
+    engine-portable by construction, which is what makes this exact
+    replay possible."""
+    parts = [
+        "dedges AS MATERIALIZED ("
+        "SELECT concat('C', c_custkey) AS src, concat('N', c_nationkey) AS dst FROM customer "
+        "UNION ALL SELECT concat('S', s_suppkey), concat('N', s_nationkey) FROM supplier "
+        "UNION ALL SELECT concat('N', n_nationkey), concat('R', n_regionkey) FROM nation)",
+        "allverts AS MATERIALIZED ("
+        "SELECT concat('C', c_custkey) AS id FROM customer "
+        "UNION ALL SELECT concat('S', s_suppkey) FROM supplier "
+        "UNION ALL SELECT concat('N', n_nationkey) FROM nation "
+        "UNION ALL SELECT concat('R', r_regionkey) FROM region)",
+    ]
+    l0 = _lpa_sql(parts, "a", "dedges", iters[0], seed,
+                  ids_extra="SELECT id FROM allverts")
+    parts.append(
+        f"g1 AS MATERIALIZED (SELECT DISTINCT x.community AS src, y.community AS dst "
+        f"FROM dedges e JOIN {l0} x ON e.src = x.id JOIN {l0} y ON e.dst = y.id "
+        f"WHERE x.community <> y.community)"
+    )
+    l1s = _lpa_sql(parts, "b", "g1", iters[1], seed + 1)
+    parts.append(
+        f"m1 AS MATERIALIZED (SELECT l.id, l.community AS c0, "
+        f"COALESCE(s.community, l.community) AS c1 "
+        f"FROM {l0} l LEFT JOIN {l1s} s ON l.community = s.id)"
+    )
+    parts.append(
+        "g2 AS MATERIALIZED (SELECT DISTINCT x.c1 AS src, y.c1 AS dst "
+        "FROM dedges e JOIN m1 x ON e.src = x.id JOIN m1 y ON e.dst = y.id "
+        "WHERE x.c1 <> y.c1)"
+    )
+    l2s = _lpa_sql(parts, "c", "g2", iters[2], seed + 2)
+    parts.append(
+        f"m2 AS MATERIALIZED (SELECT m.id, m.c0, m.c1, COALESCE(s.community, m.c1) AS c2 "
+        f"FROM m1 m LEFT JOIN {l2s} s ON m.c1 = s.id)"
+    )
+    sep = ",\n"
+    return (
+        f"WITH {sep.join(parts)}\n"
+        "SELECT CAST(count(DISTINCT c0) AS BIGINT) AS n_l0, "
+        "CAST(count(DISTINCT c1) AS BIGINT) AS n_l1, "
+        "CAST(count(DISTINCT c2) AS BIGINT) AS n_l2, "
+        "CAST(count(*) AS BIGINT) AS n_vertices FROM m2"
+    )
+
+
+@register("graph_detect_communities", oracle=_detect_communities_oracle())
 def graph_detect_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — 3-level community hierarchy (deterministic LPA ladder,
     contract of reference detect_communities.py:218-246). Emits
-    communities-per-level counts (seeded → stable)."""
+    communities-per-level counts (seeded → stable). Value-oracled by a
+    full unrolled SQL replay of the ladder (portable md5 seeded init —
+    see graph.algorithms.label_propagation)."""
     g = build_tpch_graph(spark, sf_dir)
     assign = ga.detect_communities(g.vertices, g.edges, seed=42)
     return assign.agg(
