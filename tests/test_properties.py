@@ -167,3 +167,87 @@ def test_range_join_clamp_never_changes_result(spark):
         .n
     )
     assert n_buckets <= 12
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000_000), st.sampled_from(["a", "b", "c"]),
+                  st.integers(1, 500)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(1, 800),
+)
+@SET
+def test_pack_into_sequences_matches_reference(spark, rows, budget):
+    """Offset packing == Python running-sum replay for any shard mix,
+    budget, and weight distribution (incl. weights > budget)."""
+    from graphragdatapipeline_spark.operators.curation import pack_into_sequences
+
+    df = spark.createDataFrame(rows, "doc_id LONG, shard STRING, w LONG")
+    got = {
+        r.doc_id: (r.seq_index, r.seq_offset)
+        for r in pack_into_sequences(df, "shard", ["doc_id"], "w", budget).collect()
+    }
+    expect = {}
+    for shard in {s for _, s, _ in rows}:
+        prefix = 0
+        for doc_id, _, w in sorted((t for t in rows if t[1] == shard)):
+            expect[doc_id] = (prefix // budget, prefix % budget)
+            prefix += w
+    assert got == expect
+
+
+@given(
+    keys=st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=50, unique=True),
+    rate_pct=st.integers(0, 100),
+)
+@SET
+def test_deterministic_sample_matches_reference(spark, keys, rate_pct):
+    """Hash-bucket sampling == Python md5 replay at any rate, incl.
+    0% and 100%, for negative and huge keys."""
+    import hashlib
+
+    from graphragdatapipeline_spark.operators.curation import deterministic_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    got = {r.k for r in deterministic_sample(df, "k", rate_pct / 100).collect()}
+    thr = int(rate_pct / 100 * 10_000)
+    expect = {
+        k for k in keys
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 10_000 < thr
+    }
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["x", "yy", "zzz", "w"]), min_size=1, max_size=12)
+        .map(" ".join),
+        min_size=1, max_size=10,
+    )
+)
+@SET
+def test_word_repetition_stats_match_reference(spark, texts):
+    """Repetition fractions == Python Counter replay (4-decimal
+    portable rounding applied on both sides)."""
+    import math
+    from collections import Counter
+
+    from graphragdatapipeline_spark.text.analysis import word_repetition_stats
+
+    def r4(x):
+        return math.floor(x * 10_000 + 0.5) / 10_000
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in word_repetition_stats(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        tc = Counter(toks)
+        bg = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        g = got[i]
+        assert g.n_tokens == len(toks)
+        assert g.n_distinct_tokens == len(tc)
+        assert g.distinct_frac == r4(len(tc) / len(toks))
+        assert g.top_token_frac == r4(max(tc.values()) / len(toks))
+        top_bg = max(bg.values()) if bg else 0
+        assert g.top_bigram_frac == r4(top_bg / max(len(toks) - 1, 1))
