@@ -108,3 +108,35 @@ def test_pipeline_stage_with_empty_output(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "wh" / "out"))
     assert got.count() == 0
     assert got.columns == ["id"]
+
+
+def test_curation_ops_on_empty_and_singleton_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators import curation as cu
+    from graphragdatapipeline_spark.text.analysis import (
+        tfidf_top_terms,
+        word_repetition_stats,
+    )
+
+    empty = spark.createDataFrame([], "doc_id LONG, lang STRING, text STRING, w LONG")
+    one = spark.createDataFrame([(1, "en", "solo", 7)], "doc_id LONG, lang STRING, text STRING, w LONG")
+
+    assert cu.deterministic_sample(empty, "doc_id", 0.5).count() == 0
+    assert cu.train_test_split(empty, "doc_id").count() == 0
+    assert cu.pack_into_sequences(empty, "lang", ["doc_id"], "w", 100).count() == 0
+    assert cu.stratified_sample(empty, "doc_id", "lang", {"en": 1.0}).count() == 0
+    assert cu.quality_filter(empty, "doc_id", "text").count() == 0
+    assert cu.redact_pii(empty, "doc_id", "text").count() == 0
+    assert word_repetition_stats(empty, "doc_id", "text").count() == 0
+    assert tfidf_top_terms(empty, "doc_id", "text").count() == 0
+    # decontamination against an empty benchmark flags nothing
+    out = cu.decontaminate(one, empty, "doc_id", "text").collect()
+    assert len(out) == 1 and not out[0].contaminated
+
+    p = cu.pack_into_sequences(one, "lang", ["doc_id"], "w", 100).first()
+    assert (p.seq_index, p.seq_offset) == (0, 0)
+    t = tfidf_top_terms(one, "doc_id", "text").collect()
+    assert [(r.term, r.tf, r.df, r.rank) for r in t] == [("solo", 1, 1, 1)]
+    r = word_repetition_stats(one, "doc_id", "text").first()
+    assert (r.n_tokens, r.top_bigram_frac) == (1, 0.0)
