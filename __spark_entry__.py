@@ -63,6 +63,7 @@ _RANK_OVERRIDE = {
     "text_tfidf_top_terms": 0.0,
     "curation_stratified_sample": 0.0,
     "curation_quality_filter": 0.0,
+    "curation_sample_per_group": 0.0,
 }
 
 

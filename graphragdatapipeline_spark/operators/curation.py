@@ -89,6 +89,32 @@ def pack_into_sequences(
     ).withColumn("seq_offset", (prefix_excl % budget).cast("long"))
 
 
+def sample_per_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Deterministic k-per-group sample (the distributed, reproducible
+    stand-in for reservoir sampling): rank rows inside each group by
+    (md5 hash bucket, key) and keep the first k. Hash order makes the
+    pick uniform-ish yet a pure row property — same k rows on every
+    run, partitioning, and engine. The rank<=k filter compiles to a
+    WindowGroupLimit (plan-pinned), so each group keeps k rows during
+    the shuffle instead of sorting whole groups."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key), buckets), F.col(key)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,

@@ -258,3 +258,20 @@ def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop a non-trivial minority of the fixture corpus."""
     d = read_table(spark, sf_dir, "documents")
     return cu.quality_filter(d, "doc_id", "text")
+
+
+@register(
+    "curation_sample_per_group",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY {_BUCKET_SQL}, doc_id) <= 3
+""",
+)
+def curation_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-docs-per-language inspection sample (see
+    curation.sample_per_group — reproducible reservoir-sampling
+    stand-in, WindowGroupLimit shape)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cu.sample_per_group(d, "doc_id", "lang", k=3)

@@ -207,3 +207,19 @@ def test_quality_filter_rules_and_audit_trail(spark, sf_dir):
     for r in rows:
         if r.n_tokens < 30:
             assert "too_short" in r.fail_reasons
+
+
+def test_sample_per_group_deterministic_and_bounded(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = cu.sample_per_group(d, "doc_id", "lang", k=3)
+    rows = s.collect()
+    per = {}
+    for r in rows:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    assert all(n <= 3 for n in per.values()) and len(per) == 5
+    # run-to-run and partitioning-invariant
+    s2 = cu.sample_per_group(d.repartition(17), "doc_id", "lang", k=3)
+    assert {r.doc_id for r in rows} == {r.doc_id for r in s2.collect()}
+    # nested: the k=1 pick is a subset of the k=3 pick
+    s1 = cu.sample_per_group(d, "doc_id", "lang", k=1)
+    assert {r.doc_id for r in s1.collect()} <= {r.doc_id for r in rows}

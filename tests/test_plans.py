@@ -163,6 +163,8 @@ def test_map_side_curation_ops_have_no_shuffle(spark, sf_dir):
     for name in ("curation_pii_redaction", "curation_quality_filter"):
         plan = _plan(spark, name, sf_dir)
         assert "Exchange" not in plan, name
+    plan = _plan(spark, "curation_sample_per_group", sf_dir)
+    assert "WindowGroupLimit" in plan
     plan = _plan(spark, "curation_stratified_sample", sf_dir)
     import re
     non_broadcast = [
