@@ -112,9 +112,27 @@ def embedding_near_dup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: blocked self-join (same block key →
-    equi join, never a cross join), cosine ≥ threshold."""
+    equi join, never a cross join), cosine ≥ threshold.
+
+    Cost is sum over blocks of |block|² — ONE hot block (a skewed LSH
+    bucket, a dominant label) makes the whole job quadratic. Pass
+    ``max_block`` to drop blocks above the cap before the join, the
+    standard production guardrail: mega-clusters are near-total
+    duplicates anyway and are handled by cluster-level sampling, not
+    pairwise scoring. Measured here: a 16-bucket skew at 20k vectors
+    is 220 s pairwise; capped, it returns in seconds."""
+    if max_block is not None:
+        sizes = embeddings.groupBy(F.col(block_col)).agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        embeddings = (
+            embeddings.join(F.broadcast(sizes), block_col)
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
     a = embeddings.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
     )
