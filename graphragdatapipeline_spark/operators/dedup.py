@@ -175,11 +175,29 @@ def lsh_bands(
     return out
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct (a < b) pairs sharing ≥1 band bucket. The join key
     (band_idx, band_hash) bounds each bucket to near-duplicates, so
-    the self-join is linear-ish in practice; a salted variant applies
-    if a pathological bucket appears (all-identical corpora)."""
+    the self-join is linear-ish in practice.
+
+    Bucket cost is quadratic in bucket size, so a pathological bucket
+    (boilerplate that hashes every band identically across millions of
+    docs) would dominate the job. ``max_bucket`` is the production
+    guardrail: buckets above the cap are excluded from pairwise
+    candidate generation — a mega-bucket IS a duplicate cluster
+    already and is resolved by keeping one representative per bucket,
+    not by scoring O(n²) pairs inside it."""
+    if max_bucket is not None:
+        sizes = bands_df.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands_df = (
+            bands_df.join(sizes, ["band_idx", "band_hash"])
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = bands_df.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("a")
     )
