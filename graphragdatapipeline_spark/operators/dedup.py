@@ -297,11 +297,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return voted.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
-def simhash_near_dups(fps: DataFrame, id_col: str, max_hamming: int = 2, bits: int = 16) -> DataFrame:
+def simhash_near_dups(
+    fps: DataFrame,
+    id_col: str,
+    max_hamming: int = 2,
+    bits: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash fingerprints.
     Bucketing: split the fingerprint into (max_hamming+1) segments —
     by pigeonhole, any pair within max_hamming agrees on ≥1 segment —
-    then verify with bit_count inside buckets only."""
+    then verify with bit_count inside buckets only. ``max_bucket``
+    caps segment-bucket size before the self-join, same mega-cluster
+    guardrail as lsh_candidate_pairs."""
     segs = max_hamming + 1
     seg_bits = bits // segs
     parts = []
@@ -315,6 +323,15 @@ def simhash_near_dups(fps: DataFrame, id_col: str, max_hamming: int = 2, bits: i
     bucketed = parts[0]
     for p in parts[1:]:
         bucketed = bucketed.unionByName(p)
+    if max_bucket is not None:
+        sizes = bucketed.groupBy("seg_idx", "seg").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bucketed = (
+            bucketed.join(sizes, ["seg_idx", "seg"])
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = bucketed.select("seg_idx", "seg", F.col(id_col).alias("a"), F.col("simhash").alias("fa"))
     b = bucketed.select("seg_idx", "seg", F.col(id_col).alias("b"), F.col("simhash").alias("fb"))
     pairs = (

@@ -14,3 +14,16 @@ def test_lsh_candidate_pairs_max_bucket_guardrail(spark):
     assert full == 30 * 29 // 2 + 1
     capped = dd.lsh_candidate_pairs(bands, "doc_id", max_bucket=10).collect()
     assert {(r.a, r.b) for r in capped} == {(100, 101)}
+
+
+def test_simhash_near_dups_max_bucket_guardrail(spark):
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    # 12 identical fingerprints (mega-cluster) + one close pair
+    rows = [(i, 0b1010101010101010) for i in range(12)]
+    rows += [(100, 0b1111000011110000), (101, 0b1111000011110001)]
+    fps = spark.createDataFrame(rows, "doc_id LONG, simhash LONG")
+    full = dd.simhash_near_dups(fps, "doc_id").count()
+    assert full == 12 * 11 // 2 + 1
+    capped = dd.simhash_near_dups(fps, "doc_id", max_bucket=5).collect()
+    assert {(r.a, r.b) for r in capped} == {(100, 101)}
