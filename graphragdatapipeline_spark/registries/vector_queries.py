@@ -245,3 +245,33 @@ def vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+@register(
+    "vector_near_dup_corpus",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+)
+SELECT e.label, count(*) AS n_kept
+FROM embeddings e
+LEFT JOIN (SELECT DISTINCT b FROM pairs) d ON e.vec_id = d.b
+WHERE d.b IS NULL
+GROUP BY e.label
+""",
+)
+def vector_near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup: near-dup pairs → cleaned corpus
+    (min-id representative per duplicate group via dedup_corpus's
+    anti-join drop rule), per-label survivor counts. Same composition
+    as dedup_corpus_minhash but over the vector modality."""
+    from graphragdatapipeline_spark.operators.dedup import dedup_corpus
+
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = vs.embedding_near_dup_pairs(e, threshold=0.3, block_col="label")
+    cleaned = dedup_corpus(e, pairs, id_col="vec_id")
+    return cleaned.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
