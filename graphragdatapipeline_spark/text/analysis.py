@@ -98,35 +98,35 @@ def word_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFram
     # (t, i) -> is transform's documented (element, index) form; the
     # bigram at slice-position i pairs token i with token i+1
     # (element_at is 1-based, hence i + 2). Slice keeps ANSI happy.
-    bigrams = F.expr(
-        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
-        " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
+    # Tokens and bigrams ride ONE explode as tagged structs — a second
+    # explode would re-scan the corpus, and at 100 TB the scan is the
+    # dominant cost. Two shuffles total: (doc, kind, gram) then (doc).
+    grams = F.expr(
+        "concat("
+        " transform(toks, t -> struct('t' AS kind, t AS gram)),"
+        " transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        "  (t, i) -> struct('b' AS kind, concat(t, ' ', element_at(toks, i + 2)) AS gram)))"
     )
-    tok_stats = (
-        base.select(id_col, F.explode("toks").alias("tok"))
-        .groupBy(id_col, "tok")
+    is_tok = F.col("kind") == "t"
+    stats = (
+        base.select(id_col, F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+        .groupBy(id_col, "kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
         .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct_tokens"),
-            F.max("c").alias("top_token_count"),
+            F.sum(F.when(is_tok, F.col("c")).otherwise(0)).alias("n_tokens"),
+            F.count(F.when(is_tok, 1)).alias("n_distinct_tokens"),
+            F.max(F.when(is_tok, F.col("c"))).alias("top_token_count"),
+            F.max(F.when(~is_tok, F.col("c"))).alias("top_bigram_count"),
         )
-    )
-    bigram_stats = (
-        base.select(id_col, F.explode(bigrams).alias("bg"))
-        .groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_bigram_count"))
     )
     from graphragdatapipeline_spark.registry import dround
 
     n_tok = F.greatest(F.col("n_tokens"), F.lit(1))
     return (
         df.select(id_col)
-        .join(tok_stats, id_col, "left")
-        .join(bigram_stats, id_col, "left")
+        .join(stats, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
