@@ -161,7 +161,11 @@ def build_inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    reuse_postings: bool = False,
 ) -> DataFrame:
     """Top-k most characteristic terms per document by tf-idf ORDER
     (tf/df descending, term ascending). Emits the integer (tf, df)
@@ -181,6 +185,17 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     index = build_inverted_index(df, id_col, text_col)
+    if reuse_postings:
+        # The posting table feeds BOTH the df count and the join; lazy
+        # evaluation rebuilds it (re-scan, re-explode, re-shuffle) once
+        # per branch. A lazy checkpoint materializes it on the first
+        # (broadcast) job and the join stage reuses the blocks.
+        # Measured at fixture scale the recompute is CHEAPER (0.96 s vs
+        # 1.11 s at 5k docs, 1.39 s vs 1.53 s at 50k) because a local
+        # parquet scan outruns checkpoint block I/O — hence default
+        # False. Turn it on when the scan+tokenize is the expensive
+        # part (object-store reads, 100 TB corpora, heavy normalizers).
+        index = index.localCheckpoint(eager=False)
     dfreq = index.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
