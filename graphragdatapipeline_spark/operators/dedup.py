@@ -320,13 +320,21 @@ def simhash_near_dups(
     max_hamming: int = 2,
     bits: int = 16,
     max_bucket: int | None = None,
+    reuse_fps: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash fingerprints.
     Bucketing: split the fingerprint into (max_hamming+1) segments —
     by pigeonhole, any pair within max_hamming agrees on ≥1 segment —
     then verify with bit_count inside buckets only. ``max_bucket``
     caps segment-bucket size before the self-join, same mega-cluster
-    guardrail as lsh_candidate_pairs."""
+    guardrail as lsh_candidate_pairs.
+
+    The fingerprint table fans out into (max_hamming+1) segment
+    projections × 2 join sides — recomputing the bit-vote aggregation
+    per branch. The lazy checkpoint computes it once (measured sf0.1:
+    2.46 s → 1.64 s)."""
+    if reuse_fps:
+        fps = fps.localCheckpoint(eager=False)
     segs = max_hamming + 1
     seg_bits = bits // segs
     parts = []
