@@ -171,3 +171,31 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, events_stream_dir, tmp_p
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_streaming_curation_gate_equals_batch(spark, sf_dir, tmp_path):
+    """The curation layer runs incrementally unchanged: quality gate +
+    split stamping are stateless column expressions, so readStream →
+    gate → split must equal the batch pass over the same files."""
+    from graphragdatapipeline_spark.operators import curation as cu
+
+    base = str(tmp_path / "docs_in")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.repartition(3).write.mode("overwrite").parquet(base)
+
+    def pipeline(df):
+        gated = cu.quality_filter(df, "doc_id", "text").filter("keep")
+        ids = df.select("doc_id", "text")
+        kept = ids.join(gated.select("doc_id"), "doc_id")
+        return cu.train_test_split(kept, "doc_id", test_rate=0.1).select(
+            "doc_id", "split"
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(base)
+    got = _run_stream_to_memory(
+        spark, pipeline(stream), "curation_mem", str(tmp_path)
+    )
+    batch = pipeline(spark.read.parquet(base))
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
