@@ -287,3 +287,68 @@ def range_join_buckets(
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("_bucket")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed step 1, then
+    step 2 strictly after it, then step 3 after that, ... Standard
+    product-analytics shape (view -> click -> purchase) the reference's
+    batch stack has no operator for.
+
+    Semantics: a user reaches step i+1 iff they have a `steps[i+1]`
+    event with ts strictly greater than their EARLIEST qualifying ts
+    for step i (min-ts greedy matching — deterministic, and the
+    standard funnel definition; strictly-after means same-timestamp
+    events do not satisfy ordering). ``max_gap_seconds`` additionally
+    requires each step within that window of the previous one — the
+    conversion-window form every funnel dashboard uses.
+
+    Scale shape: one user-keyed aggregation per step over a
+    monotonically shrinking frontier — each iteration filters the raw
+    events to one type (predicate pushdown to the scan), joins the
+    (user, ts) frontier on the user key, and min-aggregates. len(steps)
+    is small and static, so the plan is a fixed chain, not a loop; no
+    window over all events, no per-user sort.
+
+    Each frontier feeds BOTH its stage count and the next stage's join,
+    so it is lazily checkpointed (the branch-reuse rule, SCALE.md) —
+    coalesced to cluster parallelism first so an untuned session does
+    not write 200 block files per stage."""
+    par = max(events.sparkSession.sparkContext.defaultParallelism, 2)
+    frontier = None
+    out_rows = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if frontier is None:
+            frontier = ev.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            joined = ev.join(
+                frontier.select("u", F.col("t").alias("prev_t")), "u"
+            ).filter(F.col("t") > F.col("prev_t"))
+            if max_gap_seconds is not None:
+                joined = joined.filter(
+                    F.col("t")
+                    <= F.col("prev_t") + F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
+                )
+            frontier = joined.groupBy("u").agg(F.min("t").alias("t"))
+        frontier = frontier.coalesce(par).localCheckpoint(eager=False)
+        out_rows.append(
+            frontier.agg(
+                F.lit(step).alias("stage"),
+                F.lit(i + 1).cast("long").alias("stage_idx"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = out_rows[0]
+    for nxt in out_rows[1:]:
+        out = out.unionByName(nxt)
+    return out

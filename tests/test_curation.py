@@ -223,3 +223,29 @@ def test_sample_per_group_deterministic_and_bounded(spark, sf_dir):
     # nested: the k=1 pick is a subset of the k=3 pick
     s1 = cu.sample_per_group(d, "doc_id", "lang", k=1)
     assert {r.doc_id for r in s1.collect()} <= {r.doc_id for r in rows}
+
+
+def test_funnel_counts_hand_checked(spark):
+    from datetime import datetime
+
+    from graphragdatapipeline_spark.operators.relational import funnel_counts
+
+    T = datetime
+    rows = [
+        # u1 completes in order: view@1h, click@2h, buy@3h
+        (1, T(2024, 1, 1, 1), "view"), (1, T(2024, 1, 1, 2), "click"),
+        (1, T(2024, 1, 1, 3), "purchase"),
+        # u2 clicks BEFORE first view -> stops at view
+        (2, T(2024, 1, 1, 2), "view"), (2, T(2024, 1, 1, 1), "click"),
+        # u3 same-ts click (not strictly after) -> stops at view
+        (3, T(2024, 1, 1, 1), "view"), (3, T(2024, 1, 1, 1), "click"),
+        # u4 converts but outside the 24h window -> stops at view
+        (4, T(2024, 1, 1, 1), "view"), (4, T(2024, 1, 3, 1), "click"),
+        # u5 never views -> in no stage
+        (5, T(2024, 1, 1, 1), "click"), (5, T(2024, 1, 1, 2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, event_type STRING")
+    out = {r.stage: r.n_users for r in funnel_counts(
+        ev, ["view", "click", "purchase"], max_gap_seconds=24 * 3600
+    ).collect()}
+    assert out == {"view": 4, "click": 1, "purchase": 1}
