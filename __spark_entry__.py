@@ -66,6 +66,7 @@ _RANK_OVERRIDE = {
     "curation_sample_per_group": 0.0,
     "vector_near_dup_corpus": 0.0,
     "events_funnel_analysis": 0.0,
+    "events_cohort_retention": 0.0,
 }
 
 

@@ -352,3 +352,40 @@ def funnel_counts(
     for nxt in out_rows[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by the epoch
+    week of their first `cohort_type` event, counted distinct per
+    (cohort_week, weeks-since-cohort) activity cell.
+
+    Weeks are floor(epoch_days / 7) — pure integer arithmetic, so
+    cohort boundaries are identical on every engine (date_trunc('week')
+    semantics vary by locale/engine). Shape: one user-keyed min-agg
+    for cohorts, one user-keyed join of activity onto the |users|-row
+    cohort table (broadcast when it fits, AQE decides), one
+    (cohort, offset)-keyed countDistinct; events are never
+    self-joined."""
+    epoch_day = lambda c: F.datediff(F.to_date(c), F.lit("1970-01-01"))  # noqa: E731
+    cohorts = (
+        events.filter(F.col(type_col) == cohort_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(F.col(ts_col)).alias("t0"))
+        .select("u", F.floor(epoch_day(F.col("t0")) / 7).cast("long").alias("cohort_week"))
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"),
+        F.floor(epoch_day(F.col(ts_col)) / 7).cast("long").alias("week"),
+    )
+    return (
+        activity.join(cohorts, "u")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct(F.col("u")).alias("n_active"))
+    )

@@ -315,3 +315,32 @@ def events_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"], max_gap_seconds=24 * 3600)
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id AS u,
+         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE)) / 7) AS BIGINT)
+           AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), activity AS (
+  SELECT user_id AS u,
+         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+  FROM events
+)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       count(DISTINCT a.u) AS n_active
+FROM activity a JOIN cohorts c ON a.u = c.u
+WHERE a.week >= c.cohort_week
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention triangle (engine-exact integer
+    epoch weeks; operators.relational.cohort_retention)."""
+    from graphragdatapipeline_spark.operators.relational import cohort_retention
+
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "signup")

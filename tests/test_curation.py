@@ -249,3 +249,30 @@ def test_funnel_counts_hand_checked(spark):
         ev, ["view", "click", "purchase"], max_gap_seconds=24 * 3600
     ).collect()}
     assert out == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_hand_checked(spark):
+    from datetime import datetime
+
+    from graphragdatapipeline_spark.operators.relational import cohort_retention
+
+    T = datetime
+    rows = [
+        # u1 signs up week A, active weeks A and A+1
+        (1, T(2024, 1, 1), "signup"), (1, T(2024, 1, 10), "click"),
+        # u2 signs up week A, active only week A
+        (2, T(2024, 1, 2), "signup"),
+        # u3 never signs up -> excluded
+        (3, T(2024, 1, 3), "click"),
+        # u4 clicked BEFORE signup week -> pre-cohort activity excluded
+        (4, T(2024, 1, 1), "click"), (4, T(2024, 1, 10), "signup"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, event_type STRING")
+    out = {(r.cohort_week, r.week_offset): r.n_active
+           for r in cohort_retention(ev, "signup").collect()}
+    wA = (T(2024, 1, 1) - T(1970, 1, 1)).days // 7
+    assert out[(wA, 0)] == 2          # u1 + u2 active in signup week
+    assert out[(wA, 1)] == 1          # only u1 returns next week
+    wB = (T(2024, 1, 10) - T(1970, 1, 1)).days // 7
+    assert out[(wB, 0)] == 1          # u4's cohort starts at signup
+    assert (wA, -1) not in out        # no negative offsets
