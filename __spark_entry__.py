@@ -67,6 +67,7 @@ _RANK_OVERRIDE = {
     "vector_near_dup_corpus": 0.0,
     "events_funnel_analysis": 0.0,
     "events_cohort_retention": 0.0,
+    "events_rolling_wau": 0.0,
 }
 
 

@@ -389,3 +389,30 @@ def cohort_retention(
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct(F.col("u")).alias("n_active"))
     )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling N-day distinct actives (the WAU/MAU metric): for each
+    epoch day, how many distinct users were active in the trailing
+    N-day window ending that day.
+
+    Distinct counts cannot ride a sliding range-window, so each event
+    is exploded into the N window-end days it contributes to, then one
+    (day)-keyed countDistinct. Explode factor is the constant N (7 or
+    30) — linear in events, never a self-join; partial aggregation
+    dedups (day, user) map-side before the shuffle. Days are integer
+    epoch days (engine-exact, same rationale as cohort_retention)."""
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).cast("long")
+    return (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .withColumn(
+            "win_end", F.explode(F.sequence(F.col("d"), F.col("d") + (window_days - 1)))
+        )
+        .groupBy(F.col("win_end").alias("day"))
+        .agg(F.count_distinct("u").alias("n_active"))
+    )

@@ -344,3 +344,27 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return cohort_retention(ev, "signup")
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+WITH days AS (
+  SELECT user_id AS u,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+  FROM events
+), exploded AS (
+  SELECT u, unnest(generate_series(d, d + 6)) AS day FROM days
+)
+SELECT day, count(DISTINCT u) AS n_active
+FROM exploded GROUP BY 1
+""",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per epoch day
+    (operators.relational.rolling_distinct_users — constant-factor
+    explode, one day-keyed countDistinct, no self-join)."""
+    from graphragdatapipeline_spark.operators.relational import rolling_distinct_users
+
+    ev = read_table(spark, sf_dir, "events")
+    return rolling_distinct_users(ev, window_days=7)

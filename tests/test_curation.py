@@ -276,3 +276,24 @@ def test_cohort_retention_hand_checked(spark):
     wB = (T(2024, 1, 10) - T(1970, 1, 1)).days // 7
     assert out[(wB, 0)] == 1          # u4's cohort starts at signup
     assert (wA, -1) not in out        # no negative offsets
+
+
+def test_rolling_distinct_users_hand_checked(spark):
+    from datetime import datetime
+
+    from graphragdatapipeline_spark.operators.relational import rolling_distinct_users
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1)), (2, T(2024, 1, 1)),     # day D: users 1,2
+        (1, T(2024, 1, 5)),                          # day D+4: user 1
+        (3, T(2024, 1, 20)),                         # far later: user 3
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = {r.day: r.n_active for r in rolling_distinct_users(ev, 7).collect()}
+    d = (T(2024, 1, 1) - T(1970, 1, 1)).days
+    assert out[d] == 2                      # window ending day D sees 1,2
+    assert out[d + 4] == 2                  # D+4 sees 1 (twice) and 2 -> 2 distinct
+    assert out[d + 7] == 1                  # D's events aged out; only D+4's user 1
+    assert out[d + 19] == 1                 # user 3 alone
+    assert d - 1 not in out                 # nothing before first event
