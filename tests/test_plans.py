@@ -172,3 +172,13 @@ def test_map_side_curation_ops_have_no_shuffle(spark, sf_dir):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert non_broadcast == []
+
+
+def test_community_rollup_reuses_exchange_across_branches(spark, sf_dir):
+    """The single repartition('community') must be shared by the three
+    aggregation branches as ReusedExchange — if a refactor breaks
+    subtree identity, the rollup silently starts shuffling 3×."""
+    df = REGISTRY["community_metadata_rollup"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
