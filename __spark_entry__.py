@@ -37,38 +37,7 @@ from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
 # Queries whose semantics changed since their last green CORRECTNESS
 # row — treat as unverified (they re-enter the window ahead of
 # still-green entries, right after the never-green ones).
-_FORCE_REVERIFY = {
-    # round 3: predicates loosened so the oracle check is non-vacuous
-    "rlike_name_filter",
-    "isin_type_filter",
-    "anti_join_inactive_customers",
-    "except_customers",
-}
-
-# Manual rank overrides when the unverified set exceeds the 50-slot
-# window: key 0.0 sorts after never-green (-1) and force-reverify
-# (-0.5) but before any green round (>= 1).
-_RANK_OVERRIDE = {
-    # round 3 has exactly 51 unverified candidates; this stretch oracle
-    # (added round 3) rides the next rotation.
-    "graph_connected_components": 0.0,
-    # curation family (added late round 3): locally oracle-verified at
-    # sf0.001 (tests/test_oracle_parity.py); defers to keep the
-    # force-reverify de-vacuized queries inside the driver window.
-    "curation_sample_split": 0.0,
-    "curation_pack_sequences": 0.0,
-    "curation_decontaminate": 0.0,
-    "curation_repetition_stats": 0.0,
-    "curation_pii_redaction": 0.0,
-    "text_tfidf_top_terms": 0.0,
-    "curation_stratified_sample": 0.0,
-    "curation_quality_filter": 0.0,
-    "curation_sample_per_group": 0.0,
-    "vector_near_dup_corpus": 0.0,
-    "events_funnel_analysis": 0.0,
-    "events_cohort_retention": 0.0,
-    "events_rolling_wau": 0.0,
-}
+_FORCE_REVERIFY: set[str] = set()
 
 
 def _last_green_round() -> dict[str, int]:
@@ -113,8 +82,6 @@ def _ordered_names() -> list[str]:
     idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[float, int]:
-        if n in _RANK_OVERRIDE:
-            return (_RANK_OVERRIDE[n], idx[n])
         if n in _FORCE_REVERIFY:
             return (-0.5, idx[n])  # after never-green, before any green
         return (float(last.get(n, -1)), idx[n])

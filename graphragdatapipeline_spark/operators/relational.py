@@ -243,6 +243,7 @@ def range_join_buckets(
     bucket_width: float = 1.0,
     clamp_lo: float | None = None,
     clamp_hi: float | None = None,
+    clamp_to_fact: bool = False,
 ) -> DataFrame:
     """Range join (fact.value ∈ [range.lo, range.hi)) rewritten as an
     equi join on discretized buckets.
@@ -255,21 +256,35 @@ def range_join_buckets(
     rows explode into O(1) buckets.
 
     Open-ended sentinel bounds (lo=-inf-ish / hi=+inf-ish) would
-    otherwise enumerate millions of empty buckets; pass the observed
-    fact-side domain as clamp_lo/clamp_hi (one column-pruned min/max
-    scan — cheap next to the join) to bound enumeration to buckets
-    that can actually match. The residual filter still applies the
+    otherwise enumerate millions of empty buckets; bound enumeration to
+    buckets that can actually match by either passing the fact-side
+    domain as clamp_lo/clamp_hi, or setting ``clamp_to_fact=True`` to
+    fold a column-pruned min/max aggregate of the fact side into the
+    plan as a broadcast one-row join — fully LAZY (no driver-side job
+    at plan-construction time) and empty-input-safe (empty fact → NULL
+    bounds → zero ranges → empty result, which is correct since an
+    empty fact matches nothing). The residual filter still applies the
     TRUE bounds, so clamping never changes the result."""
     b_fact = fact.withColumn(
         "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
     )
     lo_expr: object = F.col(lo_col)
     hi_expr: object = F.col(hi_col)
+    if clamp_to_fact:
+        bounds = fact.agg(
+            F.min(F.col(value_col)).cast("double").alias("_clamp_lo"),
+            F.max(F.col(value_col)).cast("double").alias("_clamp_hi"),
+        )
+        ranges = ranges.crossJoin(F.broadcast(bounds)).filter(
+            F.col("_clamp_lo").isNotNull()
+        )
+        lo_expr = F.greatest(lo_expr, F.col("_clamp_lo"))
+        hi_expr = F.least(hi_expr, F.col("_clamp_hi"))
     if clamp_lo is not None:
         lo_expr = F.greatest(lo_expr, F.lit(float(clamp_lo)))
     if clamp_hi is not None:
         hi_expr = F.least(hi_expr, F.lit(float(clamp_hi)))
-    if clamp_lo is not None or clamp_hi is not None:
+    if clamp_to_fact or clamp_lo is not None or clamp_hi is not None:
         # A range entirely outside the clamped domain can't match any
         # fact row; drop it rather than let sequence() run backwards.
         ranges = ranges.filter(lo_expr <= hi_expr)
@@ -285,7 +300,7 @@ def range_join_buckets(
     return (
         b_fact.join(b_ranges, "_bucket")
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
-        .drop("_bucket")
+        .drop("_bucket", "_clamp_lo", "_clamp_hi")
     )
 
 

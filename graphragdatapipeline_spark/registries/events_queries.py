@@ -245,13 +245,10 @@ def events_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The 'high' tier is open-ended (hi=1e6 sentinel); clamp bucket
     # enumeration to the observed value domain so it explodes into
-    # O(domain/width) buckets, not 10k empty ones. One column-pruned
-    # min/max scan — negligible next to the join at any scale.
-    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
-    joined = range_join_buckets(
-        ev, tiers, "value", bucket_width=100.0,
-        clamp_lo=float(vmin), clamp_hi=float(vmax),
-    )
+    # O(domain/width) buckets, not 10k empty ones. clamp_to_fact folds
+    # the min/max in as a broadcast one-row aggregate — lazy (no job at
+    # plan-construction time) and safe on an empty events table.
+    joined = range_join_buckets(ev, tiers, "value", bucket_width=100.0, clamp_to_fact=True)
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), 2).alias("sum_value"),

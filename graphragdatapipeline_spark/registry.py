@@ -538,9 +538,9 @@ def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "null_counts_profile",
     oracle="""
-SELECT sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS c_name_nulls,
-       sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS c_nationkey_nulls,
-       sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS c_acctbal_nulls,
+SELECT CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_name_nulls,
+       CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey_nulls,
+       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal_nulls,
        count(*) AS n_rows
 FROM customer
 """,

@@ -140,3 +140,38 @@ def test_curation_ops_on_empty_and_singleton_inputs(spark):
     assert [(r.term, r.tf, r.df, r.rank) for r in t] == [("solo", 1, 1, 1)]
     r = word_repetition_stats(one, "doc_id", "text").first()
     assert (r.n_tokens, r.top_bigram_frac) == (1, 0.0)
+
+
+def test_range_join_clamp_to_fact_empty_fact(spark):
+    """clamp_to_fact must stay lazy and empty-safe: an empty fact table
+    produces NULL min/max bounds -> zero surviving ranges -> empty
+    result, with no driver-side job (the r3 version ran .first() at
+    plan-construction and raised TypeError on float(None))."""
+    from graphragdatapipeline_spark.operators.relational import range_join_buckets
+
+    fact = _empty(spark, "id INT, value DOUBLE")
+    ranges = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("high", 100.0, 1000000.0)],
+        "tier STRING, lo DOUBLE, hi DOUBLE",
+    )
+    out = range_join_buckets(fact, ranges, "value", bucket_width=100.0, clamp_to_fact=True)
+    assert out.count() == 0
+    assert "_clamp_lo" not in out.columns and "_bucket" not in out.columns
+
+
+def test_range_join_clamp_to_fact_matches_plain(spark):
+    from graphragdatapipeline_spark.operators.relational import range_join_buckets
+
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 99.9, 100.0, 499.0, 777.0])],
+        "id INT, value DOUBLE",
+    )
+    ranges = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1000000.0)],
+        "tier STRING, lo DOUBLE, hi DOUBLE",
+    )
+    plain = range_join_buckets(fact, ranges, "value", bucket_width=100.0)
+    clamped = range_join_buckets(fact, ranges, "value", bucket_width=100.0, clamp_to_fact=True)
+    assert {(r.id, r.tier) for r in plain.collect()} == {
+        (r.id, r.tier) for r in clamped.collect()
+    }

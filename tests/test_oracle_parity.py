@@ -24,8 +24,7 @@ def con(sf_dir):
 def test_oracle_parity(spark, sf_dir, con, name):
     qd = REGISTRY[name]
     spark_df = qd.fn(spark, sf_dir)
-    oracle_df = con.sql(qd.oracle).df()
-    problems = compare(spark_df, oracle_df)
+    problems = compare(spark_df, con.sql(qd.oracle))
     assert not problems, f"{name}: " + "; ".join(problems[:6])
 
 
