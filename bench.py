@@ -47,10 +47,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
-        # Best of 2 timed runs: one stray GC pause / OS scheduling blip
-        # otherwise lands permanently in the recorded number.
+        # Best of 3 timed runs: one stray GC pause / OS scheduling blip
+        # otherwise lands permanently in the recorded number (observed:
+        # a loaded host doubled every query uniformly in one recorded
+        # run — more repetitions give each query more chances to land
+        # in a quiet scheduling window).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qd.fn(spark, sf_dir)
             # Force full execution of every row JVM-side: the noop sink

@@ -153,14 +153,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", dround(F.col("jaccard"), 6).alias("jaccard"))
 
 
-@register("dedup_simhash", oracle=_simhash_oracle())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (16-bit, md5-nibble token hashes, bit-vote
-    aggregation) — all native expressions."""
-    d = read_table(spark, sf_dir, "documents")
-    return dd.simhash(d, "doc_id", "text", bits=16)
-
-
 def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 16) -> str:
     """Pairs oracle: the engine's segment bucketing is exhaustive by
     pigeonhole (hamming ≤ h ⇒ ≥1 of h+1 segments equal), so the result

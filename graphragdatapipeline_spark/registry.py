@@ -656,32 +656,6 @@ def top_n_frequency_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("nation", F.array_join("top_l_returnflag", ",").alias("top_items"))
 
 
-@register(
-    "groupwise_rollup",
-    oracle="""
-SELECT o_custkey AS custkey, count(*) AS member_count,
-       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
-       floor((sum(CAST(o_totalprice AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS total_price
-FROM orders
-GROUP BY o_custkey
-""",
-)
-def groupwise_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — group-wise member roll-up (reference community metadata at
-    detect_communities.py:294-328: member_count + member_ids list)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(
-            F.count(F.lit(1)).alias("member_count"),
-            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
-                "statuses"
-            ),
-            dsum(F.col("o_totalprice"), 2).alias("total_price"),
-        )
-    )
-
-
 # ===========================================================================
 # §2.5 Windows / §2.6 sorts & top-k
 # ===========================================================================
