@@ -431,3 +431,119 @@ def rolling_distinct_users(
         .groupBy(F.col("win_end").alias("day"))
         .agg(F.count_distinct("u").alias("n_active"))
     )
+
+
+def state_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Change-log → versioned state history: collapse each key's
+    consecutive duplicate states into [valid_from, valid_to) intervals
+    (run-length encoding), open-ended on the latest run.
+
+    Extends the reference's window surface (SURVEY §2.5 notes it has
+    no lead/lag or running aggregates) with the standard
+    gaps-and-islands plan: lag marks run starts, a running sum numbers
+    the runs, one groupBy collapses them, lead closes each interval.
+    All three windows and the aggregation share the same hash
+    partitioning on the key, so the whole history costs ONE shuffle —
+    no per-row Python and no self-join, which is what makes it safe on
+    a 100 TB change log."""
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = (
+        ~F.col(state_col).eqNullSafe(F.lag(state_col).over(w))
+    ).cast("long")
+    runs = (
+        df.withColumn("_new", is_new)
+        .withColumn("_run", F.sum("_new").over(run_frame))
+        .groupBy(key_col, "_run")
+        .agg(
+            F.first(state_col).alias("state"),
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_run = Window.partitionBy(key_col).orderBy("_run")
+    return runs.select(
+        F.col(key_col),
+        F.col("state"),
+        F.col("valid_from"),
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        F.col("n_events"),
+    )
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    eff_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge — the incremental-table
+    maintenance primitive a 100 TB warehouse pipeline runs nightly.
+
+    ``current`` holds the dimension history (``valid_to`` NULL = open
+    version); ``updates`` holds at most one row per key with the new
+    attribute values and an effective timestamp. Per key:
+
+    - no update, or update equal on every attr → row kept as-is;
+    - changed attrs → the open row is closed at the effective time and
+      a new open version is appended;
+    - brand-new key → inserted as an open version.
+
+    Plan shape: closed history passes through untouched (at scale it
+    is the bulk of the table and never enters a join); open rows meet
+    updates in ONE full-outer join on the key, and a single
+    explode-of-struct-array projection emits 1 or 2 output rows per
+    joined row — no branch fan-out re-reading the join, no MERGE
+    statement required."""
+    closed = current.filter(F.col(valid_to).isNotNull())
+    open_rows = current.filter(F.col(valid_to).isNull())
+    u = updates.select(
+        F.col(key_col),
+        F.lit(True).alias("_has_upd"),
+        F.col(eff_col).alias("_eff"),
+        *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
+    )
+    o = open_rows.withColumn("_has_cur", F.lit(True))
+    j = o.join(u, key_col, "full_outer")
+
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+    both = F.col("_has_cur").isNotNull() & F.col("_has_upd").isNotNull()
+    upd_only = F.col("_has_cur").isNull()
+
+    def _ver(attrs: list[Column], vf: Column, vt: Column) -> Column:
+        return F.struct(
+            *[a.alias(c) for a, c in zip(attrs, attr_cols)],
+            vf.alias(valid_from),
+            vt.alias(valid_to),
+        )
+
+    cur_attrs = [F.col(c) for c in attr_cols]
+    upd_attrs = [F.col(f"_u_{c}").cast(j.schema[c].dataType) for c in attr_cols]
+    null_vt = F.lit(None).cast(j.schema[valid_to].dataType)
+    keep = _ver(cur_attrs, F.col(valid_from), F.col(valid_to))
+    close_out = _ver(cur_attrs, F.col(valid_from), F.col("_eff"))
+    new_ver = _ver(upd_attrs, F.col("_eff").cast(j.schema[valid_from].dataType), null_vt)
+
+    versions = (
+        F.when(upd_only, F.array(new_ver))
+        .when(both & changed, F.array(close_out, new_ver))
+        .otherwise(F.array(keep))
+    )
+    merged = j.select(F.col(key_col), F.explode(versions).alias("_v")).select(
+        key_col, "_v.*"
+    )
+    return closed.select(key_col, *attr_cols, valid_from, valid_to).unionByName(
+        merged
+    )

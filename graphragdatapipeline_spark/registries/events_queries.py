@@ -365,3 +365,48 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return rolling_distinct_users(ev, window_days=7)
+
+
+@register(
+    "events_state_history",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+), collapsed AS (
+  SELECT user_id, run_id, min(event_type) AS state,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, state,
+       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from,
+       CAST(floor(epoch(lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY run_id))) AS BIGINT) AS valid_to,
+       n_events
+FROM collapsed
+""",
+)
+def events_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log → versioned state intervals (gaps-and-islands):
+    consecutive duplicate event_types per user collapse into
+    [valid_from, valid_to) runs via operators.relational.state_history
+    — lag marks run starts, a running sum numbers runs, one groupBy
+    collapses, lead closes the interval. One shuffle total."""
+    from graphragdatapipeline_spark.operators import relational as rel
+
+    ev = read_table(spark, sf_dir, "events")
+    hist = rel.state_history(ev, "user_id", "ts", "event_type", ["event_id"])
+    return hist.select(
+        "user_id",
+        "state",
+        F.unix_timestamp("valid_from").alias("valid_from"),
+        F.unix_timestamp("valid_to").alias("valid_to"),
+        "n_events",
+    )

@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 
 from graphragdatapipeline_spark import functions as ef
 from graphragdatapipeline_spark.io import read_table
-from graphragdatapipeline_spark.registry import dround, register
+from graphragdatapipeline_spark.operators import relational as rel
+from graphragdatapipeline_spark.registry import dround, dsum, register
 
 
 @register(
@@ -35,33 +36,6 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
         dround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    )
-
-
-@register(
-    "window_lead_lag",
-    oracle="""
-SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-       CAST(epoch(o_orderdate) - epoch(lag(o_orderdate) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
-       AS secs_since_prev,
-       lead(o_orderstatus) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_status
-FROM orders
-""",
-)
-def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lead/lag analytics (extension)."""
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    o = read_table(spark, sf_dir, "orders")
-    return o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderkey").alias("orderkey"),
-        (
-            F.unix_timestamp("o_orderdate")
-            - F.unix_timestamp(F.lag("o_orderdate").over(w))
-        ).alias("secs_since_prev"),
-        F.lead("o_orderstatus").over(w).alias("next_status"),
     )
 
 
@@ -183,4 +157,97 @@ def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_name", F.lit("<all>")).alias("nation"),
             "n_customers",
         )
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT s.s_nationkey AS nationkey,
+       count(*) AS n_lines,
+       floor((sum(CAST(l.l_extendedprice AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi join (extension): the fact side is
+    split over 8 salt buckets and the dimension replicated 8×, so a
+    hot supplier key that would pin one reducer at 100 TB spreads over
+    8 partitions. The salt is an internal detail — the result is
+    provably identical to the plain join, which is exactly what the
+    oracle runs (see also test_salted_join_matches_plain_join)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = rel.salted_join(li, sup, "l_suppkey", salt_buckets=8)
+    return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "scd2_customer_segments",
+    oracle="""
+WITH cur AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT o_custkey AS custkey,
+         split_part(o_orderpriority, '-', 2) AS segment,
+         o_orderdate AS eff
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+), merged AS (
+  SELECT c.custkey, c.segment, c.valid_from, c.valid_to
+  FROM cur c LEFT JOIN upd u ON c.custkey = u.custkey
+  WHERE u.custkey IS NULL OR NOT (c.segment IS DISTINCT FROM u.segment)
+  UNION ALL
+  SELECT c.custkey, c.segment, c.valid_from, u.eff AS valid_to
+  FROM cur c JOIN upd u ON c.custkey = u.custkey
+  WHERE c.segment IS DISTINCT FROM u.segment
+  UNION ALL
+  SELECT u.custkey, u.segment, u.eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM upd u LEFT JOIN cur c ON u.custkey = c.custkey
+  WHERE c.custkey IS NULL OR c.segment IS DISTINCT FROM u.segment
+)
+SELECT custkey, segment,
+       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from,
+       CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to
+FROM merged
+""",
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (extension): the customer dimension is the
+    open history, each customer's latest order derives an update row,
+    and operators.relational.scd2_merge closes out changed versions
+    and appends new ones — one full-outer join plus one
+    explode-of-versions projection, with the closed history passing
+    through join-free. The oracle replays the merge as three set
+    branches over the same inputs."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    current = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    latest = rel.best_row_per_group(
+        orders, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.element_at(F.split("o_orderpriority", "-"), 2).alias("segment"),
+        F.col("o_orderdate").alias("eff"),
+    )
+    hist = rel.scd2_merge(current, latest, "custkey", ["segment"], "eff")
+    return hist.select(
+        "custkey",
+        "segment",
+        F.unix_timestamp("valid_from").alias("valid_from"),
+        F.unix_timestamp("valid_to").alias("valid_to"),
     )

@@ -175,3 +175,31 @@ def test_range_join_clamp_to_fact_matches_plain(spark):
     assert {(r.id, r.tier) for r in plain.collect()} == {
         (r.id, r.tier) for r in clamped.collect()
     }
+
+
+def test_scd2_merge_empty_sides(spark):
+    from graphragdatapipeline_spark.operators.relational import scd2_merge
+
+    cur = _empty(spark, "k BIGINT, seg STRING, valid_from TIMESTAMP, valid_to TIMESTAMP")
+    upd = _empty(spark, "k BIGINT, seg STRING, eff TIMESTAMP")
+    assert scd2_merge(cur, upd, "k", ["seg"], "eff").count() == 0
+    # empty updates: current passes through unchanged
+    cur2 = spark.createDataFrame(
+        [(1, "a", None, None)],
+        "k BIGINT, seg STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    out = scd2_merge(cur2, upd, "k", ["seg"], "eff")
+    assert out.count() == 1
+    # empty current: every update is an insert
+    upd2 = spark.createDataFrame([(2, "b", None)], "k BIGINT, seg STRING, eff TIMESTAMP")
+    out2 = scd2_merge(cur, upd2, "k", ["seg"], "eff")
+    assert [r["k"] for r in out2.collect()] == [2]
+
+
+def test_state_history_empty(spark):
+    from graphragdatapipeline_spark.operators.relational import state_history
+
+    ev = _empty(spark, "user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT")
+    out = state_history(ev, "user_id", "ts", "event_type", ["event_id"])
+    assert out.count() == 0
+    assert out.columns == ["user_id", "state", "valid_from", "valid_to", "n_events"]

@@ -42,14 +42,11 @@ def test_queries_cover_registry_exactly():
 
 
 def test_unverified_queries_sort_into_driver_window():
-    """Every never-green query (minus explicit rank overrides) must sit
-    inside the driver's checked window, ahead of already-green ones."""
+    """Every never-green query must sit inside the driver's checked
+    window, ahead of already-green ones."""
     names = list(entry_mod.queries())
     green = _past_green()
-    deferred = set(entry_mod._RANK_OVERRIDE)
-    never_green = [
-        n for n in names if n not in green and n not in deferred
-    ]
+    never_green = [n for n in names if n not in green]
     if len(never_green) > WINDOW:
         # More unverified than slots: the window must at least be FULL
         # of unverified queries.
