@@ -128,3 +128,63 @@ def user_distinct_types_batch(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.countDistinct("event_type").cast("int").alias("n_distinct_types")
     )
+
+
+HISTORY_STATE_DDL = "cur_state STRING, valid_from_us BIGINT, n_events BIGINT"
+HISTORY_OUTPUT_DDL = (
+    "user_id BIGINT, state STRING, valid_from TIMESTAMP, "
+    "valid_to TIMESTAMP, n_events BIGINT"
+)
+
+
+def _update_state_history(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of operators.relational.state_history: emit each
+    CLOSED state interval the moment its run ends; the still-open run
+    lives in the state store between micro-batches. Closed intervals
+    never change, so the output is append-safe.
+
+    Ordering contract: rows must arrive per-key in event-time order
+    ACROSS micro-batches (the natural property of CDC/changelog
+    sources); within a micro-batch the processor sorts by (ts,
+    event_id) itself."""
+    cur, vf_us, n = state.get if state.exists else (None, None, 0)
+    out: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, et in zip(pdf["ts"], pdf["event_type"]):
+            ts_us = int(pd.Timestamp(ts).value // 1_000)
+            if cur is None:
+                cur, vf_us, n = et, ts_us, 1
+            elif et == cur:
+                n += 1
+            else:
+                out.append(
+                    (
+                        key[0],
+                        cur,
+                        pd.Timestamp(vf_us * 1_000),
+                        pd.Timestamp(ts_us * 1_000),
+                        n,
+                    )
+                )
+                cur, vf_us, n = et, ts_us, 1
+    state.update((cur, vf_us, n))
+    yield pd.DataFrame(
+        out, columns=["user_id", "state", "valid_from", "valid_to", "n_events"]
+    )
+
+
+def state_history_stream(events_stream: DataFrame) -> DataFrame:
+    """groupBy(user).applyInPandasWithState run-collapse. Output mode
+    'append': only closed intervals are emitted (the open run would be
+    retracted-and-replaced, which append cannot express — batch twin:
+    state_history(...).filter(valid_to IS NOT NULL))."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_state_history,
+        outputStructType=HISTORY_OUTPUT_DDL,
+        stateStructType=HISTORY_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -251,3 +251,83 @@ def test_word_repetition_stats_match_reference(spark, texts):
         assert g.top_token_frac == r4(max(tc.values()) / len(toks))
         top_bg = max(bg.values()) if bg else 0
         assert g.top_bigram_frac == r4(top_bg / max(len(toks) - 1, 1))
+
+
+@given(
+    opens=st.dictionaries(st.integers(0, 5), st.sampled_from(["a", "b", None]), max_size=6),
+    upds=st.dictionaries(st.integers(0, 7), st.sampled_from(["a", "b", None]), max_size=8),
+)
+@SET
+def test_scd2_merge_matches_reference(spark, opens, upds):
+    """scd2_merge == per-key Python reference: unchanged rows pass
+    through, changed rows close + re-open, new keys insert; exactly
+    one open row per key afterward when inputs are well-formed."""
+    import datetime
+
+    from graphragdatapipeline_spark.operators.relational import scd2_merge
+
+    t0 = datetime.datetime(2020, 1, 1)
+    eff = datetime.datetime(2024, 6, 1)
+    cur_rows = [(k, seg, t0, None) for k, seg in opens.items()]
+    upd_rows = [(k, seg, eff) for k, seg in upds.items()]
+    cur = spark.createDataFrame(
+        cur_rows, "k BIGINT, seg STRING, valid_from TIMESTAMP, valid_to TIMESTAMP"
+    ) if cur_rows else spark.createDataFrame(
+        [], "k BIGINT, seg STRING, valid_from TIMESTAMP, valid_to TIMESTAMP"
+    )
+    upd = spark.createDataFrame(
+        upd_rows, "k BIGINT, seg STRING, eff TIMESTAMP"
+    ) if upd_rows else spark.createDataFrame([], "k BIGINT, seg STRING, eff TIMESTAMP")
+
+    got = {tuple(r) for r in scd2_merge(cur, upd, "k", ["seg"], "eff").collect()}
+
+    expect = set()
+    for k, seg in opens.items():
+        u = upds.get(k, "_absent_")
+        if u == "_absent_" or u == seg:
+            expect.add((k, seg, t0, None))
+        else:
+            expect.add((k, seg, t0, eff))
+            expect.add((k, u, eff, None))
+    for k, seg in upds.items():
+        if k not in opens:
+            expect.add((k, seg, eff, None))
+    assert got == expect
+    # invariant: exactly one open version per key
+    open_per_key = {}
+    for k, _seg, _vf, vt in got:
+        if vt is None:
+            open_per_key[k] = open_per_key.get(k, 0) + 1
+    assert all(v == 1 for v in open_per_key.values())
+
+
+@given(
+    evs=st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20)
+)
+@SET
+def test_state_history_matches_reference(spark, evs):
+    """state_history == Python run-length encoding over one key."""
+    import datetime
+
+    from graphragdatapipeline_spark.operators.relational import state_history
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i), s, i)
+        for i, s in enumerate(evs)
+    ]
+    schema = "user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    got = sorted(
+        (r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in state_history(df, "user_id", "ts", "event_type", ["event_id"]).collect()
+    )
+    runs = []
+    for i, s in enumerate(evs):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i)
+        if runs and runs[-1][0] == s:
+            runs[-1][3] += 1
+        else:
+            runs.append([s, ts, None, 1])
+    for j in range(len(runs) - 1):
+        runs[j][2] = runs[j + 1][1]
+    assert got == sorted((s, vf, vt, n) for s, vf, vt, n in runs)

@@ -199,3 +199,41 @@ def test_streaming_curation_gate_equals_batch(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_state_history_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming run-collapse (applyInPandasWithState, append mode)
+    must emit exactly the batch twin's CLOSED intervals. The input is
+    staged as time-sliced files written oldest-first, honoring the
+    operator's ordered-arrival contract (CDC/changelog property)."""
+    import time
+
+    from graphragdatapipeline_spark.streaming import stateful as st
+    from graphragdatapipeline_spark.operators.relational import state_history
+
+    ev = read_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, cond in enumerate(
+        [F.col("ts") <= cut1, (F.col("ts") > cut1) & (F.col("ts") <= cut2), F.col("ts") > cut2]
+    ):
+        ev.filter(cond).coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)  # file-source processes oldest-first by mod time
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    got = _run_stream_to_memory(
+        spark, st.state_history_stream(stream), "hist_mem", str(tmp_path)
+    )
+    batch_closed = state_history(ev, "user_id", "ts", "event_type", ["event_id"]).filter(
+        F.col("valid_to").isNotNull()
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch_closed.collect()}
+    assert a == b and len(a) > 100
