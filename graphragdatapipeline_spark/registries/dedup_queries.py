@@ -179,9 +179,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=16)
 
 
-def _minhash_verified_oracle(threshold: float = 0.2) -> str:
+def _dedup_corpus_verified_oracle(threshold: float = 0.2) -> str:
+    """The full production near-dup flow in SQL: LSH candidate pairs →
+    exact-Jaccard verification (joined on candidates only) → drop
+    every doc that is the larger id of any verified pair."""
     base = _minhash_oracle().strip()
-    # reuse the candidate pipeline as a CTE, verify with exact Jaccard
     body = base[len("WITH "):]
     head, final_select = body.rsplit("SELECT DISTINCT", 1)
     return f"""
@@ -195,57 +197,35 @@ cands AS (
   FROM sh s1 JOIN sh s2 USING (shingle)
   WHERE s1.doc_id < s2.doc_id
   GROUP BY 1, 2
+), verified AS (
+  SELECT c.a, c.b
+  FROM common c
+  JOIN cands k ON c.a = k.a AND c.b = k.b
+  JOIN sizes sa ON c.a = sa.doc_id
+  JOIN sizes sb ON c.b = sb.doc_id
+  WHERE c.common / (sa.sz + sb.sz - c.common) >= {threshold}
 )
-SELECT c.a, c.b,
-       floor((c.common / (sa.sz + sb.sz - c.common)) * 1000000 + 0.5) / 1000000 AS jaccard
-FROM common c
-JOIN cands k ON c.a = k.a AND c.b = k.b
-JOIN sizes sa ON c.a = sa.doc_id
-JOIN sizes sb ON c.b = sb.doc_id
-WHERE c.common / (sa.sz + sb.sz - c.common) >= {threshold}
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM verified v WHERE v.b = d.doc_id)
 """
 
 
-@register("dedup_minhash_verified", oracle=_minhash_verified_oracle())
-def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production near-dup flow end-to-end: LSH candidate pairs →
-    exact Jaccard verification joined on candidates only. At scale the
-    verification join touches |candidates| pairs, never the corpus²;
-    false LSH positives are filtered here, false negatives bounded by
-    the band collision curve (1-(1-s^4)^4)."""
-    from graphragdatapipeline_spark.registry import dround
-
+@register("dedup_corpus_verified", oracle=_dedup_corpus_verified_oracle())
+def dedup_corpus_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup flow end-to-end: MinHash-LSH candidate
+    pairs → exact Jaccard verification joined on candidates only →
+    cleaned corpus (drop the larger id of each verified pair; smallest
+    id per duplicate group survives). At scale the verification join
+    touches |candidates| pairs, never the corpus²; false LSH positives
+    are filtered by the verify step, false negatives bounded by the
+    band collision curve (1-(1-s^4)^4). The oracle replays shingle →
+    sign → band → bucket-join → verify → anti-join entirely in SQL, at
+    id granularity. Jaccard VALUES are verified by dedup_ngram_jaccard
+    (same jaccard_pairs code path with jaccard in the output)."""
     d = read_table(spark, sf_dir, "documents")
     cands = dd.minhash_dedup_pairs(
         d, "doc_id", "text", k=3, num_hashes=NUM_HASHES, bands=BANDS
     )
     sh = dd.shingle_table(d, "doc_id", "text", k=3)
     pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
-    return pairs.select("a", "b", dround(F.col("jaccard"), 6).alias("jaccard"))
-
-
-def _dedup_corpus_oracle() -> str:
-    base = _minhash_oracle().strip()
-    body = base[len("WITH "):]
-    head, final_select = body.rsplit("SELECT DISTINCT", 1)
-    return f"""
-WITH {head.rstrip().rstrip(",")},
-cands AS (
-  SELECT DISTINCT {final_select}
-)
-SELECT d.doc_id, d.lang FROM documents d
-WHERE NOT EXISTS (SELECT 1 FROM cands c WHERE c.b = d.doc_id)
-"""
-
-
-@register("dedup_corpus_minhash", oracle=_dedup_corpus_oracle())
-def dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-user dedup operation: MinHash-LSH pairs → drop every doc
-    that is the larger id of any pair → cleaned corpus (smallest id
-    per duplicate group survives). The whole flow — shingle, sign,
-    band, bucket-join, anti-join — replayed by the oracle in SQL."""
-    d = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(
-        d, "doc_id", "text", k=3, num_hashes=NUM_HASHES, bands=BANDS
-    )
-    return dd.dedup_corpus(d.select("doc_id", "lang"), pairs, "doc_id")
+    return dd.dedup_corpus(d.select("doc_id", "lang"), pairs.select("a", "b"), "doc_id")

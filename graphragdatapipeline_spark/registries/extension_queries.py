@@ -40,34 +40,57 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "grouping_rollup",
+    "grouping_rollup_cube",
     oracle="""
-SELECT COALESCE(r.r_name, '<all>') AS region,
-       COALESCE(n.n_name, '<all>') AS nation,
+SELECT 'rollup' AS mode,
+       COALESCE(r.r_name, '<all>') AS g1,
+       COALESCE(n.n_name, '<all>') AS g2,
        count(*) AS n_customers
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP (r.r_name, n.n_name)
+UNION ALL
+SELECT 'cube',
+       COALESCE(c_mktsegment, '<all>'),
+       COALESCE(n.n_name, '<all>'),
+       count(*)
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE (c_mktsegment, n.n_name)
 """,
 )
-def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (extension — SURVEY §2.4 note: free via
-    Catalyst)."""
+def grouping_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE grouping sets in one tagged result (extension —
+    SURVEY §2.4 note: absent in the reference, free via Catalyst;
+    both the df.rollup() and df.cube() APIs execute here)."""
     c = read_table(spark, sf_dir, "customer")
     n = F.broadcast(read_table(spark, sf_dir, "nation"))
     r = F.broadcast(read_table(spark, sf_dir, "region"))
-    return (
+    roll = (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .select(
-            F.coalesce("r_name", F.lit("<all>")).alias("region"),
-            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.lit("rollup").alias("mode"),
+            F.coalesce("r_name", F.lit("<all>")).alias("g1"),
+            F.coalesce("n_name", F.lit("<all>")).alias("g2"),
             "n_customers",
         )
     )
+    cub = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.lit("cube").alias("mode"),
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("g1"),
+            F.coalesce("n_name", F.lit("<all>")).alias("g2"),
+            "n_customers",
+        )
+    )
+    return roll.unionByName(cub)
 
 
 @register(
@@ -94,17 +117,28 @@ def offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(regexp_replace(
-         text, '\\"', '"', 'g'), '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
+         text, '\\"', '"', 'g'), '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS normalized,
+       trim(regexp_replace(regexp_replace(text, '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS normalized_nfkc
 FROM documents
 """,
 )
 def normalize_text_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 (native chain) — unescape, newline collapse, whitespace
-    collapse, trim (reference data_transformation_helpers.py:20-86;
-    the NFKC repair step is the optional pandas-UDF variant,
-    unit-tested separately)."""
+    """F1 both paths in one result — `normalized` is the pure-native
+    chain (unescape, newline collapse, whitespace collapse, trim;
+    reference data_transformation_helpers.py:20-86); `normalized_nfkc`
+    runs the full chain INCLUDING the NFKC pandas-UDF kernel, which is
+    identity on the ASCII fixture, so its oracle is the native chain
+    without the unescape step — the point of that gate is that the
+    Arrow kernel executes under the driver's vanilla session, proving
+    the UDF + package-shipping path."""
+    from graphragdatapipeline_spark.functions import normalize_text_nfkc
+
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", ef.normalize_text(F.col("text")).alias("normalized"))
+    return d.select(
+        "doc_id",
+        ef.normalize_text(F.col("text")).alias("normalized"),
+        normalize_text_nfkc(F.col("text")).alias("normalized_nfkc"),
+    )
 
 
 @register(
@@ -129,34 +163,6 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             <= F.countDistinct("l_partkey") * 0.10
         ).alias("within_10pct"),
-    )
-
-
-@register(
-    "grouping_cube",
-    oracle="""
-SELECT COALESCE(c_mktsegment, '<all>') AS segment,
-       COALESCE(n.n_name, '<all>') AS nation,
-       count(*) AS n_customers
-FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY CUBE (c_mktsegment, n.n_name)
-""",
-)
-def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (extension — SURVEY §2.4: absent in the
-    reference, free via Catalyst; completes rollup/cube pair)."""
-    c = read_table(spark, sf_dir, "customer")
-    n = F.broadcast(read_table(spark, sf_dir, "nation"))
-    return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .cube("c_mktsegment", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .select(
-            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
-            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
-            "n_customers",
-        )
     )
 
 

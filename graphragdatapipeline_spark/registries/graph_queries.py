@@ -12,24 +12,7 @@ from graphragdatapipeline_spark.registry import register
 
 
 @register(
-    "graph_edge_type_counts",
-    oracle="""
-SELECT 'IN_NATION' AS rel_type, count(*) AS n_edges FROM customer
-UNION ALL
-SELECT 'LOCATED_IN', count(*) FROM supplier
-UNION ALL
-SELECT 'IN_REGION', count(*) FROM nation
-""",
-)
-def graph_edge_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1/A14 — edge-type cardinality validation (reference
-    ingest_graph_db.py:336-363 count checks)."""
-    g = build_tpch_graph(spark, sf_dir)
-    return g.edges.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n_edges"))
-
-
-@register(
-    "graph_degrees",
+    "graph_degree_profile",
     oracle="""
 WITH edges AS (
   SELECT concat('C', c_custkey) AS src, concat('N', c_nationkey) AS dst FROM customer
@@ -41,13 +24,26 @@ WITH edges AS (
   SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
 )
 SELECT id, count(*) AS degree FROM all_ids GROUP BY id HAVING count(*) >= 5
+UNION ALL
+SELECT 'type:IN_NATION', count(*) FROM customer
+UNION ALL
+SELECT 'type:LOCATED_IN', count(*) FROM supplier
+UNION ALL
+SELECT 'type:IN_REGION', count(*) FROM nation
 """,
 )
-def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9 — exact vertex degree (reference proxies with
-    size(similar_artists) at detect_communities.py:155-157)."""
+def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 + G1/A14 in one validation profile: exact vertex degree
+    (reference proxies with size(similar_artists) at
+    detect_communities.py:155-157) stacked with edge-type cardinality
+    rows (reference ingest_graph_db.py:336-363 count checks), tagged
+    'type:<rel_type>'."""
     g = build_tpch_graph(spark, sf_dir)
-    return ga.degrees(g.edges).filter(F.col("degree") >= 5)
+    deg = ga.degrees(g.edges).filter(F.col("degree") >= 5)
+    type_counts = g.edges.groupBy("rel_type").agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(F.concat(F.lit("type:"), F.col("rel_type")).alias("id"), "degree")
+    return deg.unionByName(type_counts)
 
 
 @register(

@@ -63,24 +63,45 @@ def quality_check_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_blob_features",
+    "multimodal_features",
     oracle="""
-SELECT concat('doc-', doc_id) AS blob_id,
+WITH codes AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+  FROM documents
+)
+SELECT concat('doc-', d.doc_id) AS blob_id,
        'text/plain' AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_hash
-FROM documents
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       md5(d.text) AS content_hash,
+       CAST(c.n AS BIGINT) AS n_samples,
+       floor((list_sum(c.cs) / c.n) * 1000000 + 0.5) / 1000000 AS mean_amp,
+       floor(sqrt(list_sum(list_transform(c.cs, x -> x * x)) / c.n) * 1000000 + 0.5) / 1000000 AS rms_amp
+FROM documents d JOIN codes c USING (doc_id)
 """,
 )
-def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: documents → binary blob table →
-    mapInPandas feature extraction (deterministic stub codec). The
-    oracle pins byte counts + content hashes — proof the binary
-    round-trip is faithful."""
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end, both kernels in one profile:
+    documents → binary blob table → mapInPandas feature extraction
+    (deterministic stub codec; byte counts + content hashes prove the
+    binary round-trip is faithful) joined with the audio-stats kernel
+    (payload bytes → mean/RMS amplitude; integer-exact sums, so the
+    SQL twin over ASCII codes matches exactly)."""
+    from graphragdatapipeline_spark.multimodal.blob import waveform_stats
+    from graphragdatapipeline_spark.registry import dround
+
     d = read_table(spark, sf_dir, "documents")
     blobs = blob_table_from_documents(d)
-    feats = blob_features(blobs, feature_dim=8)
-    return feats.select("blob_id", "media_type", "n_bytes", "content_hash")
+    feats = blob_features(blobs, feature_dim=8).select(
+        "blob_id", "media_type", "n_bytes", "content_hash"
+    )
+    wave = waveform_stats(blobs).select(
+        "blob_id",
+        "n_samples",
+        dround(F.col("mean_amp"), 6).alias("mean_amp"),
+        dround(F.col("rms_amp"), 6).alias("rms_amp"),
+    )
+    return feats.join(wave, "blob_id")
 
 
 @register(
@@ -187,33 +208,3 @@ def source_cache_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated
 
 
-@register(
-    "multimodal_audio_stats",
-    oracle="""
-WITH codes AS (
-  SELECT doc_id, length(text) AS n,
-         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
-  FROM documents
-)
-SELECT concat('doc-', doc_id) AS blob_id,
-       CAST(n AS BIGINT) AS n_samples,
-       floor((list_sum(cs) / n) * 1000000 + 0.5) / 1000000 AS mean_amp,
-       floor(sqrt(list_sum(list_transform(cs, c -> c * c)) / n) * 1000000 + 0.5) / 1000000 AS rms_amp
-FROM codes
-""",
-)
-def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-feature plumbing: payload bytes → mean/RMS amplitude via
-    the mapInPandas kernel (integer-exact sums, so the SQL twin over
-    ASCII codes matches exactly)."""
-    from graphragdatapipeline_spark.multimodal.blob import waveform_stats
-    from graphragdatapipeline_spark.registry import dround
-
-    d = read_table(spark, sf_dir, "documents")
-    out = waveform_stats(blob_table_from_documents(d))
-    return out.select(
-        "blob_id",
-        "n_samples",
-        dround(F.col("mean_amp"), 6).alias("mean_amp"),
-        dround(F.col("rms_amp"), 6).alias("rms_amp"),
-    )

@@ -44,27 +44,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_token_counts",
-    oracle=r"""
-SELECT doc_id,
-       len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
-FROM documents
-""",
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace + BPE-ish regex (LLM-pipeline text
-    analysis extension)."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        ta.token_count_ws(F.col("text")).alias("n_ws_tokens"),
-        ta.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
-    )
-
-
-@register(
-    "text_quality_features",
+    "text_stats",
     oracle=r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -72,6 +52,8 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
+       len(toks) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
        length(text) AS n_chars,
        len(toks) AS n_tokens,
        floor((length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS mean_word_len,
@@ -79,12 +61,19 @@ SELECT doc_id,
 FROM t
 """,
 )
-def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring features (Gopher/C4-style gates)."""
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and quality-scoring
+    features (Gopher/C4-style gates) in ONE document scan — the merged
+    LLM-pipeline text-analysis profile. n_ws_tokens and n_tokens are
+    computed by two independent implementations (token_count_ws vs
+    quality_features) and must agree, which the oracle cross-checks
+    for free."""
     d = read_table(spark, sf_dir, "documents")
     feats = ta.quality_features(F.col("text"))
     return d.select(
         "doc_id",
+        ta.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        ta.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
         feats[0],  # n_chars
         feats[1],  # n_tokens
         dround(feats[2], 4).alias("mean_word_len"),
@@ -260,25 +249,6 @@ def text_chunking_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("pos") + 1).cast("int").alias("chunk_index"), "chunk_text"
     )
-
-
-@register(
-    "text_normalize_nfkc",
-    oracle=r"""
-SELECT doc_id,
-       trim(regexp_replace(regexp_replace(text, '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
-FROM documents
-""",
-)
-def text_normalize_nfkc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 full chain including the NFKC pandas-UDF kernel (identity on
-    the ASCII fixture, so the oracle is the native chain — the point
-    of the gate is that the Arrow kernel executes under the driver's
-    vanilla session, proving the UDF + package-shipping path)."""
-    from graphragdatapipeline_spark.functions import normalize_text_nfkc
-
-    d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", normalize_text_nfkc(F.col("text")).alias("normalized"))
 
 
 _TFIDF_ORACLE = r"""

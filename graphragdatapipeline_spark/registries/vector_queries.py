@@ -79,28 +79,6 @@ def vector_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "vector_near_dup_pairs",
-    oracle="""
-SELECT a.label AS blk, a.vec_id AS a, b.vec_id AS b,
-       floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 1000000 + 0.5) / 1000000
-       AS cosine
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
-""",
-)
-def vector_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (equi join —
-    the O(n²) never materializes across blocks)."""
-    e = read_table(spark, sf_dir, "embeddings")
-    out = vs.embedding_near_dup_pairs(e, threshold=0.3, block_col="label")
-    return out.select("blk", "a", "b", dround(F.col("cosine"), 6).alias("cosine"))
-
-
-@register(
     "vector_norm_stats",
     oracle="""
 WITH norms AS (
@@ -248,7 +226,7 @@ def vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "vector_near_dup_corpus",
+    "vector_near_dup_keep",
     oracle="""
 WITH pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b
@@ -257,21 +235,22 @@ WITH pairs AS (
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
 )
-SELECT e.label, count(*) AS n_kept
+SELECT e.vec_id, e.label
 FROM embeddings e
 LEFT JOIN (SELECT DISTINCT b FROM pairs) d ON e.vec_id = d.b
 WHERE d.b IS NULL
-GROUP BY e.label
 """,
 )
-def vector_near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end embedding dedup: near-dup pairs → cleaned corpus
-    (min-id representative per duplicate group via dedup_corpus's
-    anti-join drop rule), per-label survivor counts. Same composition
-    as dedup_corpus_minhash but over the vector modality."""
+def vector_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup at id granularity: label-blocked
+    cosine near-dup pairs (equi join — the O(n²) never materializes
+    across blocks) → cleaned corpus via dedup_corpus's anti-join drop
+    rule (min-id representative per duplicate group survives). The
+    oracle verifies the exact survivor id set, which pins both the
+    pair generation and the drop rule; cosine VALUES are verified by
+    vector_knn_bruteforce (same shared cosine_similarity expression)."""
     from graphragdatapipeline_spark.operators.dedup import dedup_corpus
 
     e = read_table(spark, sf_dir, "embeddings")
     pairs = vs.embedding_near_dup_pairs(e, threshold=0.3, block_col="label")
-    cleaned = dedup_corpus(e, pairs, id_col="vec_id")
-    return cleaned.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return dedup_corpus(e.select("vec_id", "label"), pairs, id_col="vec_id")
