@@ -89,6 +89,47 @@ def pack_into_sequences(
     ).withColumn("seq_offset", (prefix_excl % budget).cast("long"))
 
 
+def mixture_sample(
+    sources: list[tuple[DataFrame, float]],
+    key: str,
+    seed: str = "mix",
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Weighted corpus mixture: independently downsample each source
+    to its weight with the same hash-threshold rule as
+    deterministic_sample (salted per source so the same key draws an
+    independent coin in each), union the survivors with a `source_id`
+    tag. This is the step that turns N curated corpora plus a mixture
+    spec (e.g. 0.7 web + 0.4 books) into one training corpus.
+
+    100 TB shape: pure map-side — the per-row md5 compare needs no
+    shuffle, no sort, no cross-source coordination; each source scans
+    once and the union is a plan-level concat. Weights > 1.0 (epoch
+    oversampling) are out of scope here: they need row replication,
+    which is an explode over a literal range — left to the caller."""
+    parts = []
+    for i, (df, w) in enumerate(sources):
+        salted = F.concat(F.lit(f"{seed}|{i}|"), F.col(key).cast("string"))
+        kept = df.filter(hash_bucket(salted, buckets) < int(w * buckets))
+        parts.append(kept.withColumn("source_id", F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shuffle_key(col: Column, seed: str = "shuffle") -> Column:
+    """Deterministic global-shuffle key: md5 of the seed-salted key.
+    Training-data writers realize the permutation with ORDER BY this
+    column — Spark range-partitions the sort, so the 'random' order
+    costs exactly one total sort at any scale, every output file is
+    internally ordered and files are globally ordered, and re-running
+    with the same seed reproduces the permutation bit-for-bit (unlike
+    rand()-based shuffles, which change under retries and
+    repartitioning)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string")))
+
+
 def sample_per_group(
     df: DataFrame,
     key: str,

@@ -47,6 +47,47 @@ def curation_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_mixture_shuffle",
+    oracle="""
+WITH mixed AS (
+  SELECT doc_id, lang, 0 AS source_id FROM documents
+  WHERE lang = 'en'
+    AND (('0x' || substr(md5(concat('mix|0|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000) < 7000
+  UNION ALL
+  SELECT doc_id, lang, 1 AS source_id FROM documents
+  WHERE lang <> 'en'
+    AND (('0x' || substr(md5(concat('mix|1|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000) < 4000
+)
+SELECT doc_id, lang, source_id,
+       md5(concat('shuffle|', CAST(doc_id AS VARCHAR))) AS shuffle_key
+FROM mixed
+""",
+)
+def curation_mixture_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture + deterministic global-shuffle key: the
+    English shard sampled at 0.7, the non-English shard at 0.4, each
+    by a per-source salted hash threshold (an independent coin per
+    source), unioned and stamped with the md5 shuffle key a training
+    writer would ORDER BY to realize a reproducible permutation.
+
+    Map-side only up to the final sort (plan-pinned: no Exchange in
+    this query); the ORDER BY at write time is one range-partitioned
+    total sort regardless of corpus size."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = cu.mixture_sample(
+        [(d.filter(F.col("lang") == "en"), 0.7), (d.filter(F.col("lang") != "en"), 0.4)],
+        key="doc_id",
+        seed="mix",
+    )
+    return mixed.select(
+        "doc_id",
+        "lang",
+        "source_id",
+        cu.shuffle_key(F.col("doc_id")).alias("shuffle_key"),
+    )
+
+
+@register(
     "curation_pack_sequences",
     oracle="""
 SELECT doc_id, lang,

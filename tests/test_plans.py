@@ -160,7 +160,11 @@ def test_map_side_curation_ops_have_no_shuffle(spark, sf_dir):
     """PII redaction and the quality gate are pure map expressions —
     any Exchange in their plans is a regression. The stratified sample
     may only exchange for the broadcast of the threshold table."""
-    for name in ("curation_pii_redaction", "curation_quality_filter"):
+    for name in (
+        "curation_pii_redaction",
+        "curation_quality_filter",
+        "curation_mixture_shuffle",
+    ):
         plan = _plan(spark, name, sf_dir)
         assert "Exchange" not in plan, name
     plan = _plan(spark, "curation_sample_per_group", sf_dir)
