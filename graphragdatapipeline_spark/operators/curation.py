@@ -95,22 +95,46 @@ def mixture_sample(
     seed: str = "mix",
     buckets: int = _BUCKETS,
 ) -> DataFrame:
-    """Weighted corpus mixture: independently downsample each source
-    to its weight with the same hash-threshold rule as
-    deterministic_sample (salted per source so the same key draws an
-    independent coin in each), union the survivors with a `source_id`
-    tag. This is the step that turns N curated corpora plus a mixture
-    spec (e.g. 0.7 web + 0.4 books) into one training corpus.
+    """Weighted corpus mixture with epoch oversampling: turn N curated
+    corpora plus a mixture spec (e.g. web ×0.7, books ×2.4) into one
+    training corpus. Weight w means each row appears floor(w) times
+    (epochs 0..floor(w)-1) plus one more with probability w-floor(w) —
+    the fractional coin is the same hash-threshold rule as
+    deterministic_sample, salted per (source, epoch) so every draw is
+    independent. Survivors carry (`source_id`, `epoch`) provenance.
 
-    100 TB shape: pure map-side — the per-row md5 compare needs no
-    shuffle, no sort, no cross-source coordination; each source scans
-    once and the union is a plan-level concat. Weights > 1.0 (epoch
-    oversampling) are out of scope here: they need row replication,
-    which is an explode over a literal range — left to the caller."""
+    100 TB shape: pure map-side — replication is an explode over a
+    literal 0..floor(w) range (no join, no shuffle), the per-row md5
+    compare needs no coordination, each source scans once, and the
+    union is a plan-level concat."""
     parts = []
     for i, (df, w) in enumerate(sources):
-        salted = F.concat(F.lit(f"{seed}|{i}|"), F.col(key).cast("string"))
-        kept = df.filter(hash_bucket(salted, buckets) < int(w * buckets))
+        n_full = int(w)
+        # round, not int: 1.4 - 1 is 0.3999…, int() would lose a bucket
+        frac_cap = round((w - n_full) * buckets)
+
+        def coin(epoch_col):  # noqa: B023 — bound below per iteration
+            return hash_bucket(
+                F.concat(
+                    F.lit(f"{seed}|{i}|"),
+                    epoch_col.cast("string"),
+                    F.lit("|"),
+                    F.col(key).cast("string"),
+                ),
+                buckets,
+            )
+
+        if n_full == 0:
+            kept = df.filter(coin(F.lit(0)) < frac_cap).withColumn(
+                "epoch", F.lit(0)
+            )
+        else:
+            ep = df.withColumn(
+                "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_full)))
+            )
+            kept = ep.filter(
+                (F.col("epoch") < n_full) | (coin(F.col("epoch")) < frac_cap)
+            )
         parts.append(kept.withColumn("source_id", F.lit(i)))
     out = parts[0]
     for p in parts[1:]:

@@ -50,32 +50,38 @@ def curation_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_mixture_shuffle",
     oracle="""
 WITH mixed AS (
-  SELECT doc_id, lang, 0 AS source_id FROM documents
+  SELECT doc_id, lang, 0 AS source_id, 0 AS epoch FROM documents
   WHERE lang = 'en'
-    AND (('0x' || substr(md5(concat('mix|0|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000) < 7000
+    AND (('0x' || substr(md5(concat('mix|0|0|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000) < 7000
   UNION ALL
-  SELECT doc_id, lang, 1 AS source_id FROM documents
+  SELECT doc_id, lang, 1 AS source_id, CAST(e AS INTEGER) AS epoch
+  FROM documents, (SELECT unnest(generate_series(0, 1)) AS e)
   WHERE lang <> 'en'
-    AND (('0x' || substr(md5(concat('mix|1|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000) < 4000
+    AND (e = 0 OR (('0x' || substr(md5(concat('mix|1|1|', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000) < 4000)
 )
-SELECT doc_id, lang, source_id,
-       md5(concat('shuffle|', CAST(doc_id AS VARCHAR))) AS shuffle_key
+SELECT doc_id, lang, source_id, epoch,
+       md5(concat('shuffle|', CAST(doc_id AS VARCHAR), '|', CAST(epoch AS VARCHAR))) AS shuffle_key
 FROM mixed
 """,
 )
 def curation_mixture_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted corpus mixture + deterministic global-shuffle key: the
-    English shard sampled at 0.7, the non-English shard at 0.4, each
-    by a per-source salted hash threshold (an independent coin per
-    source), unioned and stamped with the md5 shuffle key a training
-    writer would ORDER BY to realize a reproducible permutation.
+    """Weighted corpus mixture (with epoch oversampling) + the
+    deterministic global-shuffle key: the English shard sampled at
+    0.7, the non-English shard OVERSAMPLED at 1.4 (every row once,
+    plus a second epoch with probability 0.4 — the LLM data-recipe
+    shape 'books ×1.4'), each fractional coin an independent
+    per-(source, epoch) salted hash threshold. Survivors carry
+    (source_id, epoch) provenance and the md5 shuffle key a training
+    writer ORDER BYs to realize a reproducible permutation (the key
+    includes the epoch, so replicas land at independent positions).
 
     Map-side only up to the final sort (plan-pinned: no Exchange in
-    this query); the ORDER BY at write time is one range-partitioned
-    total sort regardless of corpus size."""
+    this query — replication is an explode over a literal range); the
+    ORDER BY at write time is one range-partitioned total sort
+    regardless of corpus size."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     mixed = cu.mixture_sample(
-        [(d.filter(F.col("lang") == "en"), 0.7), (d.filter(F.col("lang") != "en"), 0.4)],
+        [(d.filter(F.col("lang") == "en"), 0.7), (d.filter(F.col("lang") != "en"), 1.4)],
         key="doc_id",
         seed="mix",
     )
@@ -83,7 +89,14 @@ def curation_mixture_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source_id",
-        cu.shuffle_key(F.col("doc_id")).alias("shuffle_key"),
+        "epoch",
+        cu.shuffle_key(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("shuffle_key"),
     )
 
 

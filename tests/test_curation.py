@@ -42,44 +42,50 @@ def test_deterministic_sample_is_subset_property_not_run_property(spark, sf_dir)
     assert s3 <= s1
 
 
-def test_mixture_sample_weights_independence_and_shuffle_key(spark, sf_dir):
+def test_mixture_sample_weights_oversampling_and_shuffle_key(spark, sf_dir):
     """Each source draws an independent salted coin at its own weight;
-    the union tags provenance; the shuffle key is a deterministic row
-    property whose ORDER BY realizes a reproducible permutation."""
+    weight > 1 replicates rows across epochs; the union tags
+    provenance; the shuffle key is a deterministic row property whose
+    ORDER BY realizes a reproducible permutation."""
     d = _docs(spark, sf_dir).select("doc_id", "lang")
     en, rest = d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en")
-    mixed = cu.mixture_sample([(en, 0.7), (rest, 0.4)], key="doc_id")
-    got = {(r.doc_id, r.source_id) for r in mixed.collect()}
+    mixed = cu.mixture_sample([(en, 0.7), (rest, 1.4)], key="doc_id")
+    got = {(r.doc_id, r.source_id, r.epoch) for r in mixed.collect()}
     n_en, n_rest = en.count(), rest.count()
-    k0 = sum(1 for _, s in got if s == 0)
-    k1 = sum(1 for _, s in got if s == 1)
-    # rates land near the per-source targets (hash uniformity)
+    k0 = sum(1 for _, s, _ in got if s == 0)
+    k1 = sum(1 for _, s, _ in got if s == 1)
+    # rates land near the per-source targets (hash uniformity); the
+    # oversampled source yields MORE rows than it has
     assert 0.55 < k0 / n_en < 0.85
-    assert 0.25 < k1 / n_rest < 0.55
+    assert 1.2 < k1 / n_rest < 1.6
+    # every oversampled row has epoch 0; only a ~0.4 fraction epoch 1
+    e0 = {i for i, s, e in got if s == 1 and e == 0}
+    e1 = {i for i, s, e in got if s == 1 and e == 1}
+    assert len(e0) == n_rest and e1 < e0
     # stable under repartitioning — membership is a row property
     mixed2 = cu.mixture_sample(
-        [(en.repartition(5), 0.7), (rest.repartition(3), 0.4)], key="doc_id"
+        [(en.repartition(5), 0.7), (rest.repartition(3), 1.4)], key="doc_id"
     )
-    assert {(r.doc_id, r.source_id) for r in mixed2.collect()} == got
-    # a different seed draws a DIFFERENT mixture (salting works)
-    other = cu.mixture_sample([(en, 0.7), (rest, 0.4)], key="doc_id", seed="m2")
-    assert {(r.doc_id, r.source_id) for r in other.collect()} != got
-    # shuffle key: deterministic, seed-sensitive, and ordering by it
-    # yields the same permutation on every run
-    perm1 = [
-        r.doc_id
-        for r in mixed.select("doc_id", cu.shuffle_key(F.col("doc_id")).alias("sk"))
-        .orderBy("sk")
-        .collect()
-    ]
-    perm2 = [
-        r.doc_id
-        for r in mixed2.select("doc_id", cu.shuffle_key(F.col("doc_id")).alias("sk"))
-        .orderBy("sk")
-        .collect()
-    ]
+    assert {(r.doc_id, r.source_id, r.epoch) for r in mixed2.collect()} == got
+    # a different seed draws a DIFFERENT fractional epoch (salting works)
+    other = cu.mixture_sample([(en, 0.7), (rest, 1.4)], key="doc_id", seed="m2")
+    assert {(r.doc_id, r.source_id, r.epoch) for r in other.collect()} != got
+    # shuffle key: epoch-aware (replicas land at independent spots),
+    # deterministic across runs and partitionings
+    sk = cu.shuffle_key(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("epoch").cast("string"))
+    )
+    perm1 = [(r.doc_id, r.epoch) for r in mixed.select("doc_id", "epoch", sk.alias("sk")).orderBy("sk").collect()]
+    perm2 = [(r.doc_id, r.epoch) for r in mixed2.select("doc_id", "epoch", sk.alias("sk")).orderBy("sk").collect()]
     assert perm1 == perm2
     assert perm1 != sorted(perm1)  # it actually permutes
+    # replicas are not adjacent: epoch-0/epoch-1 copies of the same doc
+    # separated by at least one other row almost surely
+    pos = {pair: idx for idx, pair in enumerate(perm1)}
+    adjacent = sum(
+        1 for i in e1 if abs(pos[(i, 0)] - pos[(i, 1)]) == 1
+    )
+    assert adjacent < max(3, len(e1) // 10)
 
 
 def test_pack_sequences_budget_invariants(spark, sf_dir):
