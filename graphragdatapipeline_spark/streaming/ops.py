@@ -99,6 +99,32 @@ def session_windows(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def windowed_distinct_users(
+    df: DataFrame, width: str = "1 day", slide: str | None = None
+) -> DataFrame:
+    """Distinct active users per (optionally sliding) event-time
+    window — the streaming-safe form of countDistinct.
+
+    Streaming cannot run countDistinct inside a windowed aggregation
+    (per-group distinct state is unbounded), so this uses the
+    production two-phase pattern: project each event onto its
+    window(s), drop duplicate (window, user) pairs — state is one row
+    per pair, expired by the upstream watermark — then count rows per
+    window. The batch twin is the identical plan with a plain
+    dropDuplicates; both sides count each user once per window."""
+    w = F.window("ts", width, slide or width)
+    proj = df.select(w.alias("w"), "user_id")
+    dd = proj.dropDuplicates(["w", "user_id"])
+    return (
+        dd.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_active",
+        )
+    )
+
+
 def dedup_keep_first(
     df: DataFrame, keys: list[str], order_col: str = "ts", tiebreak: str = "event_id"
 ) -> DataFrame:

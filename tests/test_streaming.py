@@ -60,6 +60,38 @@ def test_session_stream_runs(spark, events_stream_dir, tmp_path):
     assert all(r.n_events >= 1 for r in rows)
 
 
+def test_windowed_distinct_users_stream_equals_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """The two-phase distinct pattern (window-project → dropDuplicates
+    → count) must give identical distinct-actives per sliding window
+    in streaming and batch — and must equal a plain countDistinct in
+    batch (the semantics it stands in for)."""
+    stream = so.read_events_stream(spark, events_stream_dir)
+    # the staged files are NOT time-ordered (repartition(3)), so the
+    # watermark must exceed the fixture's full span or the dedup state
+    # operator discards genuinely-new rows as late
+    agg = so.windowed_distinct_users(
+        so.with_watermark(stream, "90 days"), width="2 days", slide="1 day"
+    )
+    got = _run_stream_to_memory(
+        spark, agg, "wdu_mem", str(tmp_path), output_mode="complete"
+    )
+    ev = read_table(spark, sf_dir, "events")
+    batch = so.windowed_distinct_users(ev, width="2 days", slide="1 day")
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+    ref = {
+        tuple(r)
+        for r in ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_active")
+        .collect()
+    }
+    assert b == ref
+
+
 def test_foreach_batch_sink(spark, events_stream_dir, tmp_path):
     stream = so.read_events_stream(spark, events_stream_dir)
     seen: list[int] = []
