@@ -134,6 +134,12 @@ def test_curation_ops_on_empty_and_singleton_inputs(spark):
     out = cu.decontaminate(one, empty, "doc_id", "text").collect()
     assert len(out) == 1 and not out[0].contaminated
 
+    # mixture: empty sources contribute nothing; weight 0 keeps nothing;
+    # an integer weight replicates exactly
+    assert cu.mixture_sample([(empty, 0.5), (empty, 1.5)], "doc_id").count() == 0
+    mix = cu.mixture_sample([(one, 0.0), (one, 2.0)], "doc_id").collect()
+    assert sorted((r.source_id, r.epoch) for r in mix) == [(1, 0), (1, 1)]
+
     p = cu.pack_into_sequences(one, "lang", ["doc_id"], "w", 100).first()
     assert (p.seq_index, p.seq_offset) == (0, 0)
     t = tfidf_top_terms(one, "doc_id", "text").collect()

@@ -331,3 +331,41 @@ def test_state_history_matches_reference(spark, evs):
     for j in range(len(runs) - 1):
         runs[j][2] = runs[j + 1][1]
     assert got == sorted((s, vf, vt, n) for s, vf, vt, n in runs)
+
+
+@given(
+    keys=st.lists(st.integers(0, 50), min_size=0, max_size=20, unique=True),
+    w0=st.floats(0.0, 3.0, allow_nan=False),
+    w1=st.floats(0.0, 3.0, allow_nan=False),
+)
+@SET
+def test_mixture_sample_matches_md5_reference(spark, keys, w0, w1):
+    """mixture_sample == the per-row Python replay of its md5 coin:
+    weight w keeps floor(w) full epochs plus a fractional epoch iff
+    bucket(seed|src|epoch|key) < round(frac * buckets)."""
+    import hashlib
+
+    from graphragdatapipeline_spark.operators.curation import mixture_sample
+
+    schema = "doc_id BIGINT"
+    df = (
+        spark.createDataFrame([(k,) for k in keys], schema)
+        if keys
+        else spark.createDataFrame([], schema)
+    )
+    got = {
+        (r.doc_id, r.source_id, r.epoch)
+        for r in mixture_sample([(df, w0), (df, w1)], "doc_id", seed="p").collect()
+    }
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 10_000
+
+    expect = set()
+    for i, w in enumerate([w0, w1]):
+        n_full, cap = int(w), round((w - int(w)) * 10_000)
+        for k in keys:
+            for e in range(n_full + 1):
+                if e < n_full or bucket(f"p|{i}|{e}|{k}") < cap:
+                    expect.add((k, i, e))
+    assert got == expect
