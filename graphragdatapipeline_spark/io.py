@@ -104,6 +104,42 @@ def write_sparse_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     out.write.mode(mode).text(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance job every long-running
+    100 TB pipeline needs: streaming sinks and per-partition writers
+    accumulate thousands of KB-sized files, and scan parallelism plus
+    the driver's file-listing cost degrade with file COUNT, not bytes.
+
+    Sizes the output from the ACTUAL input bytes (not a guess at row
+    width): n_files = ceil(input_bytes / target). With `cluster_by`
+    the rewrite range-partitions on those columns, so every output
+    file covers a narrow key range and parquet row-group min/max
+    stats prune reads for key-range predicates — compaction and
+    data-skipping layout in one pass. Returns the output file count."""
+    import math
+
+    df = spark.read.parquet(src_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+    if cluster_by:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
+        df = df.sortWithinPartitions(*cluster_by)
+    else:
+        # coalesce never splits: merging small files is shuffle-free;
+        # an input already at/below the target passes through untouched
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(dst_dir)
+    return len(spark.read.parquet(dst_dir).inputFiles())
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -185,6 +185,36 @@ def salted_join(
     return out.drop("_salt")
 
 
+def key_skew_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """The measurement you run BEFORE choosing a skew strategy: per-key
+    row counts for the `top_k` heaviest keys, each with its share of
+    the table and its skew factor (count / mean-count-per-key). A
+    skew_factor ≫ number-of-executor-slots on the top key says a plain
+    shuffle join/agg on this key pins one reducer — reach for
+    salted_join or AQE skew-join; ~1 says the key is safe.
+
+    Cost shape: one partial-agg shuffle keyed on `key` (counts), a
+    single-row global agg of the counts, broadcast back — no sort of
+    the raw table, TakeOrdered for the top-k."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n_rows",
+            (F.col("n_rows") / F.col("_total")).alias("share"),
+            (F.col("n_rows") * F.col("_n_keys") / F.col("_total")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(top_k)
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

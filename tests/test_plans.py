@@ -186,3 +186,71 @@ def test_community_rollup_reuses_exchange_across_branches(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_compact_parquet_merges_small_files_and_clusters(spark, sf_dir, tmp_path):
+    """Compaction sizes output files from actual input bytes; with
+    cluster_by, each output file covers a narrow disjoint key range
+    (range partition + in-file sort), which is what lets parquet
+    row-group stats prune key-range scans after the rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import compact_parquet, read_table
+
+    src = os.path.join(str(tmp_path), "frag")
+    dst = os.path.join(str(tmp_path), "compact")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(src)  # 64 tiny fragments
+    n_in = len(spark.read.parquet(src).inputFiles())
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n_out = compact_parquet(spark, src, dst, target_bytes_per_file=total // 4 + 1)
+    assert n_in == 64 and n_out <= 5
+    a = spark.read.parquet(dst)
+    assert a.count() == orders.count()
+
+    dst2 = os.path.join(str(tmp_path), "clustered")
+    compact_parquet(
+        spark, src, dst2, target_bytes_per_file=total // 4 + 1,
+        cluster_by=["o_orderkey"],
+    )
+    b = spark.read.parquet(dst2)
+    assert b.count() == orders.count()
+    ranges = (
+        b.select("o_orderkey", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    # disjoint key ranges across files = skippable layout
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert len(spans) >= 2
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_key_skew_profile_values_and_plan(spark, sf_dir):
+    """Profile values match a Python replay on a known-skewed key and
+    the plan contains no global sort of the raw table (TakeOrdered on
+    the per-key counts only)."""
+    import collections
+
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators.relational import key_skew_profile
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    prof = key_skew_profile(li, "l_suppkey", top_k=5)
+    rows = prof.collect()
+    cnt = collections.Counter(r.l_suppkey for r in li.collect())
+    total, n_keys = sum(cnt.values()), len(cnt)
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.l_suppkey, r.n_rows) for r in rows] == expect
+    top = rows[0]
+    assert abs(top.share - top.n_rows / total) < 1e-12
+    assert abs(top.skew_factor - top.n_rows * n_keys / total) < 1e-9
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
