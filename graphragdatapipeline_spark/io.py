@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -104,12 +104,48 @@ def write_sparse_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     out.write.mode(mode).text(path)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Z-order (Morton) key over `cols` for multi-column data-skipping
+    layout: each column is quantile-bucketed into 2^bits ranks (equal-
+    population, so skew cannot collapse the curve), and the rank bits
+    are interleaved — rows close in EVERY dimension get close keys, so
+    a range-partitioned rewrite on this key gives every file a small
+    bounding box in all clustered columns at once. Single-column
+    clustering optimizes one predicate; Z-order keeps min/max row-group
+    stats selective for predicates on ANY of the clustered columns.
+
+    Built entirely from native expressions: the quantile boundaries
+    are a driver-side approxQuantile (one aggregate pass, standard for
+    layout jobs), shipped as an array literal — the per-row bucket
+    lookup and bit interleave are map-side, no shuffle, no UDF.
+    bits * len(cols) must fit a long (≤ 63)."""
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must be <= 63")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0).cast("long")
+    for c_idx, c in enumerate(cols):
+        bounds = df.approxQuantile(c, probs, 0.001)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        # rank = how many boundaries lie at/below this value (0..2^bits-1)
+        rank = F.size(
+            F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+        ).cast("long")
+        for bit in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(rank, bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + c_idx,
+            )
+    return z
+
+
 def compact_parquet(
     spark: SparkSession,
     src_dir: str,
     dst_dir: str,
     target_bytes_per_file: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction — the maintenance job every long-running
     100 TB pipeline needs: streaming sinks and per-partition writers
@@ -129,7 +165,14 @@ def compact_parquet(
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total = fs.getContentSummary(jvm_path).getLength()
     n_files = max(1, math.ceil(total / target_bytes_per_file))
-    if cluster_by:
+    if zorder_by:
+        df = df.withColumn("_z", zorder_key(df, zorder_by))
+        df = (
+            df.repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif cluster_by:
         df = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
         df = df.sortWithinPartitions(*cluster_by)
     else:

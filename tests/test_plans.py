@@ -254,3 +254,63 @@ def test_key_skew_profile_values_and_plan(spark, sf_dir):
     assert abs(top.skew_factor - top.n_rows * n_keys / total) < 1e-9
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_compaction_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order rewrite must give every output file a small bounding box
+    in BOTH clustered columns; single-column clustering only bounds its
+    own column. Bounding boxes are measured as normalized (max-min)
+    spans per file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import compact_parquet, read_table
+
+    src = os.path.join(str(tmp_path), "src")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    orders.repartition(16).write.parquet(src)
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    target = total // 16 + 1  # → ~16 output files
+
+    def spans(path):
+        d = spark.read.parquet(path)
+        lo = {c: d.agg(F.min(c)).first()[0] for c in ("o_custkey", "o_totalprice")}
+        hi = {c: d.agg(F.max(c)).first()[0] for c in ("o_custkey", "o_totalprice")}
+        per_file = (
+            d.select("o_custkey", "o_totalprice", F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(
+                F.min("o_custkey").alias("c_lo"), F.max("o_custkey").alias("c_hi"),
+                F.min("o_totalprice").alias("p_lo"), F.max("o_totalprice").alias("p_hi"),
+            )
+            .collect()
+        )
+        c_w = hi["o_custkey"] - lo["o_custkey"]
+        p_w = hi["o_totalprice"] - lo["o_totalprice"]
+        cs = [(r.c_hi - r.c_lo) / c_w for r in per_file]
+        ps = [(r.p_hi - r.p_lo) / p_w for r in per_file]
+        return sum(cs) / len(cs), sum(ps) / len(ps)
+
+    zdst = os.path.join(str(tmp_path), "zorder")
+    n = compact_parquet(spark, src, zdst, target, zorder_by=["o_custkey", "o_totalprice"])
+    assert n >= 4
+    zc, zp = spans(zdst)
+
+    cdst = os.path.join(str(tmp_path), "bykey")
+    compact_parquet(spark, src, cdst, target, cluster_by=["o_custkey"])
+    cc, cp = spans(cdst)
+
+    # fragmented input: every file spans ~everything in both dims
+    fc, fp = spans(src)
+    assert fc > 0.9 and fp > 0.9
+    # single-column clustering: tight on custkey, wide on price
+    assert cc < 0.25 and cp > 0.9
+    # z-order: meaningfully bounded in BOTH dimensions
+    assert zc < 0.6 and zp < 0.6
