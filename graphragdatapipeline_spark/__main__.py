@@ -35,6 +35,29 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the benchmark (one JSON line)")
 
+    comp = sub.add_parser(
+        "compact", help="compact small parquet files (optional clustering)"
+    )
+    comp.add_argument("src_dir")
+    comp.add_argument("dst_dir")
+    comp.add_argument(
+        "--target-mb", type=int, default=128, help="target MB per output file"
+    )
+    comp.add_argument(
+        "--cluster-by", default=None, help="comma-separated range-cluster columns"
+    )
+    comp.add_argument(
+        "--zorder-by", default=None, help="comma-separated Z-order columns"
+    )
+
+    sk = sub.add_parser(
+        "skew", help="profile key skew of a table column (top-k heavy keys)"
+    )
+    sk.add_argument("table")
+    sk.add_argument("key")
+    sk.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sk.add_argument("-k", type=int, default=10)
+
     args = p.parse_args(argv)
 
     if args.cmd == "bench":
@@ -70,6 +93,29 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(f"{'PASS' if r.passed else 'FAIL'}  {r.check_name}")
         return 1 if failed else 0
+
+    if args.cmd == "compact":
+        from graphragdatapipeline_spark.io import compact_parquet
+
+        n = compact_parquet(
+            spark,
+            args.src_dir,
+            args.dst_dir,
+            target_bytes_per_file=args.target_mb * 1024 * 1024,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+        )
+        print(f"wrote {n} files to {args.dst_dir}")
+        return 0
+
+    if args.cmd == "skew":
+        from graphragdatapipeline_spark.io import read_table
+        from graphragdatapipeline_spark.operators.relational import key_skew_profile
+
+        key_skew_profile(
+            read_table(spark, args.sf_dir, args.table), args.key, top_k=args.k
+        ).show(args.k, truncate=False)
+        return 0
 
     return 2
 
