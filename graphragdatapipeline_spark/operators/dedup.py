@@ -386,3 +386,78 @@ def dedup_corpus(
     unlike a full connected-components canonicalization."""
     drop = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def exact_dedup_incremental(
+    new: DataFrame, fp_index: DataFrame | None, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup — the corpus-MAINTENANCE shape: at
+    100 TB you never re-dedup the whole lake per ingest; you keep a
+    fingerprint index (one 32-hex row per kept doc) and process only
+    the new batch against it.
+
+    Returns (clean_new, index_delta): batch rows that survive both
+    the in-batch dedup (smallest id per fingerprint) and the anti-join
+    against the existing index, plus the index rows to append. Cost
+    per ingest: one window over the BATCH + one join keyed on `fp`
+    against the index — never a scan of the corpus text."""
+    stamped = new.withColumn("fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    in_batch = (
+        stamped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if fp_index is not None:
+        in_batch = in_batch.join(fp_index.select("fp"), "fp", "left_anti")
+    return in_batch.drop("fp"), in_batch.select("fp")
+
+
+def minhash_dedup_incremental(
+    new: DataFrame,
+    band_index: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash-LSH near-dup — same maintenance shape as
+    exact_dedup_incremental but for near-duplicates: the persisted
+    index is the BAND table (id, band_idx, band_hash) of every kept
+    doc. A new doc is dropped if any of its bands hits an existing
+    bucket (a kept near-duplicate already represents it), then the
+    surviving batch is LSH-deduped within itself.
+
+    Returns (clean_new, band_delta). Cost per ingest: the batch's
+    signatures are map-side (zero shuffle), one semi-join of
+    batch-bands against the index on (band_idx, band_hash), one
+    in-batch bucket join — corpus text is never rescanned, and the
+    index grows by exactly `bands` rows per kept doc.
+
+    Semantics note: newcomers are compared against KEPT docs
+    (cluster representatives), not against every doc ever seen — a
+    newcomer whose only near-dup was itself dropped survives. This is
+    the standard index-based production semantics; a one-shot
+    `dedup_corpus` over the full corpus additionally drops such docs
+    (its drop rule sees pairs with non-representatives). The two
+    agree whenever each duplicate cluster is band-connected to its
+    surviving representative, which holds for boilerplate/mirror-style
+    duplication."""
+    sig = minhash_signatures_rowwise(new, id_col, text_col, k, num_hashes)
+    b_new = lsh_bands(sig, id_col, num_hashes, bands).localCheckpoint(eager=False)
+    survivors = new
+    if band_index is not None:
+        hit = (
+            b_new.join(band_index, ["band_idx", "band_hash"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        survivors = survivors.join(hit, id_col, "left_anti")
+        b_new = b_new.join(hit, id_col, "left_anti")
+    in_batch_pairs = lsh_candidate_pairs(b_new, id_col)
+    clean = dedup_corpus(survivors, in_batch_pairs, id_col)
+    band_delta = b_new.join(
+        clean.select(id_col), id_col, "left_semi"
+    )
+    return clean, band_delta

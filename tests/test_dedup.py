@@ -27,3 +27,56 @@ def test_simhash_near_dups_max_bucket_guardrail(spark):
     assert full == 12 * 11 // 2 + 1
     capped = dd.simhash_near_dups(fps, "doc_id", max_bucket=5).collect()
     assert {(r.a, r.b) for r in capped} == {(100, 101)}
+
+
+def test_exact_dedup_incremental_equals_batch_at_once(spark, sf_dir):
+    """Two-batch incremental ingest (id-ordered batches) must keep
+    exactly the docs that a whole-corpus exact_dedup keeps, and the
+    index must accumulate one fp per kept doc."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    mid = d.approxQuantile("doc_id", [0.5], 0.001)[0]
+    b1, b2 = d.filter(F.col("doc_id") <= mid), d.filter(F.col("doc_id") > mid)
+
+    c1, idx1 = dd.exact_dedup_incremental(b1, None, "doc_id", "text")
+    idx1 = idx1.localCheckpoint()
+    c2, idx2 = dd.exact_dedup_incremental(b2, idx1, "doc_id", "text")
+
+    got = {r.doc_id for r in c1.collect()} | {r.doc_id for r in c2.collect()}
+    want = {r.doc_id for r in dd.exact_dedup(d, "doc_id", "text").collect()}
+    assert got == want
+    assert idx1.count() + idx2.count() == len(want)
+
+
+def test_minhash_dedup_incremental_equals_batch_at_once(spark, sf_dir):
+    """Incremental LSH ingest keeps exactly the docs the one-shot
+    minhash corpus dedup keeps (id-ordered batches => first-seen ==
+    min-id representative), and the band index grows by bands-per-doc
+    for every kept doc. Equality requires each duplicate cluster to be
+    band-connected to its surviving representative — true on this
+    corpus (and typical duplication); where it isn't, incremental
+    keeps the newcomer (index semantics) while one-shot drops it."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    mid = d.approxQuantile("doc_id", [0.5], 0.001)[0]
+    b1, b2 = d.filter(F.col("doc_id") <= mid), d.filter(F.col("doc_id") > mid)
+
+    c1, bd1 = dd.minhash_dedup_incremental(b1, None, "doc_id", "text")
+    bd1 = bd1.localCheckpoint()
+    c2, bd2 = dd.minhash_dedup_incremental(b2, bd1, "doc_id", "text")
+
+    got = {r.doc_id for r in c1.collect()} | {r.doc_id for r in c2.collect()}
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text")
+    want = {
+        r.doc_id for r in dd.dedup_corpus(d.select("doc_id"), pairs, "doc_id").collect()
+    }
+    assert got == want
+    assert bd1.count() + bd2.count() == 4 * len(got)
