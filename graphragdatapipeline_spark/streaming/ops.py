@@ -157,6 +157,49 @@ def write_foreach_batch(
     return writer.start()
 
 
+def incremental_dedup_sink(
+    stream_df: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming corpus maintenance: every micro-batch of documents is
+    exact-deduped against the ACCUMULATED fingerprint index
+    (operators.dedup.exact_dedup_incremental), survivors appended to
+    the corpus, their fingerprints to the index. Micro-batches run
+    sequentially, so each sees every prior batch's index rows — the
+    streaming form of the per-ingest maintenance job.
+
+    Exactly-once caveat, stated honestly: two plain-parquet appends
+    are not atomic under a retry between them; production pins this
+    with a transactional table format (Delta/Iceberg) in the same
+    foreachBatch. The dataflow — read index, anti-join, append deltas
+    — is identical."""
+    from pyspark.sql.utils import AnalysisException
+
+    from graphragdatapipeline_spark.operators.dedup import (
+        exact_dedup_incremental,
+        fingerprint,
+    )
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        try:
+            idx = spark.read.parquet(index_dir)
+        except AnalysisException:
+            idx = None
+        clean, _delta = exact_dedup_incremental(df, idx, id_col, text_col)
+        clean = clean.localCheckpoint()  # one computation feeds both appends
+        clean.write.mode("append").parquet(corpus_dir)
+        clean.select(fingerprint(F.col(text_col)).alias("fp")).write.mode(
+            "append"
+        ).parquet(index_dir)
+
+    return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
+
+
 def click_purchase_attribution(
     clicks: DataFrame, purchases: DataFrame, horizon_minutes: int = 60
 ) -> DataFrame:

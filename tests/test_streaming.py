@@ -269,3 +269,44 @@ def test_state_history_stream_equals_batch(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch_closed.collect()}
     assert a == b and len(a) > 100
+
+
+def test_incremental_dedup_sink_equals_batch_dedup(spark, sf_dir, tmp_path):
+    """Streaming corpus maintenance: documents streamed in id-ordered
+    slices through the foreachBatch incremental-dedup sink must leave
+    exactly the corpus a one-shot exact_dedup produces (first-seen ==
+    min-id when slices arrive in id order), and the fingerprint index
+    must hold one row per kept doc."""
+    import time
+
+    from graphragdatapipeline_spark.operators.dedup import exact_dedup
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, cond in enumerate(
+        [F.col("doc_id") <= cut1,
+         (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+         F.col("doc_id") > cut2]
+    ):
+        d.filter(cond).coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)  # file source processes oldest-first by mod time
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    q = so.incremental_dedup_sink(
+        stream, corpus_dir, index_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    want = {r.doc_id for r in exact_dedup(d, "doc_id", "text").collect()}
+    assert got == want
+    assert spark.read.parquet(index_dir).count() == len(want)
