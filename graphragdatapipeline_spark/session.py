@@ -43,6 +43,15 @@ _DEFAULTS = {
     "spark.sql.files.minPartitionNum": str(os.cpu_count() or 8),
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": "32",
+    # RocksDB state store: streaming state (dedup pairs, window panes,
+    # per-key stateful ops) lives off-heap and spills to disk — the
+    # in-memory HDFS-backed default OOMs once stateful-operator
+    # cardinality outgrows executor heap, which a 100 TB stream does on
+    # day one. Also required by transformWithStateInPandas.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
