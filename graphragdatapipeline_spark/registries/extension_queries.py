@@ -257,3 +257,35 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("valid_from").alias("valid_from"),
         F.unix_timestamp("valid_to").alias("valid_to"),
     )
+
+
+@register(
+    "pivot_unpivot_quantity",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       floor((sum(CAST(l_quantity AS DECIMAL(27,6)))::DOUBLE) * 100 + 0.5) / 100 AS sum_qty
+FROM lineitem
+WHERE l_linestatus IN ('O', 'F')
+GROUP BY 1, 2
+""",
+)
+def pivot_unpivot_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip (engine extension; the guide-book
+    OLAP pattern absent from both the reference and the registry until
+    now): quantities pivot WIDE by linestatus (one column per status,
+    explicit value list so the plan needs no extra distinct pass),
+    then unpivot back to LONG form. The oracle is the plain
+    conditional aggregation the round trip must be equivalent to —
+    proving .pivot()'s column routing and .unpivot()'s stack are
+    lossless inverses on this data."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.col("l_quantity"), 2))
+    )
+    return (
+        wide.unpivot(["l_returnflag"], ["O", "F"], "l_linestatus", "sum_qty")
+        .filter(F.col("sum_qty").isNotNull())
+    )
