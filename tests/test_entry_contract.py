@@ -70,3 +70,31 @@ def test_ordering_is_deterministic():
     assert list(entry_mod.oracle_sql()) == [
         n for n in entry_mod.queries() if REGISTRY[n].oracle is not None
     ]
+
+
+def test_cli_list_query_skew_compact(spark, sf_dir, tmp_path, capsys):
+    """CLI surface smoke: every subcommand runs through main() and
+    exits 0 (the session is shared with the test fixture via
+    getOrCreate, so this stays cheap)."""
+    import os
+
+    from graphragdatapipeline_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "flagship_order_rollup" in out and "[oracle]" in out
+
+    assert main(["query", "pricing_summary", "--sf-dir", sf_dir, "-n", "3"]) == 0
+    assert main(["query", "no_such_query"]) == 2
+
+    assert main(["skew", "lineitem", "l_suppkey", "--sf-dir", sf_dir, "-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "skew_factor" in out
+
+    src = os.path.join(str(tmp_path), "cli_src")
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).repartition(
+        8
+    ).write.parquet(src)
+    dst = os.path.join(str(tmp_path), "cli_dst")
+    assert main(["compact", src, dst, "--target-mb", "64"]) == 0
+    assert len(spark.read.parquet(dst).inputFiles()) == 1
