@@ -9,7 +9,7 @@ end-to-end, not just operator-by-operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphragdatapipeline_spark import checks as ck

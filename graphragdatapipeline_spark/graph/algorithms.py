@@ -15,7 +15,7 @@ but it scales to edge lists that never fit one machine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

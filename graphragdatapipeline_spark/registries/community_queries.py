@@ -5,7 +5,7 @@ generate_community_summaries.py) re-expressed over the fixture graph
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphragdatapipeline_spark import llm
