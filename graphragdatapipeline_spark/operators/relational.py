@@ -366,10 +366,40 @@ def funnel_counts(
     so it is lazily checkpointed (the branch-reuse rule, SCALE.md) —
     coalesced to cluster parallelism first so an untuned session does
     not write 200 block files per stage."""
+    frontiers = _funnel_frontiers(
+        events, steps, user_col, type_col, ts_col, max_gap_seconds
+    )
+    out_rows = [
+        frontier.agg(
+            F.lit(step).alias("stage"),
+            F.lit(i + 1).cast("long").alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        for i, (step, frontier) in enumerate(zip(steps, frontiers))
+    ]
+    out = out_rows[0]
+    for nxt in out_rows[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def _funnel_frontiers(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    max_gap_seconds: int | None,
+) -> list[DataFrame]:
+    """The funnel's per-stage frontier chain: frontiers[i] is (u, t)
+    with t = each user's EARLIEST qualifying ts for steps[i]. Each
+    frontier feeds both its stage count and the next stage's join, so
+    each is lazily checkpointed (branch-reuse rule, SCALE.md),
+    coalesced to cluster parallelism first."""
     par = max(events.sparkSession.sparkContext.defaultParallelism, 2)
     frontier = None
-    out_rows = []
-    for i, step in enumerate(steps):
+    frontiers = []
+    for step in steps:
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("u"), F.col(ts_col).alias("t")
         )
@@ -386,17 +416,28 @@ def funnel_counts(
                 )
             frontier = joined.groupBy("u").agg(F.min("t").alias("t"))
         frontier = frontier.coalesce(par).localCheckpoint(eager=False)
-        out_rows.append(
-            frontier.agg(
-                F.lit(step).alias("stage"),
-                F.lit(i + 1).cast("long").alias("stage_idx"),
-                F.count(F.lit(1)).alias("n_users"),
-            )
-        )
-    out = out_rows[0]
-    for nxt in out_rows[1:]:
-        out = out.unionByName(nxt)
-    return out
+        frontiers.append(frontier)
+    return frontiers
+
+
+def funnel_conversions(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user FULL-funnel completions: (user_id, converted) where
+    converted is the earliest qualifying final-stage ts — the last
+    frontier of funnel_counts' chain. This is the batch twin of the
+    streaming funnel state machine (streaming.stateful.funnel_stream)."""
+    frontiers = _funnel_frontiers(
+        events, steps, user_col, type_col, ts_col, max_gap_seconds
+    )
+    return frontiers[-1].select(
+        F.col("u").alias(user_col), F.col("t").alias("converted")
+    )
 
 
 def cohort_retention(

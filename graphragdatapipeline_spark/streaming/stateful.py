@@ -188,3 +188,71 @@ def state_history_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_DDL = "user_id BIGINT, converted TIMESTAMP"
+
+
+def funnel_stream(
+    events_stream: DataFrame,
+    steps: list[str],
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Real-time ordered-funnel tracking — the streaming twin of
+    operators.relational.funnel_conversions: per-user state holds the
+    earliest qualifying ts of each reached stage; the moment a user's
+    FINAL stage qualifies (strictly after the previous stage's reach
+    ts, within the optional conversion window), one append row
+    (user_id, converted) is emitted. Conversions never retract, so the
+    output is append-safe.
+
+    Greedy-min equivalence: processing rows per-key in (ts, event_id)
+    order makes 'first qualifying event' identical to the batch
+    chain's min-aggregate at every stage. Ordering contract matches
+    state_history_stream: per-key event-time order across
+    micro-batches (the CDC/changelog property); within a micro-batch
+    the processor sorts itself.
+
+    State is len(steps) longs + a done flag per user — bounded,
+    RocksDB-resident, and evictable via GroupStateTimeout for
+    unbounded user spaces."""
+    n = len(steps)
+    state_ddl = ", ".join(f"r{i} BIGINT" for i in range(n)) + ", done BOOLEAN"
+    gap_us = None if max_gap_seconds is None else max_gap_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = list(state.get) if state.exists else [None] * n + [False]
+        reach, done = st[:n], bool(st[n])
+        out = []
+        for pdf in pdfs:
+            if done:
+                break
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                if done:
+                    break
+                j = next((i for i in range(n) if reach[i] is None), None)
+                if j is None or et != steps[j]:
+                    continue
+                ts_us = int(pd.Timestamp(ts).value // 1_000)
+                if j > 0:
+                    if ts_us <= reach[j - 1]:
+                        continue
+                    if gap_us is not None and ts_us > reach[j - 1] + gap_us:
+                        continue
+                reach[j] = ts_us
+                if j == n - 1:
+                    done = True
+                    out.append((key[0], pd.Timestamp(ts_us * 1_000)))
+        state.update(tuple(reach) + (done,))
+        yield pd.DataFrame(out, columns=["user_id", "converted"])
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_DDL,
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -310,3 +310,44 @@ def test_incremental_dedup_sink_equals_batch_dedup(spark, sf_dir, tmp_path):
     want = {r.doc_id for r in exact_dedup(d, "doc_id", "text").collect()}
     assert got == want
     assert spark.read.parquet(index_dir).count() == len(want)
+
+
+def test_funnel_stream_equals_batch_conversions(spark, sf_dir, tmp_path):
+    """Real-time funnel: the per-user stateful machine (append mode)
+    must emit exactly the batch chain's full-funnel conversions —
+    same users, same earliest qualifying final-stage ts. Input staged
+    as time-sliced files (ordered-arrival contract, as for
+    state_history)."""
+    import time
+
+    from graphragdatapipeline_spark.operators.relational import funnel_conversions
+    from graphragdatapipeline_spark.streaming import stateful as st
+
+    ev = read_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut1, cut2 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, cond in enumerate(
+        [F.col("ts") <= cut1, (F.col("ts") > cut1) & (F.col("ts") <= cut2), F.col("ts") > cut2]
+    ):
+        ev.filter(cond).coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    got = _run_stream_to_memory(
+        spark,
+        st.funnel_stream(stream, ["view", "click", "purchase"], max_gap_seconds=24 * 3600),
+        "funnel_mem",
+        str(tmp_path),
+    )
+    batch = funnel_conversions(
+        ev, ["view", "click", "purchase"], max_gap_seconds=24 * 3600
+    )
+    a = {(r.user_id, r.converted) for r in got.collect()}
+    b = {(r.user_id, r.converted) for r in batch.collect()}
+    assert a == b and len(a) > 0
