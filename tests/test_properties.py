@@ -369,3 +369,55 @@ def test_mixture_sample_matches_md5_reference(spark, keys, w0, w1):
                 if e < n_full or bucket(f"p|{i}|{e}|{k}") < cap:
                     expect.add((k, i, e))
     assert got == expect
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # user
+            st.integers(0, 50),                     # ts offset (hours)
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    gap_hours=st.sampled_from([None, 5, 24]),
+)
+@SET
+def test_funnel_conversions_match_reference(spark, evs, gap_hours):
+    """funnel_conversions == per-user Python replay of the greedy
+    min-ts chain: reach[0] = min view ts; reach[i] = min step-i ts
+    strictly after reach[i-1] (within the gap); conversion = reach[2].
+    Duplicate (user, ts, type) rows collapse to the same min."""
+    import datetime
+
+    from graphragdatapipeline_spark.operators.relational import funnel_conversions
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + datetime.timedelta(hours=h), et, i)
+        for i, (u, h, et) in enumerate(evs)
+    ]
+    schema = "user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    steps = ["view", "click", "purchase"]
+    gap = None if gap_hours is None else gap_hours * 3600
+    got = {(r.user_id, r.converted) for r in funnel_conversions(df, steps, max_gap_seconds=gap).collect()}
+
+    expect = set()
+    for u in {u for u, _, _ in evs}:
+        mine = sorted((t0 + datetime.timedelta(hours=h), et) for uu, h, et in evs if uu == u)
+        reach = None
+        for step in steps:
+            cands = [
+                t for t, et in mine
+                if et == step
+                and (reach is None or (t > reach and (gap is None or (t - reach).total_seconds() <= gap)))
+            ]
+            if not cands:
+                reach = None
+                break
+            reach = min(cands)
+        if reach is not None:
+            expect.add((u, reach))
+    assert got == expect
