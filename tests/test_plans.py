@@ -314,3 +314,29 @@ def test_zorder_compaction_bounds_both_dimensions(spark, sf_dir, tmp_path):
     assert cc < 0.25 and cp > 0.9
     # z-order: meaningfully bounded in BOTH dimensions
     assert zc < 0.6 and zp < 0.6
+
+
+def test_gap_fill_broadcasts_spine_joins(spark, sf_dir):
+    """Gap filling must broadcast the spine-side joins — the fact
+    table shuffles once for the hourly aggregate and never again."""
+    plan = _plan(spark, "events_gap_fill", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny spine × types cross
+
+
+def test_zorder_key_validates_bit_budget(spark, sf_dir):
+    """bits × len(cols) beyond a long must be rejected loudly, and a
+    3-column key must still fit and produce distinct values."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table, zorder_key
+
+    o = read_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        zorder_key(o, ["o_orderkey", "o_custkey"], bits=32)
+    z = o.withColumn(
+        "_z", zorder_key(o, ["o_orderkey", "o_custkey", "o_totalprice"], bits=6)
+    )
+    n_distinct = z.select("_z").distinct().count()
+    assert n_distinct > 100  # 2^18 key space actually spreads the data
