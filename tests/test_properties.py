@@ -9,12 +9,16 @@ deadline disabled; the data shapes stay tiny."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+# Spark jobs per example are expensive: 15 examples by default; export
+# SPARK_GRAFT_HYP_EXAMPLES=100 for an occasional deep fuzz pass.
 SET = settings(
-    max_examples=15,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "15")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
