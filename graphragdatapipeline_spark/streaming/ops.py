@@ -200,6 +200,40 @@ def incremental_dedup_sink(
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 
 
+def incremental_neardup_sink(
+    stream_df: DataFrame,
+    corpus_dir: str,
+    band_index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Near-duplicate streaming corpus maintenance — the MinHash twin
+    of incremental_dedup_sink: each micro-batch computes its band
+    table map-side, drops docs whose bands hit the ACCUMULATED index
+    (a kept near-duplicate already represents them), LSH-dedups the
+    survivors within the batch, then appends survivors to the corpus
+    and their bands to the index. Same sequential-micro-batch and
+    exactly-once caveats as the exact sink."""
+    from pyspark.sql.utils import AnalysisException
+
+    from graphragdatapipeline_spark.operators.dedup import minhash_dedup_incremental
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        try:
+            idx = spark.read.parquet(band_index_dir)
+        except AnalysisException:
+            idx = None
+        clean, band_delta = minhash_dedup_incremental(df, idx, id_col, text_col)
+        clean = clean.localCheckpoint()
+        band_delta = band_delta.localCheckpoint()
+        clean.write.mode("append").parquet(corpus_dir)
+        band_delta.write.mode("append").parquet(band_index_dir)
+
+    return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
+
+
 def click_purchase_attribution(
     clicks: DataFrame, purchases: DataFrame, horizon_minutes: int = 60
 ) -> DataFrame:

@@ -351,3 +351,46 @@ def test_funnel_stream_equals_batch_conversions(spark, sf_dir, tmp_path):
     a = {(r.user_id, r.converted) for r in got.collect()}
     b = {(r.user_id, r.converted) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_incremental_neardup_sink_equals_sequential_batches(spark, sf_dir, tmp_path):
+    """Streaming near-dup maintenance must leave exactly the corpus
+    that sequential batch application of minhash_dedup_incremental
+    over the same slices leaves — the true invariant regardless of
+    duplicate-cluster band connectivity."""
+    import time
+
+    from graphragdatapipeline_spark.operators.dedup import minhash_dedup_incremental
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) / 2
+    slices = [d.filter(F.col("doc_id") <= cut), d.filter(F.col("doc_id") > cut)]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    q = so.incremental_neardup_sink(
+        stream, corpus_dir, str(tmp_path / "bands"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+
+    idx = None
+    want = set()
+    for sl in slices:
+        clean, delta = minhash_dedup_incremental(sl, idx, "doc_id", "text")
+        clean = clean.localCheckpoint()
+        delta = delta.localCheckpoint()
+        want |= {r.doc_id for r in clean.collect()}
+        idx = delta if idx is None else idx.unionByName(delta)
+        idx = idx.localCheckpoint()
+    assert got == want and len(got) > 100
