@@ -39,17 +39,65 @@ def normalize_text_nfkc(col: Column) -> Column:
     return normalize_text(_nfkc(col))
 
 
+# Mojibake detection: a mis-decoded UTF-8 lead byte (U+00C2–U+00F4)
+# followed by a mis-decoded continuation byte — either the Latin-1
+# image (U+0080–U+00BF) or the cp1252 image of bytes 0x80–0xBF
+# (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ). Genuine
+# text essentially never contains these bigrams, so the repair is a
+# no-op on clean input.
+_MOJIBAKE_CONT = (
+    "\u0080-\u00bf"  # Latin-1 images of continuation bytes 0x80-0xBF
+    # cp1252 images of 0x80-0xBF (the defined slots):
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+
+
+def fix_mojibake(text: str | None) -> str | None:
+    """Vendored minimal mojibake repair — the dominant corruption class
+    ftfy fixes (reference applies ftfy.fix_text unconditionally,
+    utils/data_transformation_helpers.py:20-86): UTF-8 bytes that were
+    mis-decoded as cp1252 or Latin-1, possibly twice. The inverse
+    transform (encode cp1252→fall back Latin-1, decode UTF-8) is
+    applied while the text still shows mojibake bigrams and the
+    round-trip is byte-clean; anything ambiguous is returned untouched.
+    Pure stdlib, so the DEFAULT normalize chain repairs corrupted
+    corpora even where ftfy is not installed; ftfy proper remains the
+    higher-fidelity rung via mojibake_repair_default()."""
+    import re
+
+    if text is None:
+        return None
+    hint = re.compile(f"[\u00c2-\u00f4][{_MOJIBAKE_CONT}]")
+    for _ in range(2):  # twice: handles the double-encoded case
+        if not hint.search(text):
+            break
+        cand = None
+        for enc in ("cp1252", "latin-1"):
+            try:
+                cand = text.encode(enc).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                cand = None
+        if cand is None or cand == text:
+            break
+        text = cand
+    return text
+
+
 def mojibake_repair_default():
-    """ftfy.fix_text when the library is importable, else None.
-    Import-gated the same way as exact Leiden (graph/algorithms.py):
-    the engine works without the optional dependency and upgrades
-    in-place when it's installed."""
+    """ftfy.fix_text when the library is importable, else the vendored
+    minimal repairer. Import-gated the same way as exact Leiden
+    (graph/algorithms.py): the engine upgrades in-place when ftfy is
+    installed, and the default chain still repairs the common
+    UTF-8/Latin-1 double-encode class without it."""
     try:
         import ftfy
 
         return ftfy.fix_text
     except ImportError:
-        return None
+        return fix_mojibake
 
 
 def normalize_text_full(col: Column, repair_fn=None) -> Column:
@@ -59,8 +107,9 @@ def normalize_text_full(col: Column, repair_fn=None) -> Column:
 
     ``repair_fn`` is an injectable str→str mojibake repairer (same
     injection seam as llm.py's generator): default is ftfy.fix_text
-    when importable, falling back to NFKC-only when not — the rung is
-    exercised in pytest through injection even where ftfy is absent.
+    when importable, else the vendored fix_mojibake — so the DEFAULT
+    chain repairs the common UTF-8/Latin-1 double-encode corruption
+    even without ftfy installed.
     The repair runs inside ONE Arrow-batched pandas UDF together with
     NFKC (one Python boundary crossing, not two); the regex chain
     stays JVM-native."""

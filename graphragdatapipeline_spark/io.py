@@ -123,9 +123,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
         raise ValueError("bits * len(cols) must be <= 63")
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # One approxQuantile call for ALL columns: the list form computes
+    # every column's sketch in a single aggregate pass over the data,
+    # vs. one full scan per column with the scalar form.
+    all_bounds = df.approxQuantile(list(cols), probs, 0.001)
     z = F.lit(0).cast("long")
     for c_idx, c in enumerate(cols):
-        bounds = df.approxQuantile(c, probs, 0.001)
+        bounds = all_bounds[c_idx]
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         # rank = how many boundaries lie at/below this value (0..2^bits-1)
         rank = F.size(
@@ -160,6 +164,11 @@ def compact_parquet(
     data-skipping layout in one pass. Returns the output file count."""
     import math
 
+    if os.path.realpath(src_dir) == os.path.realpath(dst_dir):
+        raise ValueError(
+            "compact_parquet: src_dir and dst_dir must differ — "
+            "overwrite-while-reading the same path can destroy the source"
+        )
     df = spark.read.parquet(src_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_dir)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -107,6 +107,11 @@ def mixture_sample(
     literal 0..floor(w) range (no join, no shuffle), the per-row md5
     compare needs no coordination, each source scans once, and the
     union is a plan-level concat."""
+    if not sources:
+        raise ValueError("mixture_sample: sources must be non-empty")
+    for i, (_, w) in enumerate(sources):
+        if w < 0:
+            raise ValueError(f"mixture_sample: weight for source {i} is negative ({w})")
     parts = []
     for i, (df, w) in enumerate(sources):
         n_full = int(w)

@@ -578,6 +578,17 @@ def scd2_merge(
     statement required."""
     closed = current.filter(F.col(valid_to).isNotNull())
     open_rows = current.filter(F.col(valid_to).isNull())
+    # Enforce the one-update-per-key contract rather than assume it:
+    # with duplicate keys keep only the LATEST effective row (window
+    # shares the join's hash partitioning on the key, so this costs no
+    # extra shuffle). Without this, duplicates silently emit multiple
+    # open versions per key.
+    w_upd = Window.partitionBy(key_col).orderBy(F.desc(eff_col))
+    updates = (
+        updates.withColumn("_rn", F.row_number().over(w_upd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     u = updates.select(
         F.col(key_col),
         F.lit(True).alias("_has_upd"),

@@ -113,6 +113,34 @@ def offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_mojibake_repair",
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+         substring(text, 1, 40) || ' café — “naïve” €', '\\"', '"', 'g'),
+         '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS fixed
+FROM documents
+""",
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 fidelity rung (reference applies ftfy.fix_text
+    unconditionally, data_transformation_helpers.py:20-86): each doc
+    gets a deterministic non-ASCII suffix, the whole string is
+    CORRUPTED by round-tripping its UTF-8 bytes through a Latin-1
+    mis-decode (the classic mojibake), and the DEFAULT
+    normalize_text_full chain — vendored fix_mojibake (ftfy when
+    installed) + NFKC + native regex chain — must recover it. The
+    oracle is the CLEAN text through the same native chain: the query
+    is green iff repair(corrupt(x)) == x for every document."""
+    from graphragdatapipeline_spark.functions import normalize_text_full
+
+    d = read_table(spark, sf_dir, "documents")
+    clean = F.concat(F.substring("text", 1, 40), F.lit(" café — “naïve” €"))
+    dirty = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    return d.select("doc_id", normalize_text_full(dirty).alias("fixed"))
+
+
+@register(
     "normalize_text_chain",
     oracle=r"""
 SELECT doc_id,

@@ -226,6 +226,54 @@ def vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vector_lsh_probe_topk",
+    oracle="""
+WITH h AS (
+  SELECT vec_id AS h_id, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+), sig AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.embedding::DOUBLE[]) > 0
+                  THEN CAST(power(2, h.h_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN h
+  GROUP BY e.vec_id
+), qb AS (
+  SELECT bucket FROM sig WHERE vec_id = 0
+), probe AS (
+  SELECT bucket FROM qb
+  UNION ALL
+  SELECT xor(qb.bucket, CAST(power(2, t.i) AS BIGINT)) AS bucket FROM qb, range(8) t(i)
+), q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT s.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+  FROM sig s JOIN embeddings e ON s.vec_id = e.vec_id, q
+  WHERE s.bucket IN (SELECT bucket FROM probe) AND s.vec_id <> 0
+)
+SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 8
+""",
+)
+def vector_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN read path: LSH bucket probe (query bucket +
+    Hamming-1 neighbors) + exact cosine rerank over the probed subset
+    — the sub-linear counterpart of vector_knn_bruteforce (reference
+    read path scripts/query_embeddings.py:52-58). Signature is a
+    zero-shuffle map-side expression; with the collection stored by
+    bucket the probe filter is partition pruning. The oracle replays
+    the identical signature/probe/rerank pipeline in SQL."""
+    e = read_table(spark, sf_dir, "embeddings")
+    planes = e.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("h_id"), "embedding"
+    )
+    q = _query_vec(spark, sf_dir)
+    out = vs.lsh_probe_topk(e.filter(F.col("vec_id") != 0), planes, q, k=8)
+    return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))
+
+
+@register(
     "vector_near_dup_keep",
     oracle="""
 WITH pairs AS (

@@ -175,8 +175,11 @@ def incremental_dedup_sink(
     Exactly-once caveat, stated honestly: two plain-parquet appends
     are not atomic under a retry between them; production pins this
     with a transactional table format (Delta/Iceberg) in the same
-    foreachBatch. The dataflow — read index, anti-join, append deltas
-    — is identical."""
+    foreachBatch. Until then the write ORDER makes a retry fail-safe:
+    the fingerprint delta lands BEFORE the corpus append, so a retry
+    that re-runs the batch sees its own fingerprints in the index and
+    drops the docs — worst case a doc is missing (recoverable from the
+    source), never duplicated in the corpus."""
     from pyspark.sql.utils import AnalysisException
 
     from graphragdatapipeline_spark.operators.dedup import (
@@ -192,10 +195,12 @@ def incremental_dedup_sink(
             idx = None
         clean, _delta = exact_dedup_incremental(df, idx, id_col, text_col)
         clean = clean.localCheckpoint()  # one computation feeds both appends
-        clean.write.mode("append").parquet(corpus_dir)
+        # Index first: a retry between the two appends re-filters the
+        # batch against its own fingerprints → drops, never duplicates.
         clean.select(fingerprint(F.col(text_col)).alias("fp")).write.mode(
             "append"
         ).parquet(index_dir)
+        clean.write.mode("append").parquet(corpus_dir)
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 
@@ -214,7 +219,9 @@ def incremental_neardup_sink(
     (a kept near-duplicate already represents them), LSH-dedups the
     survivors within the batch, then appends survivors to the corpus
     and their bands to the index. Same sequential-micro-batch and
-    exactly-once caveats as the exact sink."""
+    exactly-once caveats as the exact sink — and the same fail-safe
+    write order: band delta BEFORE corpus, so a micro-batch retry
+    drops rather than duplicates."""
     from pyspark.sql.utils import AnalysisException
 
     from graphragdatapipeline_spark.operators.dedup import minhash_dedup_incremental
@@ -228,8 +235,8 @@ def incremental_neardup_sink(
         clean, band_delta = minhash_dedup_incremental(df, idx, id_col, text_col)
         clean = clean.localCheckpoint()
         band_delta = band_delta.localCheckpoint()
-        clean.write.mode("append").parquet(corpus_dir)
         band_delta.write.mode("append").parquet(band_index_dir)
+        clean.write.mode("append").parquet(corpus_dir)
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 

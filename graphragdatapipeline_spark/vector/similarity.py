@@ -156,7 +156,7 @@ def embed_text_udf(dim: int = 64):
     local state, normalized output), deterministic output for tests."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(f"array<float>")
+    @pandas_udf("array<float>")
     def _embed(texts):  # type: ignore[no-untyped-def]
         import hashlib
         import math
@@ -215,3 +215,69 @@ def lsh_hyperplane_buckets(
         .groupBy(id_col)
         .agg(F.sum(bit).cast("long").alias("bucket"))
     )
+
+
+def lsh_signature_col(
+    hyperplanes: list[tuple[int, list[float]]], vec_col: Column
+) -> Column:
+    """Map-side LSH signature: the hyperplanes ship as literal arrays
+    (R × dim floats — trivially broadcast inside the plan), so the
+    bucket is a per-row expression with ZERO shuffle — no crossJoin,
+    no groupBy, no join back to the corpus. This is the 100 TB shape
+    for signature computation: at scale the signature is computed once
+    at ingest and stored as a partition column; this expression is
+    exactly that ingest-time computation."""
+    ed = F.transform(vec_col, lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for h_id, h_vec in hyperplanes:
+        hv = F.array(*[F.lit(float(x)) for x in h_vec])
+        bucket = bucket + F.when(
+            dot_product(ed, hv) > 0, F.lit(1 << (int(h_id) - 1)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_probe_topk(
+    embeddings: DataFrame,
+    hyperplanes: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    h_id_col: str = "h_id",
+) -> DataFrame:
+    """End-to-end ANN read path: LSH bucket probe with Hamming-1
+    neighbor expansion + exact cosine rerank (reference read-path
+    parity: scripts/query_embeddings.py:52-58 top-8 cosine, here the
+    sub-linear variant of cosine_topk).
+
+    1. The query's bucket is computed driver-side against the R
+       hyperplanes (R × dim floats — collecting them is reading the
+       index metadata, not the corpus).
+    2. Probe set = query bucket + its R Hamming-1 neighbors: one
+       flipped sign bit is the most likely LSH error for a true
+       neighbor, so probing them trades R extra buckets for most of
+       the lost recall (standard multi-probe LSH).
+    3. Corpus rows are filtered to the probe set via the map-side
+       signature expression — with the collection partitioned/stored
+       by bucket this becomes partition pruning, reading (R+1)/2^R of
+       a 100 TB corpus — then exactly reranked with cosine top-k
+       (TakeOrderedAndProject: k rows per partition, no global sort).
+
+    Same sequential-fold dot product as the DuckDB oracle, so sign
+    decisions (and therefore bucket membership) are bit-compatible."""
+    h_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in hyperplanes.select(h_id_col, vec_col).collect()
+    ]
+    qbucket = 0
+    for h_id, h_vec in h_rows:
+        acc = 0.0
+        for a, b in zip(query_vec, h_vec):
+            acc += a * b  # same left-fold order as dot_product / DuckDB
+        if acc > 0:
+            qbucket |= 1 << (h_id - 1)
+    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(len(h_rows))]
+    sig = lsh_signature_col(h_rows, F.col(vec_col))
+    cand = embeddings.filter(sig.isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

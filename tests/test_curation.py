@@ -343,3 +343,16 @@ def test_rolling_distinct_users_hand_checked(spark):
     assert out[d + 7] == 1                  # D's events aged out; only D+4's user 1
     assert out[d + 19] == 1                 # user 3 alone
     assert d - 1 not in out                 # nothing before first event
+
+
+def test_mixture_sample_rejects_bad_inputs(spark, sf_dir):
+    import pytest
+
+    import graphragdatapipeline_spark.operators.curation as cu
+    from graphragdatapipeline_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="non-empty"):
+        cu.mixture_sample([], key="doc_id")
+    with pytest.raises(ValueError, match="negative"):
+        cu.mixture_sample([(docs, -0.5)], key="doc_id")

@@ -192,22 +192,43 @@ def test_full_normalize_repair_rung_injected(spark):
     assert rows[1].n is None
 
 
-def test_full_normalize_real_ftfy_if_present(spark):
-    """Exercises the default rung with the real library when installed
-    (skips in containers without ftfy — the fallback path is then the
-    NFKC-only chain, covered above)."""
-    import pytest
-
-    pytest.importorskip("ftfy")
+def test_full_normalize_default_repairs_mojibake(spark):
+    """The DEFAULT chain (no injection, no ftfy needed) must repair the
+    classic UTF-8/Latin-1 mojibake — the vendored fix_mojibake rung
+    matches reference behavior on corrupted fixtures; ftfy upgrades
+    the rung in-place when installed."""
     from graphragdatapipeline_spark.functions import (
         mojibake_repair_default,
         normalize_text_full,
     )
 
     assert mojibake_repair_default() is not None
-    df = spark.createDataFrame([("cafÃ© test",)], ["t"])
-    out = df.select(normalize_text_full(F.col("t")).alias("n")).first().n
-    assert out == "café test"
+    # cp1252-style, latin-1-style (curly quotes), and clean rows
+    latin1_bad = "“naïve”".encode("utf-8").decode("latin-1")
+    dbl_bad = "café".encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [("cafÃ© test",), (latin1_bad,), (dbl_bad,), ("plain — “fine” é",), (None,)],
+        ["t"],
+    )
+    rows = df.select(normalize_text_full(F.col("t")).alias("n")).collect()
+    assert rows[0].n == "café test"
+    assert rows[1].n == "“naïve”"
+    assert rows[2].n == "café"  # double-encoded
+    assert rows[3].n == "plain — “fine” é"  # clean text untouched
+    assert rows[4].n is None
+
+
+def test_fix_mojibake_pure_function():
+    """Unit contract of the vendored repairer, independent of Spark."""
+    from graphragdatapipeline_spark.functions import fix_mojibake
+
+    assert fix_mojibake("cafÃ©") == "café"
+    bad = "déjà — “vu”".encode("utf-8").decode("latin-1")
+    assert fix_mojibake(bad) == "déjà — “vu”"
+    # ambiguous / undecodable input is returned untouched, never mangled
+    assert fix_mojibake("Ã") == "Ã"  # lone lead byte, no continuation
+    assert fix_mojibake("ASCII only") == "ASCII only"
+    assert fix_mojibake(None) is None
 
 
 def test_full_normalize_fallback_without_repair(spark, monkeypatch):

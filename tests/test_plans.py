@@ -340,3 +340,14 @@ def test_zorder_key_validates_bit_budget(spark, sf_dir):
     )
     n_distinct = z.select("_z").distinct().count()
     assert n_distinct > 100  # 2^18 key space actually spreads the data
+
+
+def test_compact_parquet_rejects_same_src_dst(spark, tmp_path):
+    import pytest
+
+    from graphragdatapipeline_spark.io import compact_parquet
+
+    d = str(tmp_path / "t")
+    spark.range(10).write.parquet(d)
+    with pytest.raises(ValueError, match="must differ"):
+        compact_parquet(spark, d, d)

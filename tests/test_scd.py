@@ -150,3 +150,23 @@ def test_state_history_one_shuffle(spark, sf_dir):
     plan = hist._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def test_scd2_merge_duplicate_update_keys_keep_latest(spark):
+    """Duplicate update rows for one key must NOT fan out into multiple
+    open versions: the merge keeps only the latest-effective update."""
+    current = spark.createDataFrame(
+        [(1, "A", "gold", _ts("2020-01-01"), None)], CUR_SCHEMA
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "B", "gold", _ts("2021-01-01")),
+            (1, "C", "gold", _ts("2022-01-01")),  # latest wins
+        ],
+        UPD_SCHEMA,
+    )
+    out = scd2_merge(current, updates, "k", ["seg", "tier"], "eff")
+    open_versions = [r for r in out.collect() if r["valid_to"] is None]
+    assert len(open_versions) == 1
+    assert open_versions[0]["seg"] == "C"
+    assert out.count() == 2  # closed-out old version + one new open version

@@ -15,3 +15,87 @@ def test_near_dup_max_block_guardrail(spark):
     capped = vs.embedding_near_dup_pairs(df, 0.99, max_block=10).collect()
     # hot block dropped entirely; cold block untouched
     assert {(r.a, r.b) for r in capped} == {(100, 101), (100, 102), (101, 102)}
+
+
+def test_lsh_probe_topk_recall_and_candidate_fraction(spark):
+    """Probe-and-rerank must (a) recover planted cosine-near neighbors
+    with high recall vs exact bruteforce and (b) score only a fraction
+    of the corpus — the whole point of the probe."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rng = np.random.default_rng(42)
+    dim, n_noise, n_planted, k = 32, 500, 20, 8
+    q = rng.normal(size=dim)
+    q /= np.linalg.norm(q)
+    rows = []
+    # planted near-neighbors: q + small noise → cosine ≈ 0.97
+    for i in range(n_planted):
+        v = q + 0.15 * rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    # background corpus: random directions (cosine ≈ 0)
+    for i in range(n_planted, n_planted + n_noise):
+        v = rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    planes = spark.createDataFrame(
+        [(r + 1, [float(x) for x in rng.normal(size=dim)]) for r in range(8)],
+        "h_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    qv = [float(x) for x in q]
+
+    exact = {r.vec_id for r in vs.cosine_topk(corpus, qv, k=k).collect()}
+    probed = {r.vec_id for r in vs.lsh_probe_topk(corpus, planes, qv, k=k).collect()}
+    recall = len(exact & probed) / k
+    assert recall >= 0.75, f"recall@{k}={recall} (exact={exact}, probed={probed})"
+
+    # candidate fraction: the probe filter must exclude most of the corpus
+    h_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in planes.collect()]
+    sig = vs.lsh_signature_col(h_rows, F.col("embedding"))
+    qb = 0
+    for h_id, h_vec in h_rows:
+        if sum(a * b for a, b in zip(qv, h_vec)) > 0:
+            qb |= 1 << (h_id - 1)
+    probe = [qb] + [qb ^ (1 << i) for i in range(len(h_rows))]
+    n_cand = corpus.filter(sig.isin(probe)).count()
+    assert n_cand < (n_noise + n_planted) * 0.25, n_cand
+
+
+def test_lsh_signature_col_matches_bucket_join(spark, sf_dir):
+    """The zero-shuffle map-side signature must agree exactly with the
+    crossJoin+groupBy formulation for every corpus vector."""
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    planes = e.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("h_id"), "embedding"
+    )
+    joined = vs.lsh_hyperplane_buckets(e, planes)
+    h_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in planes.select("h_id", "embedding").collect()
+    ]
+    mapped = e.select(
+        "vec_id", vs.lsh_signature_col(h_rows, F.col("embedding")).alias("bucket")
+    )
+    diff = joined.alias("a").join(mapped.alias("b"), "vec_id").filter(
+        F.col("a.bucket") != F.col("b.bucket")
+    )
+    assert diff.count() == 0
+
+
+def test_lsh_signature_col_plan_has_no_exchange(spark, sf_dir):
+    """Signature computation is map-side: no Exchange in the plan."""
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    planes = [(r + 1, [0.1 * (i - 3) for i in range(8)]) for r in range(4)]
+    sig = e.select("vec_id", vs.lsh_signature_col(planes, F.col("embedding")).alias("b"))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
