@@ -5,11 +5,12 @@ Design: media is an opaque `binary` column with a media_type and a
 typed metadata struct (BLOB_SCHEMA). Decode / feature-extract /
 resize / frame-sample run as Arrow-batched kernels over mapInPandas —
 the Spark-side plumbing (schema, batching, partitioning) is real and
-tested; the codec step itself is STUBBED (image/audio libraries are
-not in this container): `decode_media` raises NotImplementedError
-for real codecs and provides a deterministic fake for `text/plain`
-payloads so the batch shape and schema contract are exercised
-end-to-end.
+tested. Codec status: `image/png` decodes FOR REAL via the stdlib
+zlib/struct codec below (all five scanline filters, CRC-verified);
+audio/video codecs remain stubbed (libraries absent from this
+container) — `decode_media` raises NotImplementedError for those and
+provides a deterministic fake for `text/plain` payloads so the batch
+shape and schema contract are exercised end-to-end regardless.
 
 At 100 TB: blobs dominate bytes, so the table is written with the
 payload column LAST (parquet column pruning skips it for metadata
@@ -61,14 +62,248 @@ def blob_table_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr) -> bytes:
+    """Minimal real PNG encoder (stdlib struct+zlib only): 8-bit
+    grayscale (H,W), RGB (H,W,3) or RGBA (H,W,4), non-interlaced.
+    The per-scanline filter type cycles y % 5 through
+    None/Sub/Up/Average/Paeth, so images written here exercise every
+    filter branch of decode_png — that is the point of the cycling."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    colortype = {1: 0, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = a.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        line = flat[y]
+        f = y % 5
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            left = np.concatenate((np.zeros(ch, np.int64), line[:-ch]))
+            filt = (line - left) % 256
+        elif f == 2:  # Up
+            filt = (line - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate((np.zeros(ch, np.int64), line[:-ch]))
+            filt = (line - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate((np.zeros(ch, np.int64), line[:-ch]))
+            upleft = np.concatenate((np.zeros(ch, np.int64), prev[:-ch]))
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (line - pred) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Real PNG decode with stdlib struct+zlib only: chunk walk with
+    CRC verification, zlib inflate of the IDAT stream, and full
+    scanline reconstruction for all five filter types
+    (None/Sub/Up/Average/Paeth). Supports 8-bit grayscale / gray+alpha
+    / RGB / RGBA, non-interlaced — the common case; palette, 16-bit
+    and Adam7 raise NotImplementedError (honestly gated, same policy
+    as the other codec rungs). Returns an (H, W, C) uint8 numpy array.
+
+    None/Up rows reconstruct as whole-row numpy ops; Sub/Average/Paeth
+    carry an intra-row recurrence, reconstructed per byte — inherent
+    to the PNG spec, and bounded per scanline."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, colortype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or colortype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {colortype} / "
+            f"interlace {interlace} not supported by the stdlib codec"
+        )
+    ch = _PNG_CHANNELS[colortype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int64)
+        if f == 0:
+            recon = line
+        elif f == 2:  # Up
+            recon = (line + prev) % 256
+        elif f == 1:  # Sub
+            recon = line.copy()
+            for x in range(ch, stride):
+                recon[x] = (recon[x] + recon[x - ch]) % 256
+        elif f == 3:  # Average
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (recon[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            recon = line.copy()
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (recon[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        out[y] = recon
+        prev = recon
+    return out.reshape(h, w, ch)
+
+
 def decode_media(payload: bytes, media_type: str):
-    """Codec dispatch. Real codecs are stubbed in this environment."""
+    """Codec dispatch. image/png decodes for real (stdlib zlib —
+    decode_png above); other media codecs are stubbed in this
+    environment."""
     if media_type == "text/plain":
         return payload.decode("utf-8")
+    if media_type == "image/png":
+        return decode_png(bytes(payload))
     raise NotImplementedError(
         f"codec for {media_type} not available in this environment; "
         "plug a decoder (PIL/librosa/pyav) into this dispatch point"
     )
+
+
+def image_stats(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Real image feature extraction over mapInPandas: decode each PNG
+    payload (decode_png — real bytes, real filters, CRC-checked) and
+    emit width/height/channels plus exact integer pixel statistics.
+    Same Arrow-batch kernel shape as blob_features; pixel_sum is
+    int64-exact so a SQL oracle can replay it."""
+    out_ddl = (
+        "blob_id STRING, width BIGINT, height BIGINT, channels BIGINT, "
+        "n_pixels BIGINT, pixel_sum BIGINT"
+    )
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in _rechunk(batches, batch_size):
+            ws, hs, chs, sums = [], [], [], []
+            for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                arr = decode_media(bytes(p), mt)
+                h, w, c = arr.shape
+                ws.append(w)
+                hs.append(h)
+                chs.append(c)
+                sums.append(int(arr.astype(np.int64).sum()))
+            ws = np.asarray(ws, np.int64)
+            hs = np.asarray(hs, np.int64)
+            chs = np.asarray(chs, np.int64)
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"].to_numpy(),
+                    "width": ws,
+                    "height": hs,
+                    "channels": chs,
+                    "n_pixels": ws * hs * chs,
+                    "pixel_sum": np.asarray(sums, np.int64),
+                }
+            )
+
+    return blobs.mapInPandas(stats, out_ddl)
+
+
+def png_blob_table(documents: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Deterministic PNG blob table from the documents fixture: doc k
+    gets a (3 + k%11) × (4 + k%13) RGB image whose pixel at (y, x, c)
+    is (k + x + 7y + 13c) % 256 — a closed form a SQL oracle can
+    replay without any codec. The bytes are REAL PNGs (encode_png,
+    filters cycling through all five types), so decoding them is a
+    genuine codec round-trip."""
+    out_ddl = "blob_id STRING, media_type STRING, doc_id BIGINT, payload BINARY"
+
+    def make(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in _rechunk(batches, batch_size):
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for k in ids:
+                k = int(k)
+                w, h = 4 + k % 13, 3 + k % 11
+                ys, xs, cs = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                arr = ((k + xs + 7 * ys + 13 * cs) % 256).astype(np.uint8)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {
+                    "blob_id": ["doc-" + str(int(k)) for k in ids],
+                    "media_type": ["image/png"] * len(ids),
+                    "doc_id": ids,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(make, out_ddl)
 
 
 def blob_features(blobs: DataFrame, feature_dim: int = 8, batch_size: int = 256) -> DataFrame:

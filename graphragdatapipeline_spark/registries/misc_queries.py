@@ -127,6 +127,45 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         CAST(sum((d.doc_id + x.i + 7 * y.i + 13 * c.i) % 256) AS BIGINT) AS pixel_sum
+  FROM dims d
+  JOIN range(17) x(i) ON x.i < d.w
+  JOIN range(14) y(i) ON y.i < d.h
+  CROSS JOIN range(3) c(i)
+  GROUP BY d.doc_id, d.w, d.h
+)
+SELECT concat('doc-', doc_id) AS blob_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(w * h * 3 AS BIGINT) AS n_pixels, pixel_sum
+FROM px
+""",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path, no stub: each document becomes a genuine
+    PNG (stdlib encoder, scanline filters cycling through all five
+    PNG filter types), then image_stats DECODES the bytes — chunk
+    walk, CRC check, zlib inflate, filter reconstruction — and emits
+    exact width/height/pixel statistics. Pixels follow the closed form
+    (doc_id + x + 7y + 13c) % 256, so the oracle replays the expected
+    stats in pure SQL: the query is green only if the decoder
+    recovers every pixel of every image bit-exactly."""
+    from graphragdatapipeline_spark.multimodal.blob import (
+        image_stats,
+        png_blob_table,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return image_stats(png_blob_table(d))
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
 WITH vids AS (
