@@ -251,6 +251,46 @@ def text_chunking_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_chunking_bpe",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 40 THEN 1
+              ELSE CAST(ceil((len(w) - 40) / 30.0) AS INT) + 1 END AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_index,
+       array_to_string(w[(i - 1) * 30 + 1 : (i - 1) * 30 + 40], ' ') AS chunk_text
+FROM sized, unnest(generate_series(1, n_chunks)) AS t(i)
+""",
+)
+def text_chunking_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 tokenizer-exact mode through the REAL merge-table BPE path
+    (chunk_text_tokenizer: encode → sliding id-windows → decode inside
+    one Arrow kernel — the same code path an HF tokenizer plugs into,
+    reference data_transformation_helpers.py:161-183). The vendored
+    suffix-cascade merge table merges every fixture-vocabulary word to
+    exactly one token, so the SQL oracle replays the chunking as word
+    windows — green only if the min-rank merge loop, id assignment and
+    decode are all exact."""
+    from graphragdatapipeline_spark.text.chunking import (
+        chunk_text_tokenizer,
+        fixture_bpe_factory,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_text_tokenizer(
+        F.col("text"), 40, 10, tokenizer_factory=fixture_bpe_factory
+    )
+    return d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk_text")).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("chunk_index"), "chunk_text"
+    )
+
+
 _TFIDF_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id,

@@ -163,6 +163,91 @@ class WhitespaceTokenizer:
         return " ".join(self.words[i] for i in ids)
 
 
+class BpeTokenizer:
+    """Real merge-table BPE (Sennrich-style word BPE): a word starts as
+    its characters plus a ``</w>`` terminal, and the LOWEST-RANKED
+    applicable merge from the table is applied repeatedly until none
+    applies — the exact greedy loop HF tokenizers run, just with a
+    caller-supplied merge table instead of a downloaded one. Ids are
+    assigned per instance on first sight (same convention as
+    WhitespaceTokenizer); decode is lossless for single-spaced text
+    because unmerged characters concatenate back and ``</w>`` maps to
+    a space."""
+
+    def __init__(self, merges: list[tuple[str, str]]) -> None:
+        self.ranks: dict[tuple[str, str], int] = {}
+        for i, pair in enumerate(merges):
+            self.ranks.setdefault(tuple(pair), i)
+        self.vocab: dict[str, int] = {}
+        self.tokens: list[str] = []
+
+    def _bpe(self, word: str) -> list[str]:
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            ranked = [
+                (self.ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in self.ranks
+            ]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    def encode(self, text: str) -> list[int]:
+        ids = []
+        for w in text.split():
+            for s in self._bpe(w):
+                if s not in self.vocab:
+                    self.vocab[s] = len(self.tokens)
+                    self.tokens.append(s)
+                ids.append(self.vocab[s])
+        return ids
+
+    def decode(self, ids: list[int]) -> str:
+        return "".join(self.tokens[i] for i in ids).replace("</w>", " ").strip()
+
+
+# The synthetic documents fixture draws from a closed 31-word
+# vocabulary (TESTDATA.md); a suffix-cascade merge table over it makes
+# every fixture word merge to exactly ONE token, so token windows ==
+# word windows and a SQL oracle can replay tokenizer-exact chunking.
+FIXTURE_WORD_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+)
+
+
+def suffix_merge_table(words: tuple[str, ...] = FIXTURE_WORD_VOCAB) -> list[tuple[str, str]]:
+    """Vendored merge table: each word contributes its right-to-left
+    suffix cascade — (last char, '</w>'), then (prev char, suffix), …
+    Every table pair's right element contains '</w>', so inside a word
+    only ONE merge is ever applicable; the min-rank greedy therefore
+    merges each vocabulary word fully and deterministically, and words
+    outside the vocabulary fall back to character tokens (still
+    decode-lossless). Shared suffixes dedupe to shared steps."""
+    merges: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for w in sorted(words):
+        for k in range(1, len(w) + 1):
+            pair = (w[-k], w[len(w) - k + 1 :] + "</w>")
+            if pair not in seen:
+                seen.add(pair)
+                merges.append(pair)
+    return merges
+
+
+def fixture_bpe_factory():
+    """Zero-arg tokenizer factory over the vendored fixture merge
+    table — drop-in for hf_tokenizer_default where HF libs are absent,
+    exercising the full encode → id-window → decode path with a real
+    merge-table BPE."""
+    return BpeTokenizer(suffix_merge_table())
+
+
 def chunk_text_tokenizer(
     text: Column,
     chunk_tokens: int = 2048,

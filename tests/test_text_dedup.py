@@ -132,3 +132,62 @@ def test_tokenizer_chunking_import_gate():
 
     with pytest.raises(ImportError, match="chunk_text_chars"):
         tc.chunk_text_tokenizer(F.lit("x"))
+
+
+def test_bpe_tokenizer_merge_loop():
+    """The vendored merge-table BPE runs the real min-rank greedy:
+    vocabulary words merge to one token, unknown words fall back to
+    characters, decode is lossless either way, and merge RANK (not
+    position) decides application order."""
+    from graphragdatapipeline_spark.text.chunking import (
+        FIXTURE_WORD_VOCAB,
+        BpeTokenizer,
+        fixture_bpe_factory,
+    )
+
+    tok = fixture_bpe_factory()
+    for w in FIXTURE_WORD_VOCAB:
+        ids = tok.encode(w)
+        assert len(ids) == 1 and tok.decode(ids) == w
+    s = "the scan join sort order data"
+    assert tok.decode(tok.encode(s)) == s
+    assert len(tok.encode(s)) == len(s.split())
+    assert tok.decode(tok.encode("zzz table")) == "zzz table"
+    assert len(tok.encode("zzz table")) == 5  # z z z </w> + table</w>
+
+    # rank order decides: with ('a','b') ranked above ('b','c'), "abc"
+    # merges left pair first; flipping the ranks flips the result
+    t1 = BpeTokenizer([("a", "b"), ("b", "c")])
+    assert t1._bpe("abc") == ["ab", "c", "</w>"]
+    t2 = BpeTokenizer([("b", "c"), ("a", "b")])
+    assert t2._bpe("abc") == ["a", "bc", "</w>"]
+
+
+def test_bpe_chunking_equals_word_windows(spark, sf_dir):
+    """chunk_text_tokenizer over the vendored BPE must produce the
+    same chunks as the native word-window path on the closed-vocab
+    fixture (token == word there) — pinning the encode → id-window →
+    decode pipeline against an independent implementation."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.text import chunking as tc
+
+    d = read_table(spark, sf_dir, "documents").limit(50)
+    bpe = d.select(
+        "doc_id",
+        F.posexplode(
+            tc.chunk_text_tokenizer(
+                F.col("text"), 40, 10, tokenizer_factory=tc.fixture_bpe_factory
+            )
+        ).alias("pos", "chunk"),
+    )
+    words = d.select("doc_id", F.split("text", r"\s+").alias("_toks")).select(
+        "doc_id",
+        F.posexplode(tc.chunk_text_tokens(F.col("_toks"), 40, 10)).alias(
+            "pos", "chunk"
+        ),
+    )
+    a = {tuple(r) for r in bpe.collect()}
+    b = {tuple(r) for r in words.collect()}
+    assert a == b and len(a) >= 50
