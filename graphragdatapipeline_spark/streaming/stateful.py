@@ -176,17 +176,53 @@ def _update_state_history(
     )
 
 
-def state_history_stream(events_stream: DataFrame) -> DataFrame:
+def state_history_stream(
+    events_stream: DataFrame, state_ttl_seconds: int | None = None
+) -> DataFrame:
     """groupBy(user).applyInPandasWithState run-collapse. Output mode
     'append': only closed intervals are emitted (the open run would be
     retracted-and-replaced, which append cannot express — batch twin:
-    state_history(...).filter(valid_to IS NOT NULL))."""
+    state_history(...).filter(valid_to IS NOT NULL)).
+
+    ``state_ttl_seconds`` bounds state for unbounded user spaces (the
+    100 TB requirement — without it every user ever seen holds a state
+    row forever): a user idle for longer than the TTL is EVICTED via
+    processing-time timeout, and the eviction FLUSHES their open run
+    as a final interval with valid_to NULL — every event still lands
+    in exactly one emitted interval. A later event for an evicted user
+    starts a fresh run."""
+    if state_ttl_seconds is None:
+        return events_stream.groupBy("user_id").applyInPandasWithState(
+            _update_state_history,
+            outputStructType=HISTORY_OUTPUT_DDL,
+            stateStructType=HISTORY_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    ttl_ms = state_ttl_seconds * 1000
+    cols = ["user_id", "state", "valid_from", "valid_to", "n_events"]
+
+    def update_ttl(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            cur, vf_us, n = state.get
+            out = []
+            if cur is not None:
+                out.append((key[0], cur, pd.Timestamp(vf_us * 1_000), None, n))
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
+        for frame in _update_state_history(key, pdfs, state):
+            yield frame
+        state.setTimeoutDuration(ttl_ms)
+
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        _update_state_history,
+        update_ttl,
         outputStructType=HISTORY_OUTPUT_DDL,
         stateStructType=HISTORY_STATE_DDL,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
@@ -197,6 +233,7 @@ def funnel_stream(
     events_stream: DataFrame,
     steps: list[str],
     max_gap_seconds: int | None = None,
+    state_ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Real-time ordered-funnel tracking — the streaming twin of
     operators.relational.funnel_conversions: per-user state holds the
@@ -213,16 +250,27 @@ def funnel_stream(
     micro-batches (the CDC/changelog property); within a micro-batch
     the processor sorts itself.
 
-    State is len(steps) longs + a done flag per user — bounded,
-    RocksDB-resident, and evictable via GroupStateTimeout for
-    unbounded user spaces."""
+    State is len(steps) longs + a done flag per user — bounded per
+    key, but at 100 TB user cardinality the KEY COUNT is unbounded:
+    pass ``state_ttl_seconds`` to evict users idle longer than the
+    TTL via processing-time timeout. An evicted user's partial funnel
+    progress is forgotten (a later event restarts from step one) —
+    the standard trade for bounded state; converted users' done-flags
+    are evicted the same way, making re-conversion possible after a
+    TTL of silence, which matches funnel semantics over a bounded
+    engagement horizon."""
     n = len(steps)
     state_ddl = ", ".join(f"r{i} BIGINT" for i in range(n)) + ", done BOOLEAN"
     gap_us = None if max_gap_seconds is None else max_gap_seconds * 1_000_000
+    ttl_ms = None if state_ttl_seconds is None else state_ttl_seconds * 1000
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["user_id", "converted"])
+            return
         st = list(state.get) if state.exists else [None] * n + [False]
         reach, done = st[:n], bool(st[n])
         out = []
@@ -247,6 +295,8 @@ def funnel_stream(
                     done = True
                     out.append((key[0], pd.Timestamp(ts_us * 1_000)))
         state.update(tuple(reach) + (done,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=["user_id", "converted"])
 
     return events_stream.groupBy("user_id").applyInPandasWithState(
@@ -254,5 +304,9 @@ def funnel_stream(
         outputStructType=FUNNEL_OUTPUT_DDL,
         stateStructType=state_ddl,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

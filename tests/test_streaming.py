@@ -394,3 +394,155 @@ def test_incremental_neardup_sink_equals_sequential_batches(spark, sf_dir, tmp_p
         idx = delta if idx is None else idx.unionByName(delta)
         idx = idx.localCheckpoint()
     assert got == want and len(got) > 100
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _few_shuffle_partitions(spark, n=2):
+    """Stateful-stream tests pay per-partition state-store overhead on
+    every micro-batch; 2 partitions instead of 8 keeps the live-trigger
+    TTL tests fast without changing semantics."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@contextlib.contextmanager
+def _live_stateful_stream(spark, in_dir, ckpt, out_dir, build):
+    """Start a stateful stream on a short-interval LIVE trigger and
+    yield a (read_rows, wait_until) pair; the query is stopped on
+    exit. availableNow is the WRONG harness for TTL streams: with
+    ProcessingTimeTimeout the stateful operator always requests
+    another micro-batch (to fire future timers), so an availableNow
+    run never self-terminates — it must be driven live and stopped."""
+    import time
+
+    from pyspark.sql.utils import AnalysisException
+
+    schema = spark.read.parquet(in_dir + "/slice=*").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    q = (
+        build(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def read_rows():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except AnalysisException:
+            return []
+
+    def wait_until(cond, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if cond():
+                return True
+            time.sleep(0.3)
+        return False
+
+    try:
+        yield read_rows, wait_until
+    finally:
+        q.stop()
+
+
+def test_state_history_stream_ttl_evicts_and_flushes(spark, tmp_path):
+    """State TTL: a user idle longer than the TTL is evicted via
+    processing-time timeout, and the eviction flushes their open run
+    with valid_to NULL — bounded state for unbounded user spaces,
+    every event still in exactly one emitted interval."""
+    import datetime
+
+    from graphragdatapipeline_spark.streaming import stateful as st
+
+    t0 = datetime.datetime(2024, 1, 1)
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    ddl = "user_id LONG, ts TIMESTAMP, event_type STRING, event_id LONG"
+    spark.createDataFrame(
+        [(100, t0, "a", 1), (100, t0 + datetime.timedelta(hours=1), "b", 2)], ddl
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "slice=0"))
+
+    def build(stream):
+        return st.state_history_stream(stream, state_ttl_seconds=1)
+
+    with _few_shuffle_partitions(spark), _live_stateful_stream(
+        spark, in_dir, str(tmp_path / "ckpt"), str(tmp_path / "out"), build
+    ) as (read_rows, wait_until):
+        # the data batch closes 'a'; ~1 s later the TTL timer fires and
+        # flushes the open 'b' run — both arrive without further input
+        assert wait_until(lambda: len(read_rows()) >= 2), read_rows()
+        rows = read_rows()
+    u100 = sorted(
+        (r.state, r.valid_to is None, r.n_events) for r in rows if r.user_id == 100
+    )
+    assert u100 == [("a", False, 1), ("b", True, 1)], rows
+
+
+def test_funnel_stream_ttl_forgets_idle_users(spark, tmp_path):
+    """Funnel state TTL: partial progress of an idle user is evicted,
+    so a final-step event arriving after eviction does NOT convert —
+    while the identical schedule with a long TTL does. This pins the
+    eviction itself, not just the absence of output."""
+    import datetime
+    import time
+
+    from graphragdatapipeline_spark.streaming import stateful as st
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ddl = "user_id LONG, ts TIMESTAMP, event_type STRING, event_id LONG"
+    hours = datetime.timedelta(hours=1)
+
+    def drive(label, ttl):
+        in_dir = str(tmp_path / f"in_{label}")
+        os.makedirs(in_dir)
+
+        def build(stream):
+            return st.funnel_stream(
+                stream, ["view", "click", "purchase"], state_ttl_seconds=ttl
+            )
+
+        spark.createDataFrame(
+            [(1, t0, "view", 1), (1, t0 + hours, "click", 2)], ddl
+        ).coalesce(1).write.parquet(os.path.join(in_dir, "slice=0"))
+        with _live_stateful_stream(
+            spark,
+            in_dir,
+            str(tmp_path / f"ckpt_{label}"),
+            str(tmp_path / f"out_{label}"),
+            build,
+        ) as (read_rows, wait_until):
+            time.sleep(3.0)  # > TTL: user 1 idles past the deadline
+            # user 9 converts fully inside one batch — the sentinel that
+            # proves the purchase batch was processed end-to-end
+            spark.createDataFrame(
+                [
+                    (1, t0 + 2 * hours, "purchase", 4),
+                    (9, t0, "view", 5),
+                    (9, t0 + hours, "click", 6),
+                    (9, t0 + 2 * hours, "purchase", 7),
+                ],
+                ddl,
+            ).coalesce(1).write.parquet(os.path.join(in_dir, "slice=1"))
+            assert wait_until(lambda: any(r.user_id == 9 for r in read_rows()))
+            # settle one more trigger so a user-1 row could not be in flight
+            time.sleep(1.0)
+            return {r.user_id for r in read_rows()}
+
+    with _few_shuffle_partitions(spark):
+        assert 1 not in drive("short", ttl=1)  # evicted: purchase can't convert
+        assert 1 in drive("long", ttl=3600)  # same schedule, state retained
