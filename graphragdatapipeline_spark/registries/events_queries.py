@@ -256,30 +256,6 @@ def events_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_value_percentiles",
-    oracle="""
-SELECT event_type,
-       floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
-       floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
-       floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
-FROM events GROUP BY event_type
-""",
-)
-def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles per event type (Spark
-    `percentile` == DuckDB `quantile_cont`; the approx_percentile
-    sketch is the scale path when exactness isn't required)."""
-    from graphragdatapipeline_spark.registry import dround
-
-    ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        dround(F.percentile("value", 0.5), 4).alias("p50"),
-        dround(F.percentile("value", 0.9), 4).alias("p90"),
-        dround(F.percentile("value", 0.99), 4).alias("p99"),
-    )
-
-
-@register(
     "events_funnel_analysis",
     oracle="""
 WITH v AS (
@@ -517,4 +493,160 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("carry_forward"),
         )
+    )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       floor(quantile_cont(value, 0.50) * 1000000 + 0.5) / 1000000 AS p50,
+       floor(quantile_cont(value, 0.90) * 1000000 + 0.5) / 1000000 AS p90,
+       floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+FROM events GROUP BY event_type
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (p50/p90/p99) —
+    the latency-dashboard aggregation every events pipeline runs.
+    Spark's percentile and DuckDB's quantile_cont share the linear
+    interpolation at rank p·(n−1), so the oracle is value-exact to the
+    rounding. Scale shape: percentile is a full-shuffle agg on the
+    grouping key only (no global sort); for 100 TB dashboards the
+    approx_percentile sketch swaps in behind the same query shape when
+    exactness is not required."""
+    from graphragdatapipeline_spark.registry import dround
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        dround(F.percentile("value", F.lit(0.90)), 6).alias("p90"),
+        dround(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, m.med, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_type,
+       floor(a.med * 1000000 + 0.5) / 1000000 AS med,
+       floor(a.mad * 1000000 + 0.5) / 1000000 AS mad,
+       CAST(sum(CASE WHEN abs(e.value - a.med) > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       count(*) AS n_events
+FROM events e JOIN mad a USING (event_type)
+GROUP BY e.event_type, a.med, a.mad
+""",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median absolute
+    deviation (MAD), flagging |value − median| > 3·MAD — the standard
+    robust alternative to z-scores for data-quality monitoring (a few
+    wild rows cannot drag the threshold the way they drag a stddev).
+    Two grouped aggregations with BROADCAST joins back to the fact
+    (the per-type stats are tiny); the fact table is scanned, never
+    self-joined, so the plan holds at 100 TB."""
+    from graphragdatapipeline_spark.registry import dround
+
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type", "med").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    j2 = ev.join(F.broadcast(mad), "event_type")
+    return j2.groupBy("event_type", "med", "mad").agg(
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        dround(F.col("med"), 6).alias("med"),
+        dround(F.col("mad"), 6).alias("mad"),
+        "n_outliers",
+        "n_events",
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+)
+SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bucket,
+       count(*) AS n,
+       floor(min(value) * 1000000 + 0.5) / 1000000 AS bucket_min,
+       floor(max(value) * 1000000 + 0.5) / 1000000 AS bucket_max
+FROM events, b
+GROUP BY 1
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 20-bucket value histogram over the observed domain — the
+    distribution profile behind every data-quality dashboard. The
+    domain (min/max) comes from ONE scalar aggregate broadcast into a
+    map-side bucket expression; the histogram itself is a single
+    groupBy on the bucket id. Two scans, one shuffle, no sort — the
+    same plan at 100 TB."""
+    from graphragdatapipeline_spark.registry import dround
+
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / step).cast("long"), F.lit(19)
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.min("value"), 6).alias("bucket_min"),
+            dround(F.max("value"), 6).alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "events_value_moments",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       floor(avg(value) * 10000 + 0.5) / 10000 AS mean_v,
+       floor(stddev_samp(value) * 10000 + 0.5) / 10000 AS sd_v,
+       floor(var_samp(value) * 10000 + 0.5) / 10000 AS var_v,
+       floor(corr(value, CAST(user_id AS DOUBLE)) * 10000 + 0.5) / 10000 AS corr_vu
+FROM events GROUP BY event_type
+""",
+)
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event_type: mean, sample
+    stddev/variance, and value↔user correlation — the native
+    merge-based moment aggregators (one partial-agg shuffle, exactly
+    the 100 TB shape). Both engines accumulate central moments with
+    pairwise-merge updates; 4-decimal rounding absorbs the float
+    summation-order residue."""
+    from graphragdatapipeline_spark.registry import dround
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.avg("value"), 4).alias("mean_v"),
+        dround(F.stddev_samp("value"), 4).alias("sd_v"),
+        dround(F.var_samp("value"), 4).alias("var_v"),
+        dround(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_vu"),
     )

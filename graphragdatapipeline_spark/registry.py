@@ -55,6 +55,11 @@ def register(name: str, oracle: str | None, headline: bool = False):
             ensure_session_defaults(spark)
             return fn(spark, sf_dir)
 
+        if name in REGISTRY:
+            # A silent overwrite hides a query from the driver's
+            # correctness window (the old one vanishes, the count
+            # stays plausible) — fail loudly at import time instead.
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QueryDef(fn=wrapped, oracle=oracle, headline=headline)
         return fn
 

@@ -351,3 +351,29 @@ def test_compact_parquet_rejects_same_src_dst(spark, tmp_path):
     spark.range(10).write.parquet(d)
     with pytest.raises(ValueError, match="must differ"):
         compact_parquet(spark, d, d)
+
+
+def test_histogram_and_moments_single_shuffle(spark, sf_dir):
+    """The distribution-profile queries must stay one-shuffle: the
+    histogram's min/max domain is a broadcast scalar (no extra
+    exchange on the fact), and the moments aggregation is one
+    partial-agg shuffle on the grouping key."""
+    from graphragdatapipeline_spark.registry import REGISTRY
+
+    for name in ("events_value_histogram", "events_value_moments"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= 1, f"{name}: {n} hash exchanges\n{plan}"
+
+
+def test_outliers_broadcasts_stats_not_fact(spark, sf_dir):
+    """MAD outlier detection joins tiny per-type stats back to the
+    fact table: both joins must be broadcast — the fact table is never
+    shuffled for a join."""
+    from graphragdatapipeline_spark.registry import REGISTRY
+
+    df = REGISTRY["events_value_outliers"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -425,3 +425,29 @@ def test_funnel_conversions_match_reference(spark, evs, gap_hours):
         if reach is not None:
             expect.add((u, reach))
     assert got == expect
+
+
+# mojibake repair is pure Python — fuzz it harder than the Spark ops
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs"),
+            max_codepoint=0x024F,  # Latin incl. accented + punctuation
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_fix_mojibake_inverts_latin1_misdecodes(s):
+    """For any Latin-range text, corrupting via the classic UTF-8-read-
+    as-Latin-1 mistake — once or twice — must be fully repaired by
+    fix_mojibake. (Text that legitimately contains mojibake-shaped
+    bigrams is inherently ambiguous; like ftfy, the repairer prefers
+    the decode interpretation there.)"""
+    from graphragdatapipeline_spark.functions import fix_mojibake
+
+    corrupted = s.encode("utf-8").decode("latin-1")
+    assert fix_mojibake(corrupted) == s
+    double = corrupted.encode("utf-8").decode("latin-1")
+    assert fix_mojibake(double) == s
