@@ -37,7 +37,11 @@ from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
 # Queries whose semantics changed since their last green CORRECTNESS
 # row — treat as unverified (they re-enter the window ahead of
 # still-green entries, right after the never-green ones).
-_FORCE_REVERIFY: set[str] = set()
+_FORCE_REVERIFY: set[str] = {
+    # round 6: upgraded in place (adds n_events, 6-dp rounding) — its
+    # r4 green hash no longer describes the current output
+    "events_value_percentiles",
+}
 
 
 def _last_green_round() -> dict[str, int]:
