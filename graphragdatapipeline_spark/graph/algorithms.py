@@ -412,3 +412,27 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangle counting on an undirected edge list (columns src, dst)
+    — the classic clustering/community-density primitive Spark lacks
+    natively. Uses the degree-ordering trick that makes the join
+    tractable at scale: every edge is oriented low-id → high-id, so
+    each triangle {a,b,c} (a<b<c) is found EXACTLY once as
+    (a,b)+(b,c)+(a,c) — no 6× duplicate enumeration, and the wedge
+    join (a,b)⋈(b,c) fans out only on each vertex's FORWARD degree,
+    which ordering keeps far below total degree on skewed graphs.
+    Returns one row per triangle; count() or a groupBy on a vertex
+    yields the aggregate forms."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")

@@ -341,3 +341,45 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = g.vertices.filter(F.col("id").isin("R0", "R1")).select("id")
     return ga.bfs_distances(rev, sources, max_depth=6)
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+         greatest(a.l_partkey, b.l_partkey) AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM pairs ab
+  JOIN pairs bc ON ab.hi = bc.lo
+  JOIN pairs ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+)
+SELECT count(*) AS n_triangles,
+       count(DISTINCT a) AS n_a_vertices,
+       CAST(min(a + b + c) AS BIGINT) AS min_key_sum,
+       CAST(max(a + b + c) AS BIGINT) AS max_key_sum
+FROM tri
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts that share
+    an order are adjacent): degree-ordered wedge join — every edge
+    oriented low→high id, each triangle enumerated exactly once, the
+    standard trick that keeps the wedge fan-out bounded by forward
+    degree on skewed graphs. The oracle replays edge canonicalization
+    and the two-join enumeration in SQL and pins the triangle count
+    plus vertex/key-sum invariants of the full triangle set."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    tri = ga.triangle_count(edges)
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct("a").alias("n_a_vertices"),
+        F.min(F.col("a") + F.col("b") + F.col("c")).cast("long").alias("min_key_sum"),
+        F.max(F.col("a") + F.col("b") + F.col("c")).cast("long").alias("max_key_sum"),
+    )

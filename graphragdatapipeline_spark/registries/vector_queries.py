@@ -302,3 +302,98 @@ def vector_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     pairs = vs.embedding_near_dup_pairs(e, threshold=0.3, block_col="label")
     return dedup_corpus(e.select("vec_id", "label"), pairs, id_col="vec_id")
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle="""
+WITH corpus AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), ft AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY (CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END
+                   + CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END
+                   + CASE WHEN text LIKE '%stream%' THEN 1 ELSE 0 END) DESC,
+                    doc_id ASC) AS r
+  FROM corpus
+  WHERE text LIKE '%spark%' OR text LIKE '%join%' OR text LIKE '%stream%'
+), vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+  FROM (
+    SELECT c.doc_id,
+           list_dot_product(c.embedding::DOUBLE[], q.qe)
+             / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+    FROM corpus c, q WHERE c.doc_id <> 0
+  )
+), fused AS (
+  SELECT coalesce(ft.doc_id, vec.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + ft.r), 0) + coalesce(1.0 / (60 + vec.r), 0) AS rrf
+  FROM (SELECT * FROM ft WHERE r <= 50) ft
+  FULL OUTER JOIN (SELECT * FROM vec WHERE r <= 50) vec ON ft.doc_id = vec.doc_id
+)
+SELECT doc_id, floor(rrf * 1000000 + 0.5) / 1000000 AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the RAG read
+    path that combines the engine's two search modalities (reference
+    queries Chroma for vectors and scans text separately;
+    query_embeddings.py:52-58): a keyword list ranked by term-match
+    count and a cosine list ranked by similarity, each truncated to
+    50, fused by RRF score Σ 1/(60+rank) and reranked top-10. Ranks
+    come from row_number with doc_id tiebreaks, so the fusion is
+    integer-deterministic; only the published score is floating-point.
+    Scale shape: both candidate lists are TakeOrdered top-50 (no
+    global sort), the fusion joins two 50-row frames — driver-light,
+    corpus-scan-bound, identical at 100 TB."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    corpus = d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
+    q = _query_vec(spark, sf_dir)
+    terms = ["spark", "join", "stream"]
+    n_hits = sum(
+        F.when(F.col("text").contains(t), 1).otherwise(0) for t in terms
+    )
+    ft = (
+        corpus.withColumn("_hits", n_hits)
+        .filter(F.col("_hits") > 0)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("_hits"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("ft_r"))
+    )
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    vec = (
+        corpus.filter(F.col("doc_id") != 0)
+        .withColumn("sim", vs.cosine_similarity(F.col("embedding"), qv))
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        )
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("vec_r"))
+    )
+    fused = ft.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("ft_r")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_r")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", dround(F.col("rrf"), 6).alias("rrf_score"))
+    )

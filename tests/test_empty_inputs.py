@@ -209,3 +209,22 @@ def test_state_history_empty(spark):
     out = state_history(ev, "user_id", "ts", "event_type", ["event_id"])
     assert out.count() == 0
     assert out.columns == ["user_id", "state", "valid_from", "valid_to", "n_events"]
+
+
+def test_lsh_probe_topk_empty_corpus(spark):
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    corpus = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    planes = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "h_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    assert vs.lsh_probe_topk(corpus, planes, [0.5, 0.5], k=8).count() == 0
+
+
+def test_image_stats_empty_blobs(spark):
+    from graphragdatapipeline_spark.multimodal.blob import image_stats
+
+    blobs = spark.createDataFrame(
+        [], "blob_id STRING, media_type STRING, doc_id LONG, payload BINARY"
+    )
+    assert image_stats(blobs).count() == 0

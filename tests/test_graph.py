@@ -195,3 +195,29 @@ def test_pagerank_matches_python_reference(spark):
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
     assert abs(sum(got.values()) - 1.0) < 1e-6  # stochastic vector
+
+
+def test_triangle_count_hand_checked(spark):
+    """K4 minus one edge has exactly 2 triangles; direction and
+    duplicate edges must not change the count."""
+    from graphragdatapipeline_spark.graph.algorithms import triangle_count
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),          # triangle {1,2,3}
+            (3, 4), (2, 4),                   # triangle {2,3,4}
+            (2, 1),                           # reversed duplicate
+            (2, 2),                           # self-loop must be dropped
+            (5, 6),                           # isolated edge
+        ],
+        "src LONG, dst LONG",
+    )
+    tri = {tuple(r) for r in triangle_count(edges).collect()}
+    assert tri == {(1, 2, 3), (2, 3, 4)}
+
+
+def test_triangle_count_empty_graph(spark):
+    from graphragdatapipeline_spark.graph.algorithms import triangle_count
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    assert triangle_count(empty).count() == 0
