@@ -414,7 +414,7 @@ def bfs_distances(
     return visited
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, max_forward_degree: int | None = None) -> DataFrame:
     """Triangle counting on an undirected edge list (columns src, dst)
     — the classic clustering/community-density primitive Spark lacks
     natively. Uses the degree-ordering trick that makes the join
@@ -424,7 +424,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     join (a,b)⋈(b,c) fans out only on each vertex's FORWARD degree,
     which ordering keeps far below total degree on skewed graphs.
     Returns one row per triangle; count() or a groupBy on a vertex
-    yields the aggregate forms."""
+    yields the aggregate forms.
+
+    ``max_forward_degree`` is the mega-hub guardrail (same philosophy
+    as the dedup layer's max_bucket/max_block): wedge volume grows
+    with fwd_deg(v)², so ONE celebrity vertex can dominate the whole
+    job. With the cap, every canonical edge whose LOW endpoint has
+    forward degree above it is dropped before the joins — triangles
+    involving those hub fan-outs are undercounted (the standard
+    approximate-triangle trade) and the wedge cost bound becomes
+    edges × cap."""
     canon = (
         edges.select(
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
@@ -432,6 +441,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
+    if max_forward_degree is not None:
+        fwd = canon.groupBy("lo").agg(F.count(F.lit(1)).alias("_fd"))
+        keep = fwd.filter(F.col("_fd") <= max_forward_degree).select("lo")
+        canon = canon.join(F.broadcast(keep), "lo")
     ab = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))

@@ -221,3 +221,19 @@ def test_triangle_count_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src LONG, dst LONG")
     assert triangle_count(empty).count() == 0
+
+
+def test_triangle_count_hub_guardrail(spark):
+    """max_forward_degree drops hub fan-outs before the wedge join:
+    a star hub with forward degree above the cap contributes no
+    triangles, while low-degree triangles survive."""
+    from graphragdatapipeline_spark.graph.algorithms import triangle_count
+
+    rows = [(1, 2), (2, 3), (1, 3)]  # clean triangle, fwd deg ≤ 2
+    rows += [(10, x) for x in range(11, 31)]  # hub 10: fwd degree 20
+    rows += [(11, 12), (10, 12)]  # triangle {10,11,12} via the hub
+    edges = spark.createDataFrame(rows, "src LONG, dst LONG")
+    full = {tuple(r) for r in triangle_count(edges).collect()}
+    assert (1, 2, 3) in full and (10, 11, 12) in full
+    capped = {tuple(r) for r in triangle_count(edges, max_forward_degree=5).collect()}
+    assert capped == {(1, 2, 3)}  # hub edges dropped, clean triangle kept
