@@ -546,3 +546,52 @@ def test_funnel_stream_ttl_forgets_idle_users(spark, tmp_path):
     with _few_shuffle_partitions(spark):
         assert 1 not in drive("short", ttl=1)  # evicted: purchase can't convert
         assert 1 in drive("long", ttl=3600)  # same schedule, state retained
+
+
+def test_incremental_dedup_sink_retry_drops_not_duplicates(spark, tmp_path):
+    """Crash-retry fail-safety of the index-before-corpus write order:
+    if a micro-batch dies AFTER its fingerprint delta landed but
+    BEFORE its corpus append (simulated here by pre-seeding the index
+    with the batch's fingerprints), the retry must DROP the batch's
+    docs — the corpus never gains duplicates, only potentially loses
+    rows recoverable from the source."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators.dedup import fingerprint
+    from graphragdatapipeline_spark.streaming import ops as so
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    docs = spark.createDataFrame(
+        [(1, "en", "alpha beta"), (2, "en", "gamma delta")],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    # simulate the half-committed batch: fingerprints present, corpus absent
+    docs.select(fingerprint(F.col("text")).alias("fp")).write.mode(
+        "append"
+    ).parquet(index_dir)
+
+    docs.coalesce(1).write.parquet(os.path.join(in_dir, "slice=0"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    q = so.incremental_dedup_sink(
+        stream, corpus_dir, index_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    # the retry saw its own fingerprints → dropped both docs
+    import glob
+
+    corpus_files = glob.glob(corpus_dir + "/*.parquet")
+    n_corpus = (
+        spark.read.parquet(corpus_dir).count() if corpus_files else 0
+    )
+    assert n_corpus == 0, "retried batch must not duplicate into the corpus"
+    # index unchanged in content: exactly the two fingerprints, no dupes
+    fps = [r.fp for r in spark.read.parquet(index_dir).collect()]
+    assert len(set(fps)) == 2
