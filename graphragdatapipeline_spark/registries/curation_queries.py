@@ -329,3 +329,43 @@ def curation_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in, WindowGroupLimit shape)."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return cu.sample_per_group(d, "doc_id", "lang", k=3)
+
+
+@register(
+    "curation_export_shards",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, md5(concat('export|', doc_id)) AS sk FROM documents
+), sharded AS (
+  SELECT doc_id, sk, ntile(16) OVER (ORDER BY sk, doc_id) - 1 AS shard
+  FROM keyed
+)
+SELECT shard, count(*) AS n_docs, min(sk) AS first_key, max(sk) AS last_key
+FROM sharded GROUP BY shard
+""",
+)
+def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced shard assignment for training-data
+    export: docs ordered by the seeded md5 shuffle key (the
+    reproducible global permutation) and cut into 16 equal shards via
+    ntile — every shard within one row of corpus/16, re-runs
+    bit-identical, and each shard's key range is contiguous so a
+    range-partitioned writer emits one internally-ordered file per
+    shard with zero extra shuffle. The oracle replays key, ntile and
+    per-shard stats exactly."""
+    from pyspark.sql import Window
+
+    from graphragdatapipeline_spark.operators import curation as cu
+
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", cu.shuffle_key(F.col("doc_id"), seed="export").alias("sk")
+    )
+    sharded = keyed.withColumn(
+        "shard", (F.ntile(16).over(Window.orderBy("sk", "doc_id")) - 1).cast("long")
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("sk").alias("first_key"),
+        F.max("sk").alias("last_key"),
+    )

@@ -320,3 +320,46 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     see text.analysis.tfidf_top_terms for the 100 TB join shape."""
     d = read_table(spark, sf_dir, "documents")
     return ta.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@register(
+    "fulltext_bm25_topk",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), postings AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ('spark', 'join', 'stream') GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM postings GROUP BY token
+), scored AS (
+  SELECT p.doc_id,
+         sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS bm25
+  FROM postings p
+  JOIN dfreq f USING (token)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, floor(bm25 * 1000000 + 0.5) / 1000000 AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+""",
+)
+def fulltext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the fixed query terms — the standard IR
+    ranking the engine's fulltext layer serves (tf, df, doclen and
+    corpus stats all from one tokenize pass; stats broadcast; top-k
+    TakeOrdered). Oracle replays the exact formula; ln() agrees to
+    well past the 6-dp rounding on both libms."""
+    from graphragdatapipeline_spark.registry import dround
+    from graphragdatapipeline_spark.text.analysis import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    out = bm25_topk(d, ["spark", "join", "stream"], k=10)
+    return out.select("doc_id", dround(F.col("bm25"), 6).alias("bm25"))

@@ -226,3 +226,58 @@ def fulltext_lookup(index: DataFrame, terms: list[str], id_col: str = "doc_id") 
         .filter(F.col("n_terms") == len(terms))
         .select(id_col)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document ranking for a term query — the standard IR
+    scorer the tf-idf profile above deliberately avoids for per-doc
+    term RANKING, applied here where it belongs: ranking DOCS for a
+    query. score(d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Scale shape: corpus stats (N, avgdl) are ONE scalar aggregate;
+    per-term df rows number |terms|; both broadcast. Postings are
+    filtered to the query's terms BEFORE any shuffle (the inverted
+    index at 100 TB serves this filter as a bucket lookup), so the
+    scored frame holds only matching (doc, term) pairs, and the top-k
+    is TakeOrderedAndProject — no global sort."""
+    lterms = [t.lower() for t in terms]
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("token")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = (
+        toks.filter(F.col("token").isin(*lterms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        scored.withColumn("_s", idf * tf_norm)
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
