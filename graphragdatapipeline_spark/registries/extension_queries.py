@@ -317,3 +317,36 @@ def pivot_unpivot_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot(["l_returnflag"], ["O", "F"], "l_linestatus", "sum_qty")
         .filter(F.col("sum_qty").isNotNull())
     )
+
+
+@register(
+    "approx_percentile_contract",
+    oracle="""
+SELECT event_type,
+       floor(quantile_cont(value, 0.5) * 100 + 0.5) / 100 AS exact_p50,
+       true AS sketch_within_2pct
+FROM events GROUP BY event_type
+""",
+)
+def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-family scale path for quantiles — the KLL/GK-style
+    approx_percentile sketch (mergeable, bounded memory, the 100 TB
+    substitute for exact percentile). Sketch internals differ per
+    engine, so the oracle pins the checkable contract, as for
+    approx_count_distinct: the exact p50 plus a 2%-relative-band
+    accuracy flag for the sketch at accuracy=10000 (rank error
+    1/10000 — a 2% value miss on this distribution is far outside
+    the bound, deterministic in practice)."""
+    ev = read_table(spark, sf_dir, "events")
+    from graphragdatapipeline_spark.registry import dround
+
+    return ev.groupBy("event_type").agg(
+        dround(F.percentile("value", F.lit(0.5)), 2).alias("exact_p50"),
+        (
+            F.abs(
+                F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+                - F.percentile("value", F.lit(0.5))
+            )
+            <= F.abs(F.percentile("value", F.lit(0.5))) * 0.02
+        ).alias("sketch_within_2pct"),
+    )

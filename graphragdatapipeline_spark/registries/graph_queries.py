@@ -383,3 +383,84 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("a") + F.col("b") + F.col("c")).cast("long").alias("min_key_sum"),
         F.max(F.col("a") + F.col("b") + F.col("c")).cast("long").alias("max_key_sum"),
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+         greatest(a.l_partkey, b.l_partkey) AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200
+), tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM pairs ab
+  JOIN pairs bc ON ab.hi = bc.lo
+  JOIN pairs ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+), tri_per_v AS (
+  SELECT v, count(*) AS n_tri FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+), deg AS (
+  SELECT v, count(*) AS degree FROM (
+    SELECT lo AS v FROM pairs UNION ALL SELECT hi FROM pairs
+  ) GROUP BY v
+)
+SELECT d.v AS part, d.degree,
+       coalesce(t.n_tri, 0) AS n_triangles,
+       floor(coalesce(t.n_tri, 0) * 2.0 / (d.degree * (d.degree - 1)) * 1000000 + 0.5)
+         / 1000000 AS clustering
+FROM deg d LEFT JOIN tri_per_v t ON d.v = t.v
+WHERE d.degree >= 2
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex — triangles(v) /
+    C(deg(v), 2), the standard community-density profile — composed
+    from the degree-ordered triangle enumeration plus one degree
+    aggregation (restricted to a 200-part sub-graph so the fixture
+    check stays light; the composition is scale-free). The oracle
+    replays the full composition."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 200)
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    tri = ga.triangle_count(edges)
+    tri_v = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = ga.degrees(canon.select(F.col("lo").alias("src"), F.col("hi").alias("dst")))
+    from graphragdatapipeline_spark.registry import dround
+
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_v, deg.id == tri_v.v, "left")
+        .select(
+            F.col("id").alias("part"),
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+            dround(
+                F.coalesce("n_tri", F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
