@@ -650,3 +650,23 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.var_samp("value"), 4).alias("var_v"),
         dround(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_vu"),
     )
+
+
+@register(
+    "events_windowed_p50",
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       quantile_disc(value, 0.5) AS p_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_windowed_p50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly median value per event_type — the streaming-safe
+    windowed percentile (bounded-state approx_percentile sketch; the
+    pytest runs the same operator as a real stream and asserts
+    equality). Below `accuracy` rows per window the sketch returns the
+    exact lower-median order statistic, which DuckDB's quantile_disc
+    replays exactly — a value-exact oracle for a sketch aggregate."""
+    return so.windowed_percentile(read_table(spark, sf_dir, "events"), "1 hour")

@@ -277,3 +277,31 @@ def click_purchase_attribution(
             "lag_seconds"
         ),
     )
+
+
+def windowed_percentile(
+    df: DataFrame, width: str = "1 hour", p: float = 0.5, accuracy: int = 10000
+) -> DataFrame:
+    """Windowed median monitoring — the latency-dashboard aggregation
+    in its STREAMING-safe form: exact percentile needs every value
+    (unbounded state), so the window aggregates the mergeable
+    approx_percentile sketch instead, whose state is bounded by
+    `accuracy` regardless of window volume. For windows smaller than
+    `accuracy` rows the sketch stores all samples and the answer is
+    the exact order statistic (merge-order independent), which is what
+    makes the batch twin deterministic for the oracle. Same plan in
+    batch and streaming; upstream adds the watermark."""
+    w = F.window("ts", width)
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile_approx("value", F.lit(p), F.lit(accuracy)).alias("p_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "p_value",
+        )
+    )

@@ -595,3 +595,21 @@ def test_incremental_dedup_sink_retry_drops_not_duplicates(spark, tmp_path):
     # index unchanged in content: exactly the two fingerprints, no dupes
     fps = [r.fp for r in spark.read.parquet(index_dir).collect()]
     assert len(set(fps)) == 2
+
+
+def test_windowed_percentile_stream_equals_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """The bounded-state windowed median (approx_percentile sketch)
+    must produce identical results streamed and batch — below
+    `accuracy` rows per window the sketch is the exact order
+    statistic, so equality is exact, not approximate."""
+    stream = so.read_events_stream(spark, events_stream_dir)
+    agg = so.windowed_percentile(so.with_watermark(stream, "90 days"))
+    got = _run_stream_to_memory(
+        spark, agg, "wp50_mem", str(tmp_path), output_mode="complete"
+    )
+    batch = so.windowed_percentile(read_table(spark, sf_dir, "events"))
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
