@@ -1,0 +1,55 @@
+"""I/O robustness: parquet schema evolution (mergeSchema) and JSONL
+corrupt-record handling — the lake-hygiene behaviors a long-running
+100 TB pipeline depends on when producers upgrade schemas or emit
+garbage lines."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A column added by a newer producer must surface as NULL for old
+    files under mergeSchema, and old readers selecting only original
+    columns must keep working against mixed directories."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id LONG, name STRING").write.parquet(
+        os.path.join(d, "batch=0")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, name STRING, score DOUBLE"
+    ).write.parquet(os.path.join(d, "batch=1"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d + "/batch=*")
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    # old readers project old columns regardless of new files
+    old_view = spark.read.parquet(d + "/batch=*").select("id", "name")
+    assert old_view.count() == 2
+
+
+def test_jsonl_corrupt_records_are_isolated(spark, tmp_path):
+    """PERMISSIVE mode must load the good rows and quarantine garbage
+    into _corrupt_record instead of failing the scan — per-line blast
+    radius, the property that lets a 100 TB JSONL ingest survive a
+    few bad lines."""
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("this is not json at all\n")
+        f.write('{"doc_id": 2, "text": "also ok"}\n')
+        f.write('{"doc_id": "not-a-number", "text": "bad type"}\n')
+
+    df = spark.read.schema(
+        "doc_id LONG, text STRING, _corrupt_record STRING"
+    ).json(p)
+    df = df.cache()  # required to observe _corrupt_record with the raw line
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert bad.count() == 2  # garbage line + type-mismatch line
+    df.unpersist()
