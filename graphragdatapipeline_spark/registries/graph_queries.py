@@ -464,3 +464,64 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def _ppr_oracle(damping: float = 0.85, iters: int = 8, top: int = 20) -> str:
+    """Unrolled personalized-PageRank replay (same superstep-per-CTE
+    scheme as _pagerank_oracle) with the teleport vector restricted to
+    the source set — expression structure mirrors the engine exactly:
+    (1−d)·tp + d·(recv + dang·tp)."""
+    edges = (
+        "SELECT concat('C', c_custkey) AS src, concat('N', c_nationkey) AS dst FROM customer "
+        "UNION ALL SELECT concat('S', s_suppkey), concat('N', s_nationkey) FROM supplier "
+        "UNION ALL SELECT concat('N', n_nationkey), concat('R', n_regionkey) FROM nation"
+    )
+    tp = "(CASE WHEN v.id IN ('N0', 'N5') THEN 0.5 ELSE 0.0 END)"
+    parts = [
+        f"dedges AS ({edges})",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges))",
+        "deg AS (SELECT src, count(*) AS deg FROM dedges GROUP BY src)",
+        f"pr0 AS (SELECT v.id, {tp} AS rank FROM verts v)",
+    ]
+    for i in range(iters):
+        prev = f"pr{i}"
+        parts.append(
+            f"dang{i} AS (SELECT COALESCE(sum(p.rank), 0.0) AS d FROM {prev} p "
+            "LEFT JOIN deg ON p.id = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"recv{i} AS (SELECT e.dst AS id, sum(p.rank / e.odeg) AS r "
+            "FROM (SELECT d.src, d.dst, g.deg AS odeg FROM dedges d JOIN deg g ON d.src = g.src) e "
+            f"JOIN {prev} p ON e.src = p.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pr{i + 1} AS (SELECT v.id, "
+            f"(1.0 - {damping}) * {tp} + {damping} * "
+            f"(COALESCE(r.r, 0.0) + (SELECT d FROM dang{i}) * {tp}) AS rank "
+            f"FROM verts v LEFT JOIN recv{i} r ON v.id = r.id)"
+        )
+    sep = ",\n"
+    return (
+        f"WITH {sep.join(parts)}\n"
+        f"SELECT id, floor((rank * 1000) * 10000 + 0.5)/10000 AS rank_permille\n"
+        f"FROM pr{iters}\nWHERE rank > 0\n"
+        f"ORDER BY rank_permille DESC, id ASC LIMIT {top}"
+    )
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at nations N0/N5 — the 'relevance
+    to this entity' ranking GraphRAG retrieval uses to pull context
+    around a seed node. Full unrolled-CTE value oracle, same scheme as
+    graph_pagerank."""
+    from graphragdatapipeline_spark.registry import dround
+
+    g = build_tpch_graph(spark, sf_dir)
+    pr = ga.personalized_pagerank(g.edges, ["N0", "N5"], damping=0.85, iters=8)
+    return (
+        pr.filter(F.col("rank") > 0)
+        .select("id", dround(F.col("rank") * 1000, 4).alias("rank_permille"))
+        .orderBy(F.desc("rank_permille"), F.asc("id"))
+        .limit(20)
+    )
