@@ -629,3 +629,57 @@ def scd2_merge(
     return closed.select(key_col, *attr_cols, valid_from, valid_to).unionByName(
         merged
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rn",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable global row_number over a total order — WITHOUT the
+    single-partition global window (an unpartitioned window moves the
+    ENTIRE dataset through one task; fine for 50 rows, fatal for a
+    corpus). The distributed recipe:
+
+    1. range-partition by the order key (Spark samples boundaries —
+       the same machinery as a global sort, spill-safe);
+    2. row_number within each partition (keys are range-disjoint, so
+       local ranks are globally consistent);
+    3. add each partition's global offset, computed from the per-
+       partition counts — an n_partitions-row driver aggregate
+       broadcast back.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak):
+    equal keys split across a range boundary would otherwise rank
+    nondeterministically. Cost: one range shuffle + one tiny count
+    job — what a sort already costs."""
+    spark = df.sparkSession
+    n = n_partitions or max(spark.sparkContext.defaultParallelism, 2)
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n, *cols)
+    # pin the partitioning so the count job and the ranked output see
+    # the SAME physical layout (lazy re-evaluation may re-sample range
+    # boundaries otherwise)
+    parted = parted.localCheckpoint(eager=False)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    sizes = sorted(
+        (r["_pid"], r["_n"])
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in sizes:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid INT, _off LONG")
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        with_pid.join(off, "_pid", "left")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.coalesce("_off", F.lit(0))).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )

@@ -353,17 +353,27 @@ def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned writer emits one internally-ordered file per
     shard with zero extra shuffle. The oracle replays key, ntile and
     per-shard stats exactly."""
-    from pyspark.sql import Window
-
     from graphragdatapipeline_spark.operators import curation as cu
+    from graphragdatapipeline_spark.operators.relational import global_row_number
 
     d = read_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id", cu.shuffle_key(F.col("doc_id"), seed="export").alias("sk")
     )
-    sharded = keyed.withColumn(
-        "shard", (F.ntile(16).over(Window.orderBy("sk", "doc_id")) - 1).cast("long")
-    )
+    # global rank via the DISTRIBUTED recipe (range partition + local
+    # rank + broadcast offsets) — an unpartitioned ntile window would
+    # drag the whole corpus through one task at scale. The ntile
+    # bucket arithmetic is then replayed exactly: the first N mod k
+    # shards hold ceil(N/k) docs, the rest floor(N/k).
+    ranked = global_row_number(keyed, ["sk", "doc_id"], rank_col="rn")
+    n_total = keyed.count()
+    k = 16
+    q, r = divmod(n_total, k)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading shards
+    shard = F.when(
+        F.col("rn") <= big, F.floor((F.col("rn") - 1) / (q + 1))
+    ).otherwise(r + F.floor((F.col("rn") - 1 - big) / q) if q else F.lit(r))
+    sharded = ranked.withColumn("shard", shard.cast("long"))
     return sharded.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("sk").alias("first_key"),

@@ -363,27 +363,33 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hits = sum(
         F.when(F.col("text").contains(t), 1).otherwise(0) for t in terms
     )
+    # Candidate truncation is orderBy+limit — TakeOrderedAndProject
+    # keeps 50 rows per partition and never globally sorts; the
+    # unpartitioned row_number window then ranks a ≤50-row frame
+    # (bounded constant), NOT the corpus — the global-window
+    # single-partition hazard never touches corpus-sized data.
     ft = (
         corpus.withColumn("_hits", n_hits)
         .filter(F.col("_hits") > 0)
+        .orderBy(F.desc("_hits"), F.asc("doc_id"))
+        .limit(50)
         .withColumn(
-            "r",
-            F.row_number().over(
-                Window.orderBy(F.desc("_hits"), F.asc("doc_id"))
-            ),
+            "ft_r",
+            F.row_number().over(Window.orderBy(F.desc("_hits"), F.asc("doc_id"))),
         )
-        .filter(F.col("r") <= 50)
-        .select("doc_id", F.col("r").alias("ft_r"))
+        .select("doc_id", "ft_r")
     )
     qv = F.array(*[F.lit(float(x)) for x in q])
     vec = (
         corpus.filter(F.col("doc_id") != 0)
         .withColumn("sim", vs.cosine_similarity(F.col("embedding"), qv))
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(50)
         .withColumn(
-            "r", F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+            "vec_r",
+            F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id"))),
         )
-        .filter(F.col("r") <= 50)
-        .select("doc_id", F.col("r").alias("vec_r"))
+        .select("doc_id", "vec_r")
     )
     fused = ft.join(vec, "doc_id", "full_outer").select(
         "doc_id",

@@ -356,3 +356,35 @@ def test_mixture_sample_rejects_bad_inputs(spark, sf_dir):
         cu.mixture_sample([], key="doc_id")
     with pytest.raises(ValueError, match="negative"):
         cu.mixture_sample([(docs, -0.5)], key="doc_id")
+
+
+def test_global_row_number_matches_global_window(spark):
+    """The distributed rank (range partition + local rank + offsets)
+    must equal the single-partition global window bit-for-bit on a
+    total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators.relational import global_row_number
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("k")
+    )
+    got = {
+        (r.id, r.rn)
+        for r in global_row_number(df, ["k", "id"], n_partitions=7).collect()
+    }
+    want = {
+        (r.id, r.rn)
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "id")).cast("long")
+        ).collect()
+    }
+    assert got == want and len(got) == 1000
+
+
+def test_global_row_number_empty(spark):
+    from graphragdatapipeline_spark.operators.relational import global_row_number
+
+    empty = spark.createDataFrame([], "id LONG, k STRING")
+    assert global_row_number(empty, ["k", "id"]).count() == 0
