@@ -350,3 +350,37 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.abs(F.percentile("value", F.lit(0.5))) * 0.02
         ).alias("sketch_within_2pct"),
     )
+
+
+@register(
+    "freq_items_contract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       true AS in_sketch
+FROM events GROUP BY event_type
+HAVING count(*) >= 0.05 * (SELECT count(*) FROM events)
+""",
+)
+def freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch contract — freqItems (Karp/​Frequent-
+    style single-pass counters, the third mergeable sketch next to HLL
+    and the quantile sketch). The algorithm guarantees NO FALSE
+    NEGATIVES above the support threshold, which is the checkable
+    contract: every event_type with true share ≥ 5% must appear in
+    freqItems(support=0.05); the oracle pins the exact counts and the
+    containment flag. (False positives are allowed by the sketch and
+    excluded here by the HAVING mirror on the Spark side.)"""
+    ev = read_table(spark, sf_dir, "events")
+    items = ev.stat.freqItems(["event_type"], support=0.05).first()[0]
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 0.05 * total)
+        .select(
+            "event_type",
+            "n_events",
+            F.col("event_type").isin([str(x) for x in items]).alias("in_sketch"),
+        )
+    )
