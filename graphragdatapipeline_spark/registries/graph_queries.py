@@ -525,3 +525,99 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_permille"), F.asc("id"))
         .limit(20)
     )
+
+
+def _local_search_oracle(damping: float = 0.85, iters: int = 4, top: int = 15) -> str:
+    """GraphRAG local-search context replay: single-seed personalized
+    PageRank (unrolled CTEs, tp = 1 on the seed) joined with vertex
+    metadata and degrees, top-N by relevance."""
+    edges = (
+        "SELECT concat('C', c_custkey) AS src, concat('N', c_nationkey) AS dst FROM customer "
+        "UNION ALL SELECT concat('S', s_suppkey), concat('N', s_nationkey) FROM supplier "
+        "UNION ALL SELECT concat('N', n_nationkey), concat('R', n_regionkey) FROM nation"
+    )
+    verts = (
+        "SELECT concat('C', c_custkey) AS id, 'Customer' AS label, c_name AS name FROM customer "
+        "UNION ALL SELECT concat('S', s_suppkey), 'Supplier', s_name FROM supplier "
+        "UNION ALL SELECT concat('N', n_nationkey), 'Nation', n_name FROM nation "
+        "UNION ALL SELECT concat('R', r_regionkey), 'Region', r_name FROM region"
+    )
+    tp = "(CASE WHEN v.id = 'N0' THEN 1.0 ELSE 0.0 END)"
+    parts = [
+        f"raw AS ({edges})",
+        # local search expands the UNDIRECTED neighborhood: walks must
+        # reach the seed's customers/suppliers, not only its region
+        "dedges AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)",
+        f"vmeta AS ({verts})",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges))",
+        "deg AS (SELECT src, count(*) AS deg FROM dedges GROUP BY src)",
+        "degree AS (SELECT id, count(*) AS degree FROM ("
+        "SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw) GROUP BY id)",
+        f"pr0 AS (SELECT v.id, {tp} AS rank FROM verts v)",
+    ]
+    for i in range(iters):
+        prev = f"pr{i}"
+        parts.append(
+            f"dang{i} AS (SELECT COALESCE(sum(p.rank), 0.0) AS d FROM {prev} p "
+            "LEFT JOIN deg ON p.id = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"recv{i} AS (SELECT e.dst AS id, sum(p.rank / e.odeg) AS r "
+            "FROM (SELECT d.src, d.dst, g.deg AS odeg FROM dedges d JOIN deg g ON d.src = g.src) e "
+            f"JOIN {prev} p ON e.src = p.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pr{i + 1} AS (SELECT v.id, "
+            f"(1.0 - {damping}) * {tp} + {damping} * "
+            f"(COALESCE(r.r, 0.0) + (SELECT d FROM dang{i}) * {tp}) AS rank "
+            f"FROM verts v LEFT JOIN recv{i} r ON v.id = r.id)"
+        )
+    sep = ",\n"
+    return (
+        f"WITH {sep.join(parts)},\n"
+        f"scored AS (SELECT p.id, floor((p.rank * 1000) * 10000 + 0.5)/10000 AS rank_permille "
+        f"FROM pr{iters} p WHERE p.rank > 0)\n"
+        f"SELECT s.id, m.label, m.name, d.degree, s.rank_permille,\n"
+        f"       CAST(row_number() OVER (ORDER BY s.rank_permille DESC, s.id ASC) AS INT) AS position\n"
+        f"FROM scored s JOIN vmeta m ON s.id = m.id JOIN degree d ON s.id = d.id\n"
+        f"ORDER BY s.rank_permille DESC, s.id ASC LIMIT {top}"
+    )
+
+
+@register("graphrag_local_search", oracle=_local_search_oracle())
+def graphrag_local_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's END USE composed end-to-end: GraphRAG local
+    search around a seed entity (reference retrieval: Neo4j
+    neighborhood + Chroma context; here one declarative plan).
+    Single-seed personalized PageRank ranks the seed's neighborhood by
+    walk relevance, vertex metadata and degrees attach entity context,
+    and the top-15 (TakeOrdered, then position numbers on the 15-row
+    frame) form the retrieval context window. Full value oracle:
+    unrolled-PPR CTEs + metadata joins replayed in SQL."""
+    from pyspark.sql import Window
+
+    from graphragdatapipeline_spark.registry import dround
+
+    g = build_tpch_graph(spark, sf_dir)
+    sym = g.edges.select("src", "dst").unionByName(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = ga.personalized_pagerank(sym, ["N0"], damping=0.85, iters=4)
+    deg = ga.degrees(g.edges)
+    scored = (
+        pr.filter(F.col("rank") > 0)
+        .select("id", dround(F.col("rank") * 1000, 4).alias("rank_permille"))
+        .join(g.vertices.select("id", "label", "name"), "id")
+        .join(deg, "id")
+    )
+    top = (
+        scored.orderBy(F.desc("rank_permille"), F.asc("id"))
+        .limit(15)
+        .withColumn(
+            "position",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rank_permille"), F.asc("id")))
+            .cast("int"),
+        )
+    )
+    return top.select("id", "label", "name", "degree", "rank_permille", "position")
