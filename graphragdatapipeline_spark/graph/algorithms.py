@@ -327,6 +327,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iters: int = 10,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over DataFrames → (id, rank).
 
@@ -346,10 +347,16 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = verts.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Weighted walks: each out-edge carries rank·w/Σw instead of
+    # rank/out_degree — weight w is exactly equivalent to w parallel
+    # unit edges (invariant pinned in pytest). deg below is Σw per
+    # source; the unweighted path is the constant-1 special case.
+    w_expr = F.col(weight_col) if weight_col else F.lit(1.0)
+    deg = edges.groupBy("src").agg(F.sum(w_expr).alias("deg"))
     out_edges = (
-        edges.join(deg, "src")
-        .select("src", "dst", "deg")
+        edges.withColumn("_w", w_expr)
+        .join(deg, "src")
+        .select("src", "dst", "deg", "_w")
         .repartition("src")
         .localCheckpoint(eager=True)
     )
@@ -364,7 +371,7 @@ def pagerank(
         )
         received = (
             out_edges.join(ranks, out_edges.src == ranks.id)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select("dst", (F.col("rank") * F.col("_w") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("received"))
         )

@@ -237,3 +237,26 @@ def test_triangle_count_hub_guardrail(spark):
     assert (1, 2, 3) in full and (10, 11, 12) in full
     capped = {tuple(r) for r in triangle_count(edges, max_forward_degree=5).collect()}
     assert capped == {(1, 2, 3)}  # hub edges dropped, clean triangle kept
+
+
+def test_weighted_pagerank_equals_parallel_edges(spark):
+    """Edge weight w must behave exactly like w parallel unit edges —
+    the defining invariant of weighted random walks."""
+    from graphragdatapipeline_spark.graph.algorithms import pagerank
+
+    weighted = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0)],
+        "src LONG, dst LONG, w DOUBLE",
+    )
+    rows = []
+    for s, d, w in [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1)]:
+        rows += [(s, d)] * w
+    expanded = spark.createDataFrame(rows, "src LONG, dst LONG")
+    a = {r.id: round(r.rank, 10) for r in pagerank(weighted, iters=6, weight_col="w").collect()}
+    b = {r.id: round(r.rank, 10) for r in pagerank(expanded, iters=6).collect()}
+    assert a == b and len(a) == 3
+    # unweighted path unchanged: weight_col=None == all-ones weights
+    ones = weighted.withColumn("w", weighted.w * 0 + 1.0)
+    c = {r.id: round(r.rank, 10) for r in pagerank(ones, iters=6, weight_col="w").collect()}
+    d = {r.id: round(r.rank, 10) for r in pagerank(ones.drop("w"), iters=6).collect()}
+    assert c == d
