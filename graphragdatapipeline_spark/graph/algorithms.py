@@ -121,6 +121,7 @@ def label_propagation(
     vertices: DataFrame | None = None,
     max_iter: int = 5,
     seed: int = 42,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Synchronous, deterministic label propagation → (id, community).
 
@@ -130,9 +131,6 @@ def label_propagation(
     neighbor label; ties break on (count desc, label asc), making every
     round a pure function of the previous one — same input, same
     communities, on any cluster layout."""
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     # Partition the (big) edge table by the join key ONCE — every
     # iteration's join then shuffles only the (small) label table.
     # localCheckpoint preserves the physical partitioning.
@@ -142,12 +140,32 @@ def label_propagation(
     # accumulated open block files can exhaust the process FD limit
     # before the fixture-scale run finishes.
     par = max(edges.sparkSession.sparkContext.defaultParallelism, 2)
-    sym = (
-        sym.filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(par, "dst")
-        .localCheckpoint(eager=True)
-    )
+    if weight_col is None:
+        # unweighted: parallel edges collapse (distinct), each
+        # neighbor casts one vote
+        sym = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        sym = (
+            sym.filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("_w", F.lit(1.0))
+        )
+    else:
+        # weighted: neighbor votes carry edge weight; parallel edges
+        # sum (a weight-w edge == w votes)
+        sym = edges.select("src", "dst", F.col(weight_col).alias("_w")).unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                F.col(weight_col).alias("_w"),
+            )
+        )
+        sym = (
+            sym.filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+        )
+    sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id")).distinct()
@@ -172,7 +190,7 @@ def label_propagation(
         votes = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy(F.col("src").alias("id"), F.col("community"))
-            .agg(F.count(F.lit(1)).alias("votes"))
+            .agg(F.sum("_w").alias("votes"))
         )
         # Winner per vertex = max by (votes, then smallest label).
         # max_by over struct(votes, ~community) gives exactly the

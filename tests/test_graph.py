@@ -260,3 +260,33 @@ def test_weighted_pagerank_equals_parallel_edges(spark):
     c = {r.id: round(r.rank, 10) for r in pagerank(ones, iters=6, weight_col="w").collect()}
     d = {r.id: round(r.rank, 10) for r in pagerank(ones.drop("w"), iters=6).collect()}
     assert c == d
+
+
+def test_weighted_label_propagation_weights_flip_winner(spark):
+    """Weighted LPA: a heavy edge outvotes two light neighbors —
+    unweighted on the same graph picks the majority count instead."""
+    from graphragdatapipeline_spark.graph.algorithms import label_propagation
+
+    # vertex 10 has neighbors 1, 2 (community A by id-seed) and 3
+    # (community B); edge to 3 carries weight 5
+    edges = spark.createDataFrame(
+        [(10, 1, 1.0), (10, 2, 1.0), (10, 3, 5.0), (1, 2, 1.0)],
+        "src LONG, dst LONG, w DOUBLE",
+    )
+    unweighted = {
+        r.id: r.community for r in label_propagation(edges, max_iter=1).collect()
+    }
+    weighted = {
+        r.id: r.community
+        for r in label_propagation(edges, max_iter=1, weight_col="w").collect()
+    }
+    # after one round vertex 10 adopts: unweighted → majority label of
+    # {1,2,3} initial communities; weighted → vertex 3's label (5 votes)
+    init = {v: unweighted[v] for v in (1, 2, 3)}  # one round: 1,2 swap among selves
+    # build initial labels directly for the comparison
+    from graphragdatapipeline_spark.graph.algorithms import label_propagation as lp
+
+    zero = {r.id: r.community for r in lp(edges, max_iter=0).collect()}
+    maj = sorted((zero[1], zero[2], zero[3]))  # ties: count desc, label asc
+    assert weighted[10] == zero[3]
+    assert unweighted[10] == min(maj, key=lambda c: (-maj.count(c), c))
