@@ -53,3 +53,31 @@ def test_jsonl_corrupt_records_are_isolated(spark, tmp_path):
     assert {r.doc_id for r in good.collect()} == {1, 2}
     assert bad.count() == 2  # garbage line + type-mismatch line
     df.unpersist()
+
+
+def test_csv_source_quotes_escapes_and_permissive(spark, tmp_path):
+    """CSV ingestion with a declared schema: quoted delimiters,
+    escaped quotes and nulls parse exactly; malformed rows are
+    quarantined PERMISSIVE-style rather than failing the scan."""
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("id,name,score\n")
+        f.write('1,"comma, inside",2.5\n')
+        f.write('2,"quote "" inside",\n')  # escaped quote + null score
+        f.write("3,plain,7.0\n")
+        f.write("not-a-number,bad,xyz\n")  # malformed row
+    df = (
+        spark.read.option("header", "true")
+        .option("escape", '"')
+        .schema("id LONG, name STRING, score DOUBLE, _corrupt_record STRING")
+        .csv(p)
+    )
+    df = df.cache()
+    good = {r.id: (r.name, r.score) for r in df.filter("_corrupt_record IS NULL").collect()}
+    assert good == {
+        1: ("comma, inside", 2.5),
+        2: ('quote " inside', None),
+        3: ("plain", 7.0),
+    }
+    assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+    df.unpersist()
