@@ -6,8 +6,9 @@ typed metadata struct (BLOB_SCHEMA). Decode / feature-extract /
 resize / frame-sample run as Arrow-batched kernels over mapInPandas —
 the Spark-side plumbing (schema, batching, partitioning) is real and
 tested. Codec status: `image/png` decodes FOR REAL via the stdlib
-zlib/struct codec below (all five scanline filters, CRC-verified);
-audio/video codecs remain stubbed (libraries absent from this
+zlib/struct codec below (all five scanline filters, CRC-verified) and
+`audio/wav` decodes FOR REAL via the stdlib wave module (RIFF parse,
+mono PCM16); video codecs remain stubbed (libraries absent from this
 container) — `decode_media` raises NotImplementedError for those and
 provides a deterministic fake for `text/plain` payloads so the batch
 shape and schema contract are exercised end-to-end regardless.
@@ -223,6 +224,8 @@ def decode_media(payload: bytes, media_type: str):
         return payload.decode("utf-8")
     if media_type == "image/png":
         return decode_png(bytes(payload))
+    if media_type == "audio/wav":
+        return decode_wav(bytes(payload))
     raise NotImplementedError(
         f"codec for {media_type} not available in this environment; "
         "plug a decoder (PIL/librosa/pyav) into this dispatch point"
@@ -449,3 +452,116 @@ def waveform_stats(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
             )
 
     return blobs.mapInPandas(stats, out_ddl)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal real WAV encoder (stdlib wave+struct): mono 16-bit PCM.
+    Produces genuine RIFF/WAVE containers, so decoding them exercises
+    a real audio codec path."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Real WAV decode with the stdlib wave module: parses the
+    RIFF/WAVE container and returns (sample_rate, int16 numpy array).
+    Mono 16-bit PCM — the common ML-audio interchange case; other
+    widths/compressions raise NotImplementedError (honest gate, same
+    policy as the PNG codec)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1 or w.getcomptype() != "NONE":
+            raise NotImplementedError(
+                "stdlib WAV codec supports mono 16-bit PCM only "
+                f"(got width={w.getsampwidth()}, ch={w.getnchannels()}, "
+                f"comp={w.getcomptype()})"
+            )
+        frames = w.readframes(w.getnframes())
+        return w.getframerate(), np.frombuffer(frames, dtype="<i2")
+
+
+def audio_stats(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Real audio feature extraction over mapInPandas: decode each WAV
+    payload (decode_wav — real RIFF parsing, real PCM samples) and
+    emit exact integer sample statistics (int64 sums, so a SQL oracle
+    replays them bit-for-bit). Same Arrow-batch kernel shape as
+    image_stats."""
+    out_ddl = (
+        "blob_id STRING, sample_rate BIGINT, n_samples BIGINT, "
+        "sample_sum BIGINT, sample_min BIGINT, sample_max BIGINT"
+    )
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in _rechunk(batches, batch_size):
+            rates, ns, sums, mins, maxs = [], [], [], [], []
+            for p in pdf["payload"]:
+                rate, samples = decode_wav(bytes(p))
+                s64 = samples.astype(np.int64)
+                rates.append(rate)
+                ns.append(len(samples))
+                sums.append(int(s64.sum()))
+                mins.append(int(s64.min()) if len(samples) else 0)
+                maxs.append(int(s64.max()) if len(samples) else 0)
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"].to_numpy(),
+                    "sample_rate": np.asarray(rates, np.int64),
+                    "n_samples": np.asarray(ns, np.int64),
+                    "sample_sum": np.asarray(sums, np.int64),
+                    "sample_min": np.asarray(mins, np.int64),
+                    "sample_max": np.asarray(maxs, np.int64),
+                }
+            )
+
+    return blobs.mapInPandas(stats, out_ddl)
+
+
+def wav_blob_table(documents: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Deterministic WAV blob table from the documents fixture: doc k
+    gets 50 + k%40 mono PCM16 samples with sample i =
+    ((7k + 13i) % 65536) − 32768 — a closed form a SQL oracle replays
+    without any codec. The bytes are REAL RIFF/WAVE containers
+    (encode_wav), so decoding them is a genuine codec round-trip —
+    the audio twin of png_blob_table."""
+    out_ddl = "blob_id STRING, media_type STRING, doc_id BIGINT, payload BINARY"
+
+    def make(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in _rechunk(batches, batch_size):
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for k in ids:
+                k = int(k)
+                n = 50 + k % 40
+                i = np.arange(n, dtype=np.int64)
+                samples = ((7 * k + 13 * i) % 65536) - 32768
+                payloads.append(encode_wav(samples.astype(np.int16)))
+            yield pd.DataFrame(
+                {
+                    "blob_id": ["doc-" + str(int(k)) for k in ids],
+                    "media_type": ["audio/wav"] * len(ids),
+                    "doc_id": ids,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(make, out_ddl)

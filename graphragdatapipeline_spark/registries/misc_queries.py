@@ -247,3 +247,41 @@ def source_cache_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated
 
 
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 50 + doc_id % 40 AS n FROM documents
+), px AS (
+  SELECT d.doc_id, d.n,
+         CAST(sum((7 * d.doc_id + 13 * i.i) % 65536 - 32768) AS BIGINT) AS sample_sum,
+         CAST(min((7 * d.doc_id + 13 * i.i) % 65536 - 32768) AS BIGINT) AS sample_min,
+         CAST(max((7 * d.doc_id + 13 * i.i) % 65536 - 32768) AS BIGINT) AS sample_max
+  FROM dims d JOIN range(90) i(i) ON i.i < d.n
+  GROUP BY d.doc_id, d.n
+)
+SELECT concat('doc-', doc_id) AS blob_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       sample_sum, sample_min, sample_max
+FROM px
+""",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path, no stub — the WAV twin of
+    multimodal_png_decode: each document becomes a genuine RIFF/WAVE
+    container (stdlib encoder, mono PCM16), then audio_stats DECODES
+    the bytes — container parse, frame extraction — and emits exact
+    integer sample statistics. Samples follow the closed form
+    (7k + 13i) % 65536 − 32768, so the oracle replays the expected
+    stats in pure SQL: green only if every sample of every file
+    decodes bit-exactly."""
+    from graphragdatapipeline_spark.multimodal.blob import (
+        audio_stats,
+        wav_blob_table,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return audio_stats(wav_blob_table(d))

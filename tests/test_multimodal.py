@@ -54,7 +54,7 @@ def test_decode_media_dispatches_png():
     assert (out == arr).all()
     assert decode_media(b"hi", "text/plain") == "hi"
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "audio/wav")
+        decode_media(b"\x00", "video/mp4")
 
 
 def test_image_stats_kernel_over_generated_blobs(spark, sf_dir):
@@ -82,3 +82,35 @@ def test_image_stats_kernel_over_generated_blobs(spark, sf_dir):
             for c in range(3)
         )
         assert r.pixel_sum == expected, r
+
+
+def test_wav_roundtrip_and_gates():
+    import numpy as np
+    import pytest
+
+    from graphragdatapipeline_spark.multimodal.blob import (
+        decode_media,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    wav = encode_wav(samples, sample_rate=16000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    rate, out = decode_wav(wav)
+    assert rate == 16000 and (out == samples).all()
+    rate2, out2 = decode_media(wav, "audio/wav")[0], decode_media(wav, "audio/wav")[1]
+    assert rate2 == 16000 and (out2 == samples).all()
+    # stereo gate: honest NotImplementedError, not silent garbage
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError):
+        decode_wav(buf.getvalue())
