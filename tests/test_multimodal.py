@@ -114,3 +114,19 @@ def test_wav_roundtrip_and_gates():
         w.writeframes(b"\x00\x00\x00\x00")
     with pytest.raises(NotImplementedError):
         decode_wav(buf.getvalue())
+
+
+def test_resize_png_half_pixels():
+    import numpy as np
+
+    from graphragdatapipeline_spark.multimodal.blob import (
+        decode_png,
+        encode_png,
+        resize_png_half,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    out = decode_png(resize_png_half(encode_png(arr)))
+    assert out.shape == (4, 5, 3)  # ceil-halved
+    assert (out == arr[::2, ::2, :]).all()
