@@ -613,3 +613,50 @@ def test_windowed_percentile_stream_equals_batch(
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_incremental_neardup_sink_retry_drops_not_duplicates(spark, tmp_path):
+    """MinHash twin of the exact-sink retry test: with the batch's
+    band delta already in the index (crash between the two appends),
+    the retry must drop the docs — near-duplicate corpus maintenance
+    never duplicates under retries either."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures_rowwise,
+    )
+    from graphragdatapipeline_spark.streaming import ops as so
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    docs = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "en", "one two three four five six seven eight nine")],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    # simulate the half-committed batch: bands present, corpus absent
+    sig = minhash_signatures_rowwise(docs, "doc_id", "text", 3, 16)
+    lsh_bands(sig, "doc_id", 16, 4).write.mode("append").parquet(index_dir)
+
+    docs.coalesce(1).write.parquet(os.path.join(in_dir, "slice=0"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    q = so.incremental_neardup_sink(
+        stream, corpus_dir, index_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    import glob
+
+    n_corpus = (
+        spark.read.parquet(corpus_dir).count()
+        if glob.glob(corpus_dir + "/*.parquet")
+        else 0
+    )
+    assert n_corpus == 0, "retried batch must not duplicate into the corpus"
