@@ -403,3 +403,136 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", dround(F.col("rrf"), 6).alias("rrf_score"))
     )
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's-iteration replay (same scheme as the pagerank
+    oracles): per iteration one assignment CTE (fold-of-squared-diffs
+    distance, ties to the lowest cell) and one quantized centroid
+    update (exact int64 component sums → one double division → 6-dp
+    rounding — the order-independent arithmetic that makes k-means
+    cross-engine exact)."""
+    q6 = lambda e: f"floor(({e}) * 1000000 + 0.5) / 1000000"  # noqa: E731
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "
+        f"list_transform(v, x -> {q6('x')}) AS c FROM emb ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"SELECT e.vec_id, c.cell, "
+            f"list_sum(list_transform(list_zip(e.v, c.c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist "
+            f"FROM emb e CROSS JOIN c{i} c) "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) = 1)"
+        )
+        if i == iters:
+            break
+        parts.append(
+            f"s{i} AS (SELECT a.cell, d.i AS dim, "
+            f"sum(CAST(floor(e.v[d.i + 1] * 1000000 + 0.5) AS BIGINT)) AS s, count(*) AS n "
+            f"FROM a{i} a JOIN emb e USING (vec_id) CROSS JOIN range({dim}) d(i) "
+            f"GROUP BY a.cell, d.i)"
+        )
+        parts.append(
+            f"n{i} AS (SELECT cell, "
+            f"list({q6('CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)')} ORDER BY dim) AS c "
+            f"FROM s{i} GROUP BY cell)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT p.cell, COALESCE(u.c, p.c) AS c "
+            f"FROM c{i} p LEFT JOIN n{i} u USING (cell))"
+        )
+    sep = ",\n"
+    return (
+        f"WITH {sep.join(parts)}\n"
+        f"SELECT a.cell, count(*) AS n_members, min(a.vec_id) AS min_vec, max(a.vec_id) AS max_vec,\n"
+        f"       {q6('list_sum(any_value(c.c))')} AS centroid_sum\n"
+        f"FROM a{iters} a JOIN c{iters} c USING (cell)\n"
+        f"GROUP BY a.cell"
+    )
+
+
+@register("vector_kmeans_train", oracle=_kmeans_oracle())
+def vector_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IVF training, no stand-in: 3 Lloyd iterations of k-means
+    over the embedding corpus (deterministic seeded init = the k
+    lowest-id vectors; quantized order-independent centroid updates —
+    see kmeans_cells). Emits per-cell membership stats + the final
+    centroid checksum; the oracle replays the ENTIRE training loop —
+    every assignment of every iteration — in unrolled SQL."""
+    from graphragdatapipeline_spark.registry import dround
+
+    e = read_table(spark, sf_dir, "embeddings")
+    assigned, cents = vs.kmeans_cells(e, k=4, iters=3)
+    sums = {ci: sum(c) for ci, c in enumerate(cents)}
+    checksum = F.create_map(
+        *[F.lit(x) for kv in sums.items() for x in kv]
+    )[F.col("cell")]
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .select(
+            "cell", "n_members", "min_vec", "max_vec",
+            dround(checksum, 6).alias("centroid_sum"),
+        )
+    )
+
+
+def _ivf_probe_oracle(k: int = 4, iters: int = 3, dim: int = 64, topk: int = 5) -> str:
+    """IVF probe replay on top of the trained cells: assign the query
+    vector to its nearest final centroid (same fold distance, ties to
+    the lowest cell), then exact cosine top-k restricted to that
+    cell's members."""
+    base = _kmeans_oracle(k, iters, dim)
+    with_body = base[: base.index("\nSELECT a.cell")]
+    return (
+        with_body
+        + f""",
+qv AS (SELECT v FROM emb WHERE vec_id = 0),
+qcell AS (
+  SELECT c.cell FROM c{iters} c CROSS JOIN qv q
+  ORDER BY list_sum(list_transform(list_zip(q.v, c.c), p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+           c.cell ASC LIMIT 1
+), scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.v)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS sim
+  FROM emb e
+  JOIN a{iters} a USING (vec_id)
+  CROSS JOIN qv q
+  WHERE a.cell = (SELECT cell FROM qcell) AND e.vec_id <> 0
+)
+SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {topk}"""
+    )
+
+
+@register("vector_ivf_probe_trained", oracle=_ivf_probe_oracle())
+def vector_ivf_probe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE IVF pipeline: k-means training (kmeans_cells) →
+    query-to-centroid assignment → exact cosine top-k inside the
+    query's trained cell only — the read path scans 1/nlist of the
+    corpus, with the cell id a partition column at scale. The oracle
+    replays training, query assignment and rerank end-to-end."""
+    from graphragdatapipeline_spark.registry import dround
+
+    e = read_table(spark, sf_dir, "embeddings")
+    assigned, cents = vs.kmeans_cells(e, k=4, iters=3)
+    q = _query_vec(spark, sf_dir)
+
+    def sqdist(c: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(q, c):
+            acc += (a - b) * (a - b)  # same left fold as engine/oracle
+        return acc
+    qcell = min(range(len(cents)), key=lambda ci: (sqdist(cents[ci]), ci))
+
+    members = assigned.filter(F.col("cell") == qcell).select("vec_id")
+    cand = e.join(members, "vec_id").filter(F.col("vec_id") != 0)
+    out = vs.cosine_topk(cand, q, k=5)
+    return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))

@@ -281,3 +281,95 @@ def lsh_probe_topk(
     sig = lsh_signature_col(h_rows, F.col(vec_col))
     cand = embeddings.filter(sig.isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic distributed k-means (Lloyd's algorithm) — the
+    REAL IVF training step (replacing the fixture label standing in as
+    the cell id). Returns (assignments DataFrame with a `cell` column,
+    final centroids).
+
+    Engineered for cross-engine exactness, the property every other
+    oracle here relies on: the centroid update is QUANTIZED — each
+    component is first scaled to an exact integer (floor(x·10⁶ + 0.5),
+    the portable rounding), summed in int64 (order-independent, unlike
+    float partial aggregation), and the mean is one double division
+    rounded back to 6 dp. Identical centroids → identical assignments
+    on any engine, which is what lets a SQL replay verify the whole
+    training loop value-exactly.
+
+    Scale shape: init + centroid updates collect k×dim integers to the
+    driver (training metadata, like any Spark-ML-style fit); the
+    ASSIGNMENT is a map-side expression over broadcast centroid
+    literals — one scan per iteration, zero shuffle beyond the
+    (cell, dim) partial-agg whose row count is k·dim, independent of
+    corpus size. Empty clusters keep their previous centroid."""
+    import math
+
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    init_rows = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    cents = [[q6(float(x)) for x in r["v"]] for r in init_rows]
+
+    def assign_col(cents_now: list[list[float]]) -> Column:
+        dists = []
+        for c in cents_now:
+            ca = F.array(*[F.lit(float(x)) for x in c])
+            diff = F.zip_with(ed, ca, lambda a, b: (a - b) * (a - b))
+            dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+        darr = F.array(*dists)
+        # array_position returns the FIRST index of the min → ties
+        # break toward the lowest cell id, deterministically
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = embeddings.select(
+            F.col(id_col), assign_col(cents).alias("cell"), ed.alias("_v")
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1_000_000 + 0.5).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        new_cents = []
+        for ci in range(k):
+            if ci in by_cell:
+                dims = by_cell[ci]
+                new_cents.append(
+                    [
+                        q6(dims[d][0] / (dims[d][1] * 1_000_000))
+                        for d in sorted(dims)
+                    ]
+                )
+            else:
+                new_cents.append(cents[ci])  # empty cluster: keep centroid
+        cents = new_cents
+
+    final = embeddings.select(F.col(id_col), assign_col(cents).alias("cell"))
+    return final, cents

@@ -99,3 +99,30 @@ def test_lsh_signature_col_plan_has_no_exchange(spark, sf_dir):
     sig = e.select("vec_id", vs.lsh_signature_col(planes, F.col("embedding")).alias("b"))
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_kmeans_cells_deterministic_and_separates(spark):
+    """Quantized k-means: bit-identical across runs, and on clearly
+    separated clusters it recovers the planted structure exactly."""
+    import numpy as np
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rng = np.random.default_rng(5)
+    rows = []
+    centers = [np.array([5.0, 0.0]), np.array([-5.0, 0.0]), np.array([0.0, 5.0])]
+    for i in range(90):
+        c = centers[i % 3]
+        v = c + 0.3 * rng.normal(size=2)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    a1, c1 = vs.kmeans_cells(df, k=3, iters=5)
+    a2, c2 = vs.kmeans_cells(df, k=3, iters=5)
+    s1 = sorted(tuple(r) for r in a1.collect())
+    assert s1 == sorted(tuple(r) for r in a2.collect()) and c1 == c2
+    # planted clusters recovered: all points of one residue class share a cell
+    by_cell = {}
+    for vid, cell in s1:
+        by_cell.setdefault(vid % 3, set()).add(cell)
+    assert all(len(cells) == 1 for cells in by_cell.values())
+    assert len({next(iter(c)) for c in by_cell.values()}) == 3
