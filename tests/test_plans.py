@@ -377,3 +377,17 @@ def test_outliers_broadcasts_stats_not_fact(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """The k-means ASSIGNMENT (the part that touches the corpus) is a
+    pure map-side expression over broadcast centroid literals — no
+    Exchange: at 100 TB each training iteration costs one scan plus a
+    k·dim-row partial agg, never a corpus shuffle."""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    assigned, _ = vs.kmeans_cells(e, k=4, iters=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
