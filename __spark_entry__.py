@@ -38,9 +38,9 @@ from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
 # row — treat as unverified (they re-enter the window ahead of
 # still-green entries, right after the never-green ones).
 _FORCE_REVERIFY: set[str] = {
-    # round 6: upgraded in place (adds n_events, 6-dp rounding) — its
-    # r4 green hash no longer describes the current output
-    "events_value_percentiles",
+    # round 7: fix_mojibake gained the ftfy-style no-new-controls
+    # guard (functions.py) — re-green against the fixture corpus
+    "text_mojibake_repair",
 }
 
 

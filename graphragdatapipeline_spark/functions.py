@@ -82,6 +82,20 @@ def fix_mojibake(text: str | None) -> str | None:
                 cand = None
         if cand is None or cand == text:
             break
+        # ftfy-style guard: a repair must never *create* control
+        # characters. Mid-repair text of a double-misdecode legitimately
+        # carries C1 controls (Latin-1 images of continuation bytes), so
+        # compare counts: if the candidate has MORE C0/C1 controls
+        # (outside \t\n\r) than the input, the input was ambiguous
+        # legitimate text (e.g. 'ÂŒ' → '\x8c'), not mojibake — stop.
+        def _nctrl(s: str) -> int:
+            return sum(
+                (ch <= "\x1f" and ch not in "\t\n\r") or "\x7f" <= ch <= "\x9f"
+                for ch in s
+            )
+
+        if _nctrl(cand) > _nctrl(text):
+            break
         text = cand
     return text
 

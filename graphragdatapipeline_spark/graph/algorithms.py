@@ -153,7 +153,10 @@ def label_propagation(
         )
     else:
         # weighted: neighbor votes carry edge weight; parallel edges
-        # sum (a weight-w edge == w votes)
+        # sum (a weight-w edge == w votes). Same non-positive-weight
+        # policy as pagerank: w<=0 is not a vote — drop it rather than
+        # let a zero/negative tally corrupt the argmax.
+        edges = edges.filter(F.col(weight_col) > 0)
         sym = edges.select("src", "dst", F.col(weight_col).alias("_w")).unionByName(
             edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"),
@@ -370,6 +373,13 @@ def pagerank(
     # unit edges (invariant pinned in pytest). deg below is Σw per
     # source; the unweighted path is the constant-1 special case.
     w_expr = F.col(weight_col) if weight_col else F.lit(1.0)
+    # Policy: non-positive weights are dropped up front (a w<=0 edge
+    # has no random-walk meaning, and a source whose Σw = 0 would
+    # divide by zero and propagate NaN through every iteration). A
+    # source left with no positive edges becomes dangling, which the
+    # dangling-mass redistribution below already handles.
+    if weight_col:
+        edges = edges.filter(F.col(weight_col) > 0)
     deg = edges.groupBy("src").agg(F.sum(w_expr).alias("deg"))
     out_edges = (
         edges.withColumn("_w", w_expr)
@@ -491,10 +501,19 @@ def personalized_pagerank(
     returns to the sources, keeping Σrank = 1. Same shuffle budget as
     pagerank: iterations shuffle only the |V|-row rank table against
     the pre-partitioned edge table."""
+    if not source_ids:
+        raise ValueError("personalized_pagerank: source_ids must be non-empty")
     s = float(len(source_ids))
+    spark = edges.sparkSession
+    # Sources absent from the edge list still carry teleport mass —
+    # union them into the vertex set or Σrank silently drops below 1.
+    src_verts = spark.createDataFrame(
+        [(str(x),) for x in source_ids], schema="id string"
+    )
     verts = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
+        .unionByName(src_verts.select(F.col("id").cast(edges.schema["src"].dataType)))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -583,7 +583,12 @@ def scd2_merge(
     # shares the join's hash partitioning on the key, so this costs no
     # extra shuffle). Without this, duplicates silently emit multiple
     # open versions per key.
-    w_upd = Window.partitionBy(key_col).orderBy(F.desc(eff_col))
+    # Deterministic tiebreak for equal-eff duplicates: order the attr
+    # values too, so row_number picks a reproducible winner instead of
+    # whichever partition ordering Spark happened to produce.
+    w_upd = Window.partitionBy(key_col).orderBy(
+        F.desc(eff_col), *[F.desc(c) for c in attr_cols]
+    )
     updates = (
         updates.withColumn("_rn", F.row_number().over(w_upd))
         .filter(F.col("_rn") == 1)

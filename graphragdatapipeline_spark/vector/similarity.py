@@ -277,7 +277,11 @@ def lsh_probe_topk(
             acc += a * b  # same left-fold order as dot_product / DuckDB
         if acc > 0:
             qbucket |= 1 << (h_id - 1)
-    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(len(h_rows))]
+    # Flip the bit each hyperplane actually owns (1 << (h_id-1)), not
+    # positional range(R): with gapped or re-numbered h_ids a
+    # positional flip would probe buckets no signature can produce,
+    # silently losing multi-probe recall.
+    probe = [qbucket] + [qbucket ^ (1 << (h_id - 1)) for h_id, _ in h_rows]
     sig = lsh_signature_col(h_rows, F.col(vec_col))
     cand = embeddings.filter(sig.isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
@@ -324,6 +328,12 @@ def kmeans_cells(
         .collect()
     )
     cents = [[q6(float(x)) for x in r["v"]] for r in init_rows]
+    if not cents:
+        raise ValueError("kmeans_cells: embeddings corpus is empty")
+    # Corpus smaller than k: train with the clusters we can seed (the
+    # empty-cluster branch below indexes cents[ci], so k must equal
+    # len(cents), not the requested count).
+    k = len(cents)
 
     def assign_col(cents_now: list[list[float]]) -> Column:
         dists = []

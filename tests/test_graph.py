@@ -290,3 +290,42 @@ def test_weighted_label_propagation_weights_flip_winner(spark):
     maj = sorted((zero[1], zero[2], zero[3]))  # ties: count desc, label asc
     assert weighted[10] == zero[3]
     assert unweighted[10] == min(maj, key=lambda c: (-maj.count(c), c))
+
+
+def test_personalized_pagerank_mass_conserved_with_external_source(spark):
+    """A source id absent from the edge list must still carry its
+    teleport share (ADVICE r6): Σrank stays 1 and the external source
+    retains rank; empty source_ids raises instead of ZeroDivisionError."""
+    import pytest
+
+    from graphragdatapipeline_spark.graph.algorithms import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A")], "src STRING, dst STRING"
+    )
+    ranks = {r.id: r.rank for r in
+             personalized_pagerank(edges, ["A", "ZZ"], iters=6).collect()}
+    assert "ZZ" in ranks and ranks["ZZ"] > 0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(edges, [])
+
+
+def test_weighted_pagerank_ignores_nonpositive_weights(spark):
+    """w<=0 edges are dropped by policy (ADVICE r6): no NaN/Inf ranks,
+    and a source whose only edges are non-positive becomes dangling —
+    result equals the graph with those edges removed."""
+    import math
+
+    from graphragdatapipeline_spark.graph.algorithms import pagerank
+
+    dirty = spark.createDataFrame(
+        [("A", "B", 2.0), ("B", "C", 1.0), ("C", "A", 0.0), ("C", "B", -3.0)],
+        "src STRING, dst STRING, w DOUBLE",
+    )
+    ranks = {r.id: r.rank for r in pagerank(dirty, iters=6, weight_col="w").collect()}
+    assert all(math.isfinite(v) for v in ranks.values())
+    # C keeps its vertex (dangling), and Σrank stays 1
+    assert set(ranks) == {"A", "B", "C"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9

@@ -10,8 +10,9 @@ deadline disabled; the data shapes stay tiny."""
 from __future__ import annotations
 
 import os
+import re
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -439,15 +440,41 @@ def test_funnel_conversions_match_reference(spark, evs, gap_hours):
         max_size=60,
     )
 )
+@example(
+    s='ÂŒ',
+).via('discovered failure')
 def test_fix_mojibake_inverts_latin1_misdecodes(s):
     """For any Latin-range text, corrupting via the classic UTF-8-read-
     as-Latin-1 mistake — once or twice — must be fully repaired by
-    fix_mojibake. (Text that legitimately contains mojibake-shaped
-    bigrams is inherently ambiguous; like ftfy, the repairer prefers
-    the decode interpretation there.)"""
-    from graphragdatapipeline_spark.functions import fix_mojibake
+    fix_mojibake.
+
+    Text that ITSELF contains mojibake-shaped bigrams is inherently
+    ambiguous — e.g. s='ÃŒ' corrupted once is byte-identical to s='Ì'
+    corrupted twice, so no repairer can invert both. Like ftfy, the
+    repairer prefers the decode interpretation there; the invariant we
+    pin instead for such inputs is that repair NEVER manufactures C0/C1
+    control characters (the 'ÂŒ' → '\\x8c' defect found by Hypothesis)."""
+    from graphragdatapipeline_spark.functions import (
+        _MOJIBAKE_CONT,
+        fix_mojibake,
+    )
+
+    ambiguous = re.search(f"[Â-ô][{_MOJIBAKE_CONT}]", s)
+
+    def nctrl(t):
+        return sum(
+            (c <= "\x1f" and c not in "\t\n\r") or "\x7f" <= c <= "\x9f"
+            for c in t
+        )
 
     corrupted = s.encode("utf-8").decode("latin-1")
-    assert fix_mojibake(corrupted) == s
     double = corrupted.encode("utf-8").decode("latin-1")
-    assert fix_mojibake(double) == s
+    if not ambiguous:
+        assert fix_mojibake(corrupted) == s
+        assert fix_mojibake(double) == s
+    else:
+        # Ambiguous input: repair may legitimately decode one level
+        # further, but must never create control characters.
+        assert nctrl(fix_mojibake(s)) <= nctrl(s)
+        assert nctrl(fix_mojibake(corrupted)) <= nctrl(s)
+        assert nctrl(fix_mojibake(double)) <= nctrl(s)

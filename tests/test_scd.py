@@ -170,3 +170,28 @@ def test_scd2_merge_duplicate_update_keys_keep_latest(spark):
     assert len(open_versions) == 1
     assert open_versions[0]["seg"] == "C"
     assert out.count() == 2  # closed-out old version + one new open version
+
+
+def test_scd2_merge_equal_eff_duplicates_deterministic(spark):
+    """Two updates for the same key with IDENTICAL eff timestamps must
+    resolve reproducibly (attr-value tiebreak, ADVICE r6) — repeated
+    runs over differently-partitioned input pick the same winner."""
+    import datetime as dt
+
+    cur = spark.createDataFrame(
+        [("k1", "old", dt.datetime(2020, 1, 1), None)],
+        "id STRING, val STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    eff = dt.datetime(2021, 6, 1)
+    upd_rows = [("k1", "zebra", eff), ("k1", "apple", eff)]
+    outs = []
+    for order in (upd_rows, upd_rows[::-1]):
+        upd = spark.createDataFrame(
+            order, "id STRING, val STRING, eff TIMESTAMP"
+        ).repartition(4)
+        out = scd2_merge(cur, upd, "id", ["val"], "eff")
+        open_row = [r for r in out.collect() if r.valid_to is None]
+        assert len(open_row) == 1
+        outs.append(open_row[0].val)
+    # desc attr ordering → 'zebra' wins regardless of input order
+    assert outs == ["zebra", "zebra"]

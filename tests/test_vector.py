@@ -126,3 +126,57 @@ def test_kmeans_cells_deterministic_and_separates(spark):
         by_cell.setdefault(vid % 3, set()).add(cell)
     assert all(len(cells) == 1 for cells in by_cell.values())
     assert len({next(iter(c)) for c in by_cell.values()}) == 3
+
+
+def test_lsh_probe_topk_gapped_hyperplane_ids(spark):
+    """Probe bits must come from the actual h_id values (1 << (h_id-1)),
+    not positional order: with gapped ids the positional flip probes
+    buckets no signature can produce (ADVICE r6). Planes with ids
+    {1,3,5} must give the same result as the same planes renumbered
+    contiguously {1,2,3} — the signature remaps, but recall must not
+    silently vanish."""
+    import numpy as np
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rng = np.random.default_rng(7)
+    dim, k = 16, 5
+    q = rng.normal(size=dim)
+    rows = [
+        (i, [float(x) for x in (q + 0.1 * rng.normal(size=dim))])
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    vecs = [[float(x) for x in rng.normal(size=dim)] for _ in range(3)]
+    qv = [float(x) for x in q]
+    gapped = spark.createDataFrame(
+        [(hid, v) for hid, v in zip((1, 3, 5), vecs)],
+        "h_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    contiguous = spark.createDataFrame(
+        [(hid, v) for hid, v in zip((1, 2, 3), vecs)],
+        "h_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got_g = {r.vec_id for r in vs.lsh_probe_topk(corpus, gapped, qv, k=k).collect()}
+    got_c = {r.vec_id for r in vs.lsh_probe_topk(corpus, contiguous, qv, k=k).collect()}
+    assert got_g == got_c and len(got_c) == k
+
+
+def test_kmeans_cells_corpus_smaller_than_k(spark):
+    """k > |corpus| must clamp to the seedable cluster count instead of
+    IndexError-ing in the empty-cluster branch (ADVICE r6); an empty
+    corpus raises a clear ValueError."""
+    import pytest
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    assigned, cents = vs.kmeans_cells(df, k=5, iters=2)
+    assert len(cents) == 2
+    assert {r.cell for r in assigned.collect()} <= {0, 1}
+
+    empty = df.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        vs.kmeans_cells(empty, k=3)
