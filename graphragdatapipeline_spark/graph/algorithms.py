@@ -297,44 +297,53 @@ def detect_communities_leiden_exact(
     resolutions: tuple[float, float, float] = (2.0, 0.5, 0.1),
     seed: int = 42,
 ) -> DataFrame:
-    """G3 exact rung: true Leiden via igraph/leidenalg on the collected
-    edge list — algorithm-parity with the reference
-    (neo4j_helpers.py:237-268, RBConfigurationVertexPartition at
-    resolutions 2.0/0.5/0.1, seed 42).
+    """G3 exact rung: Leiden on the collected edge list — algorithm
+    parity with the reference (neo4j_helpers.py:237-268,
+    RBConfigurationVertexPartition at resolutions 2.0/0.5/0.1,
+    seed 42). When igraph+leidenalg are installed they run verbatim;
+    otherwise the vendored pure-Python Leiden (graph/leiden.py — same
+    RB-configuration objective, Louvain move-and-aggregate plus the
+    connected-communities guarantee, deterministic under the seed)
+    takes over, so this rung always executes.
 
     Only valid when |V|+|E| fits on the driver (the reference's scale,
     ~99k nodes / ~124k edges, trivially does). The distributed default
-    is detect_communities (multilevel label propagation, same
-    per-vertex contract); this rung exists for users who need Leiden's
-    exact objective. Gated on an import: the libs are optional deps.
-    """
-    try:
-        import igraph  # noqa: F401
-        import leidenalg  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "exact Leiden needs python-igraph + leidenalg installed; "
-            "use detect_communities (distributed) otherwise"
-        ) from exc
-
+    for 100 TB graphs is detect_communities (multilevel label
+    propagation, same per-vertex contract)."""
     spark = vertices.sparkSession
-    ids = [r[0] for r in vertices.select("id").distinct().collect()]
+    ids = sorted(r[0] for r in vertices.select("id").distinct().collect())
     idx = {v: i for i, v in enumerate(ids)}
     e_pairs = [
         (idx[r[0]], idx[r[1]])
         for r in edges.select("src", "dst").collect()
         if r[0] in idx and r[1] in idx
     ]
-    g = igraph.Graph(n=len(ids), edges=e_pairs, directed=False)
     memberships = []
-    for res in resolutions:
-        part = leidenalg.find_partition(
-            g,
-            leidenalg.RBConfigurationVertexPartition,
-            resolution_parameter=res,
-            seed=seed,
-        )
-        memberships.append(part.membership)
+    try:
+        import igraph
+        import leidenalg
+    except ImportError:
+        from graphragdatapipeline_spark.graph.leiden import leiden_membership
+
+        for res in resolutions:
+            memberships.append(
+                leiden_membership(
+                    len(ids),
+                    [(u, v, 1.0) for u, v in e_pairs],
+                    gamma=float(res),
+                    seed=seed,
+                )
+            )
+    else:  # pragma: no cover - env-dependent
+        g = igraph.Graph(n=len(ids), edges=e_pairs, directed=False)
+        for res in resolutions:
+            part = leidenalg.find_partition(
+                g,
+                leidenalg.RBConfigurationVertexPartition,
+                resolution_parameter=res,
+                seed=seed,
+            )
+            memberships.append(part.membership)
     rows = [
         (v, int(memberships[0][i]), int(memberships[1][i]), int(memberships[2][i]))
         for v, i in idx.items()

@@ -621,3 +621,97 @@ def graphrag_local_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.select("id", "label", "name", "degree", "rank_permille", "position")
+
+
+@register(
+    "graph_leiden_communities",
+    oracle="""
+SELECT CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+          + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+       AS BIGINT) AS n_vertices,
+       true AS full_coverage,
+       true AS counts_monotone,
+       true AS deterministic,
+       true AS connected_communities,
+       true AS quality_above_singleton
+""",
+)
+def graph_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 exact rung, now executable without native deps: Leiden
+    (vendored pure-Python RB-configuration Louvain+refinement,
+    graph/leiden.py; leidenalg verbatim when installed) at the
+    reference's resolutions 2.0/0.5/0.1, seed 42
+    (neo4j_helpers.py:237-268). A heuristic's labels aren't
+    SQL-replayable, so the oracle pins the CONTRACT, computed honestly
+    from two independent runs (contract-query pattern, like the sketch
+    contracts): every vertex labeled at all 3 levels, community counts
+    monotone in resolution, bit-identical reruns under the seed, every
+    community internally connected (Leiden's guarantee over Louvain),
+    and RB quality strictly above the singleton partition at each
+    gamma. Driver-side by the same scale contract as the rung itself
+    (|V|+|E| fits; the distributed default is graph_detect_communities)
+    — hence eager, unlike every other registry query."""
+    from graphragdatapipeline_spark.graph.leiden import rb_quality
+
+    resolutions = (2.0, 0.5, 0.1)
+    g = build_tpch_graph(spark, sf_dir)
+    runs = [
+        sorted(
+            tuple(r)
+            for r in ga.detect_communities_leiden_exact(
+                g.vertices, g.edges, resolutions=resolutions, seed=42
+            ).collect()
+        )
+        for _ in range(2)
+    ]
+    rows = runs[0]
+    n_vertices = len(rows)
+    full = all(r[1] is not None and r[2] is not None and r[3] is not None for r in rows)
+    n_per_level = [len({r[lvl + 1] for r in rows}) for lvl in range(3)]
+    monotone = n_per_level[0] >= n_per_level[1] >= n_per_level[2]
+    deterministic = runs[0] == runs[1]
+
+    idx = {r[0]: i for i, r in enumerate(rows)}
+    e_pairs = [
+        (idx[r[0]], idx[r[1]], 1.0)
+        for r in g.edges.select("src", "dst").collect()
+        if r[0] in idx and r[1] in idx
+    ]
+    intra: list[list[list[int]]] = [[[] for _ in rows] for _ in range(3)]
+    for lvl in range(3):
+        for u, v, _ in e_pairs:
+            if rows[u][lvl + 1] == rows[v][lvl + 1]:
+                intra[lvl][u].append(v)
+                intra[lvl][v].append(u)
+    connected = True
+    for lvl in range(3):
+        seen = [False] * n_vertices
+        for start in range(n_vertices):
+            if seen[start]:
+                continue
+            comp = {start}
+            stack = [start]
+            seen[start] = True
+            while stack:
+                u = stack.pop()
+                for v in intra[lvl][u]:
+                    if not seen[v]:
+                        seen[v] = True
+                        comp.add(v)
+                        stack.append(v)
+            # the whole community must be exactly this component
+            label = rows[start][lvl + 1]
+            members = {i for i in range(n_vertices) if rows[i][lvl + 1] == label}
+            if members != comp:
+                connected = False
+    quality = all(
+        rb_quality(n_vertices, e_pairs, [r[lvl + 1] for r in rows], res)
+        > rb_quality(n_vertices, e_pairs, list(range(n_vertices)), res)
+        for lvl, res in enumerate(resolutions)
+    )
+    return spark.createDataFrame(
+        [(n_vertices, full, monotone, deterministic, connected, quality)],
+        "n_vertices LONG, full_coverage BOOLEAN, counts_monotone BOOLEAN, "
+        "deterministic BOOLEAN, connected_communities BOOLEAN, "
+        "quality_above_singleton BOOLEAN",
+    )

@@ -148,25 +148,70 @@ def test_degrees(spark):
     assert deg == {1: 2, 2: 2, 3: 2}
 
 
-def test_leiden_exact_gated_on_optional_deps(spark):
-    """The exact-Leiden rung raises a clear NotImplementedError when
-    igraph/leidenalg are absent (this container), and must keep the
-    same output contract when present."""
-    import pytest
-
+def test_leiden_exact_runs_without_optional_deps(spark):
+    """The exact-Leiden rung always executes: leidenalg verbatim when
+    installed, else the vendored pure-Python Leiden (graph/leiden.py)
+    — same output contract either way (round-7 parity close-out; it
+    used to raise NotImplementedError without igraph)."""
     from graphragdatapipeline_spark.graph import algorithms as ga
 
-    v = spark.createDataFrame([("a",), ("b",)], "id STRING")
-    e = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
-    try:
-        import igraph  # noqa: F401
-        import leidenalg  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            ga.detect_communities_leiden_exact(v, e)
-        return
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], "id STRING")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src STRING, dst STRING"
+    )
     out = ga.detect_communities_leiden_exact(v, e)
     assert set(out.columns) == {"id", "community_L0", "community_L1", "community_L2"}
+    assert out.count() == 3
+
+
+def test_leiden_py_planted_cliques_and_determinism(spark):
+    """Pure-Python Leiden recovers two planted cliques joined by one
+    edge, is bit-identical across runs, always improves on the
+    singleton partition, and splits disconnected communities (the
+    Leiden connectivity guarantee Louvain lacks)."""
+    from graphragdatapipeline_spark.graph.leiden import (
+        leiden_membership,
+        rb_quality,
+    )
+
+    edges = []
+    for grp in (range(0, 6), range(6, 12)):
+        g = list(grp)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                edges.append((g[i], g[j], 1.0))
+    edges.append((0, 6, 1.0))
+    m = leiden_membership(12, edges, gamma=1.0, seed=42)
+    assert m == leiden_membership(12, edges, gamma=1.0, seed=42)
+    assert len({m[i] for i in range(6)}) == 1
+    assert len({m[i] for i in range(6, 12)}) == 1
+    assert m[0] != m[6]
+    assert rb_quality(12, edges, m, 1.0) > rb_quality(
+        12, edges, list(range(12)), 1.0
+    )
+    # isolated pairs end up in separate (connected) communities
+    m2 = leiden_membership(4, [(0, 1, 1.0), (2, 3, 1.0)], gamma=1.0, seed=1)
+    assert m2[0] == m2[1] and m2[2] == m2[3] and m2[0] != m2[2]
+
+
+def test_leiden_py_resolution_controls_granularity(spark):
+    """Higher gamma → finer partition (RB resolution semantics, the
+    reference's 3-level ladder at 2.0/0.5/0.1): at gamma=20 the two
+    loosely-joined cliques split apart; at gamma=0.01 they merge."""
+    from graphragdatapipeline_spark.graph.leiden import leiden_membership
+
+    edges = []
+    for grp in (range(0, 5), range(5, 10)):
+        g = list(grp)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                edges.append((g[i], g[j], 1.0))
+    edges += [(0, 5, 1.0), (1, 6, 1.0), (2, 7, 1.0)]
+    fine = len(set(leiden_membership(10, edges, gamma=20.0, seed=42)))
+    mid = len(set(leiden_membership(10, edges, gamma=1.0, seed=42)))
+    coarse = len(set(leiden_membership(10, edges, gamma=0.01, seed=42)))
+    assert fine >= mid >= coarse
+    assert coarse == 1 and mid == 2
 
 
 def test_pagerank_matches_python_reference(spark):
