@@ -41,6 +41,9 @@ _FORCE_REVERIFY: set[str] = {
     # round 7: fix_mojibake gained the ftfy-style no-new-controls
     # guard (functions.py) — re-green against the fixture corpus
     "text_mojibake_repair",
+    # round 7: now registered with the max_forward_degree=160 guardrail
+    # (oracle mirrors the cap) — the r6 unguarded green is stale
+    "graph_triangle_count",
 }
 
 

