@@ -5,13 +5,14 @@ Design: media is an opaque `binary` column with a media_type and a
 typed metadata struct (BLOB_SCHEMA). Decode / feature-extract /
 resize / frame-sample run as Arrow-batched kernels over mapInPandas —
 the Spark-side plumbing (schema, batching, partitioning) is real and
-tested. Codec status: `image/png` decodes FOR REAL via the stdlib
-zlib/struct codec below (all five scanline filters, CRC-verified) and
-`audio/wav` decodes FOR REAL via the stdlib wave module (RIFF parse,
-mono PCM16); video codecs remain stubbed (libraries absent from this
-container) — `decode_media` raises NotImplementedError for those and
-provides a deterministic fake for `text/plain` payloads so the batch
-shape and schema contract are exercised end-to-end regardless.
+tested. Codec status — all three modalities decode FOR REAL, stdlib
+only: `image/png` via the zlib/struct codec below (all five scanline
+filters, CRC-verified), `audio/wav` via the wave module (RIFF parse,
+mono PCM16), and `video/avi` via encode_avi/decode_avi (RIFF LIST
+walk, uncompressed 24-bit DIB frames). Exotic pixel/sample formats
+raise honest NotImplementedError gates, and `decode_media` provides a
+deterministic fake for `text/plain` payloads so the batch shape and
+schema contract are exercised end-to-end regardless.
 
 At 100 TB: blobs dominate bytes, so the table is written with the
 payload column LAST (parquet column pruning skips it for metadata
@@ -610,6 +611,225 @@ def image_resize_stats(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
                     * np.asarray(hs, np.int64)
                     * np.asarray(chs, np.int64),
                     "pixel_sum": np.asarray(sums, np.int64),
+                }
+            )
+
+    return blobs.mapInPandas(stats, out_ddl)
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Minimal real AVI encoder (pure stdlib struct): uncompressed
+    bottom-up BI_RGB 24-bit DIB frames in a genuine RIFF 'AVI '
+    container — hdrl (avih + strl(strh 'vids'/'DIB ' + strf
+    BITMAPINFOHEADER)) then movi with one '00db' chunk per frame,
+    4-byte-aligned row stride, even-padded chunks. The RIFF sibling
+    of encode_wav: the payloads a real AVI demuxer (ffmpeg, VfW)
+    accepts, so decoding them exercises a real container walk."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_avi: need at least one frame")
+    h, w, c = frames[0].shape
+    if c != 3 or any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("encode_avi: all frames must share one HxWx3 shape")
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags (no idx1 chunk is written, so no AVIF_HASINDEX)
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1, fps,  # dwScale, dwRate → fps = rate/scale
+            0,  # dwStart
+            len(frames),  # dwLength (in frames)
+            frame_bytes,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality
+            0,  # dwSampleSize (0 = varying / one sample per chunk)
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_frames = []
+    for f in frames:
+        # DIB: bottom-up rows, BGR order, stride padded to 4 bytes
+        bgr = f[::-1, :, ::-1]
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_frames.append(chunk(b"00db", rows.tobytes()))
+    movi = lst(b"movi", b"".join(movi_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """Real AVI demux + DIB decode, pure stdlib: walks the RIFF chunk
+    tree (LIST recursion, even-byte chunk alignment), reads the stream
+    format from strf (BITMAPINFOHEADER — BI_RGB 24-bit only, honest
+    NotImplementedError gate like the PNG/WAV codecs), fps from strh
+    dwRate/dwScale, and converts each '00db'/'00dc' movi chunk from
+    bottom-up padded BGR to an (h, w, 3) RGB uint8 array. Returns
+    (fps, [frames])."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    state = {"w": None, "h": None, "bpp": None, "comp": None,
+             "scale": 1, "rate": 0, "frames": []}
+
+    def walk(data: bytes, in_movi: bool) -> None:
+        off = 0
+        while off + 8 <= len(data):
+            fourcc = data[off : off + 4]
+            (size,) = struct.unpack_from("<I", data, off + 4)
+            body = data[off + 8 : off + 8 + size]
+            if fourcc == b"LIST":
+                walk(body[4:], in_movi or body[:4] == b"movi")
+            elif fourcc == b"strh" and len(body) >= 24:
+                if body[:4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", body, 20)
+                    state["scale"], state["rate"] = max(scale, 1), rate
+            elif fourcc == b"strf" and state["w"] is None and len(body) >= 40:
+                (_, w, h, _, bpp, comp) = struct.unpack_from("<IiiHHI", body, 0)
+                state["w"], state["h"] = w, abs(h)
+                state["bpp"], state["comp"] = bpp, comp
+            elif in_movi and fourcc[2:] in (b"db", b"dc") and size:
+                state["frames"].append(body)
+            off += 8 + size + (size % 2)
+
+    walk(buf[12:], False)
+    w, h, bpp, comp = state["w"], state["h"], state["bpp"], state["comp"]
+    if w is None:
+        raise ValueError("AVI has no video stream format (strf)")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"stdlib AVI codec supports uncompressed 24-bit BI_RGB only "
+            f"(got bpp={bpp}, compression={comp})"
+        )
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for raw in state["frames"]:
+        rows = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        frames.append(bgr[::-1, :, ::-1].copy())
+    fps = state["rate"] // state["scale"] if state["rate"] else 0
+    return fps, frames
+
+
+def avi_blob_table(documents: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Deterministic AVI blob table from the documents fixture: doc k
+    gets 2 + k%4 frames of (4 + k%5) × (2 + k%3) RGB pixels with
+    pixel(f, y, x, c) = (11k + 17f + 7y + 3x + 5c) % 256 — a closed
+    form a SQL oracle replays without any codec. The bytes are REAL
+    RIFF/AVI containers (encode_avi), completing the modality set next
+    to png_blob_table and wav_blob_table."""
+    out_ddl = "blob_id STRING, media_type STRING, doc_id BIGINT, payload BINARY"
+
+    def make(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in _rechunk(batches, batch_size):
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for k in ids:
+                k = int(k)
+                nf, w, h = 2 + k % 4, 4 + k % 5, 2 + k % 3
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                frames = [
+                    ((11 * k + 17 * f + 7 * y + 3 * x + 5 * c) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "blob_id": ["doc-" + str(int(k)) for k in ids],
+                    "media_type": ["video/avi"] * len(ids),
+                    "doc_id": ids,
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(make, out_ddl)
+
+
+def video_frame_stats(blobs: DataFrame, batch_size: int = 64) -> DataFrame:
+    """REAL video frame extraction (the step frame_sample_stub left
+    stubbed): demux each AVI payload (decode_avi — real RIFF walk,
+    real DIB pixel decode), one output row per FRAME with exact
+    integer pixel statistics, so a SQL oracle verifies every frame of
+    every video bit-for-bit. Same Arrow-batch kernel shape as
+    image_stats/audio_stats; smaller default batch because each row
+    fans out to n_frames rows of decoded pixels."""
+    out_ddl = (
+        "blob_id STRING, frame_idx BIGINT, fps BIGINT, width BIGINT, "
+        "height BIGINT, pixel_sum BIGINT"
+    )
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in _rechunk(batches, batch_size):
+            out = {k: [] for k in
+                   ("blob_id", "frame_idx", "fps", "width", "height", "pixel_sum")}
+            for blob_id, p in zip(pdf["blob_id"], pdf["payload"]):
+                fps, frames = decode_avi(bytes(p))
+                for i, fr in enumerate(frames):
+                    out["blob_id"].append(blob_id)
+                    out["frame_idx"].append(i)
+                    out["fps"].append(fps)
+                    out["height"].append(fr.shape[0])
+                    out["width"].append(fr.shape[1])
+                    out["pixel_sum"].append(int(fr.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "blob_id": out["blob_id"],
+                    "frame_idx": np.asarray(out["frame_idx"], np.int64),
+                    "fps": np.asarray(out["fps"], np.int64),
+                    "width": np.asarray(out["width"], np.int64),
+                    "height": np.asarray(out["height"], np.int64),
+                    "pixel_sum": np.asarray(out["pixel_sum"], np.int64),
                 }
             )
 

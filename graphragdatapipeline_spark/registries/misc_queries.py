@@ -325,3 +325,49 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return image_resize_stats(png_blob_table(d))
+
+
+@register(
+    "multimodal_avi_frames",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nf, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, f.i AS frame_idx,
+         CAST(sum((11 * d.doc_id + 17 * f.i + 7 * y.i + 3 * x.i + 5 * c.i) % 256)
+              AS BIGINT) AS pixel_sum
+  FROM dims d
+  JOIN range(6) f(i) ON f.i < d.nf
+  JOIN range(9) x(i) ON x.i < d.w
+  JOIN range(5) y(i) ON y.i < d.h
+  CROSS JOIN range(3) c(i)
+  GROUP BY d.doc_id, d.w, d.h, f.i
+)
+SELECT concat('doc-', doc_id) AS blob_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(10 AS BIGINT) AS fps,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       pixel_sum
+FROM px
+""",
+)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction, completing the modality set next to
+    the PNG and WAV codecs (r7; the reference treats media as opaque
+    blobs — this is the engine's north-star extension): each document
+    becomes a genuine uncompressed RIFF/AVI container (encode_avi —
+    'vids'/'DIB ' stream, bottom-up padded BGR DIB frames), then
+    video_frame_stats DEMUXES the bytes — RIFF LIST walk, strh/strf
+    parse, per-frame DIB pixel decode — and emits one row per frame
+    with exact pixel statistics. Pixels follow the closed form
+    (11k + 17f + 7y + 3x + 5c) % 256, so the oracle replays every
+    frame of every video in pure SQL: green only if the demuxer
+    recovers each frame bit-exactly."""
+    from graphragdatapipeline_spark.multimodal.blob import (
+        avi_blob_table,
+        video_frame_stats,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return video_frame_stats(avi_blob_table(d))

@@ -130,3 +130,68 @@ def test_resize_png_half_pixels():
     out = decode_png(resize_png_half(encode_png(arr)))
     assert out.shape == (4, 5, 3)  # ceil-halved
     assert (out == arr[::2, ::2, :]).all()
+
+
+def test_avi_codec_roundtrip_bit_exact():
+    """encode_avi → decode_avi recovers every frame bit-for-bit,
+    including odd widths (4-byte row stride padding) and 1×1 frames;
+    fps survives via strh dwRate/dwScale."""
+    import numpy as np
+
+    from graphragdatapipeline_spark.multimodal.blob import decode_avi, encode_avi
+
+    rng = np.random.default_rng(11)
+    for shape, n, fps in (((5, 7, 3), 4, 12), ((3, 5, 3), 1, 1), ((1, 1, 3), 2, 30)):
+        frames = [rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(n)]
+        got_fps, got = decode_avi(encode_avi(frames, fps=fps))
+        assert got_fps == fps
+        assert len(got) == n
+        assert all(np.array_equal(a, b) for a, b in zip(frames, got))
+
+
+def test_avi_codec_honest_gates():
+    """Non-AVI bytes and unsupported pixel formats fail loudly, same
+    policy as the PNG/WAV codecs."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from graphragdatapipeline_spark.multimodal.blob import decode_avi, encode_avi
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"not an avi at all")
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi([], fps=10)
+    # corrupt the strf bit depth to 8bpp → honest NotImplementedError
+    payload = bytearray(encode_avi([np.zeros((2, 2, 3), np.uint8)], fps=10))
+    i = payload.index(b"strf")
+    # biBitCount lives at strf body offset 14
+    struct.pack_into("<H", payload, i + 8 + 14, 8)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_avi(bytes(payload))
+
+
+def test_video_frame_stats_matches_closed_form(spark):
+    """The distributed kernel (avi_blob_table → video_frame_stats)
+    reproduces the closed-form pixel sums for every frame."""
+    from graphragdatapipeline_spark.multimodal.blob import (
+        avi_blob_table,
+        video_frame_stats,
+    )
+
+    docs = spark.createDataFrame([(k,) for k in range(12)], "doc_id LONG")
+    rows = video_frame_stats(avi_blob_table(docs)).collect()
+    by_key = {(r.blob_id, r.frame_idx): r for r in rows}
+    for k in range(12):
+        nf, w, h = 2 + k % 4, 4 + k % 5, 2 + k % 3
+        for f in range(nf):
+            expect = sum(
+                (11 * k + 17 * f + 7 * y + 3 * x + 5 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            r = by_key[(f"doc-{k}", f)]
+            assert (r.width, r.height, r.fps, r.pixel_sum) == (w, h, 10, expect)
+    assert len(rows) == sum(2 + k % 4 for k in range(12))
