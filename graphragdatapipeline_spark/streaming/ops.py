@@ -157,6 +157,46 @@ def write_foreach_batch(
     return writer.start()
 
 
+def _hadoop_fs(spark, d: str):
+    """Hadoop FileSystem for a path via the JVM gateway — the
+    storage-agnostic way to list/create commit markers (works on
+    local FS in tests and HDFS/S3A on a cluster alike)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm, path
+
+
+def committed_epochs(spark, commits_dir: str) -> list[int]:
+    """Epoch ids with a commit marker, ascending."""
+    fs, _, path = _hadoop_fs(spark, commits_dir)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.isdigit():
+            out.append(int(name))
+    return sorted(out)
+
+
+def _mark_committed(spark, commits_dir: str, epoch: int) -> None:
+    fs, jvm, _ = _hadoop_fs(spark, commits_dir)
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{commits_dir}/{epoch}"), True).close()
+
+
+def read_committed_epochs(spark, data_dir: str, commits_dir: str):
+    """Union of the data directory's COMMITTED epoch partitions (None
+    when no epoch has committed yet). Readers that go through this
+    helper never observe a half-written batch: an epoch directory
+    becomes visible only after its commit marker lands."""
+    dirs = [
+        f"{data_dir}/epoch={e}" for e in committed_epochs(spark, commits_dir)
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 def incremental_dedup_sink(
     stream_df: DataFrame,
     corpus_dir: str,
@@ -167,40 +207,45 @@ def incremental_dedup_sink(
 ):
     """Streaming corpus maintenance: every micro-batch of documents is
     exact-deduped against the ACCUMULATED fingerprint index
-    (operators.dedup.exact_dedup_incremental), survivors appended to
-    the corpus, their fingerprints to the index. Micro-batches run
+    (operators.dedup.exact_dedup_incremental), survivors landed in the
+    corpus, their fingerprints in the index. Micro-batches run
     sequentially, so each sees every prior batch's index rows — the
     streaming form of the per-ingest maintenance job.
 
-    Exactly-once caveat, stated honestly: two plain-parquet appends
-    are not atomic under a retry between them; production pins this
-    with a transactional table format (Delta/Iceberg) in the same
-    foreachBatch. Until then the write ORDER makes a retry fail-safe:
-    the fingerprint delta lands BEFORE the corpus append, so a retry
-    that re-runs the batch sees its own fingerprints in the index and
-    drops the docs — worst case a doc is missing (recoverable from the
-    source), never duplicated in the corpus."""
-    from pyspark.sql.utils import AnalysisException
-
+    Exactly-once without a transactional table format, poor-man's
+    Delta (r7, replacing the r6 fail-safe-ordering scheme that could
+    still LOSE a batch's corpus rows on a crash between the two
+    appends): each epoch OVERWRITES its own partition directory
+    (`<dir>/epoch=N` — foreachBatch retries reuse the epoch id, so
+    the rewrite is idempotent), and a commit marker
+    (`corpus_dir/_commits/N`, written only after both directories
+    landed) makes the epoch visible. The batch dedupes against
+    COMMITTED index epochs only, so a retry of a half-committed epoch
+    re-admits its own docs instead of dropping them, recomputes the
+    same survivors, overwrites both partial directories, and commits —
+    convergence to the exact no-crash corpus, no drops, no
+    duplicates (pinned in tests). Read the corpus/index through
+    read_committed_epochs for the consistent view; a plain
+    spark.read.parquet(corpus_dir) also works once all markers are in
+    (the `_commits` dir is `_`-prefixed, so Spark's listing skips
+    it)."""
     from graphragdatapipeline_spark.operators.dedup import (
         exact_dedup_incremental,
         fingerprint,
     )
 
+    commits_dir = corpus_dir + "/_commits"
+
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
-        try:
-            idx = spark.read.parquet(index_dir)
-        except AnalysisException:
-            idx = None
+        idx = read_committed_epochs(spark, index_dir, commits_dir)
         clean, _delta = exact_dedup_incremental(df, idx, id_col, text_col)
-        clean = clean.localCheckpoint()  # one computation feeds both appends
-        # Index first: a retry between the two appends re-filters the
-        # batch against its own fingerprints → drops, never duplicates.
+        clean = clean.localCheckpoint()  # one computation feeds both writes
         clean.select(fingerprint(F.col(text_col)).alias("fp")).write.mode(
-            "append"
-        ).parquet(index_dir)
-        clean.write.mode("append").parquet(corpus_dir)
+            "overwrite"
+        ).parquet(f"{index_dir}/epoch={epoch_id}")
+        clean.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
+        _mark_committed(spark, commits_dir, epoch_id)
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 
@@ -217,26 +262,27 @@ def incremental_neardup_sink(
     of incremental_dedup_sink: each micro-batch computes its band
     table map-side, drops docs whose bands hit the ACCUMULATED index
     (a kept near-duplicate already represents them), LSH-dedups the
-    survivors within the batch, then appends survivors to the corpus
-    and their bands to the index. Same sequential-micro-batch and
-    exactly-once caveats as the exact sink — and the same fail-safe
-    write order: band delta BEFORE corpus, so a micro-batch retry
-    drops rather than duplicates."""
-    from pyspark.sql.utils import AnalysisException
-
+    survivors within the batch, then lands survivors in the corpus
+    and their bands in the index. Same epoch-partitioned
+    overwrite-and-commit transaction scheme as the exact sink: a
+    retry of a half-committed epoch dedupes against committed epochs
+    only, idempotently rewrites `epoch=N` in both directories, then
+    commits the marker — convergence, not drops."""
     from graphragdatapipeline_spark.operators.dedup import minhash_dedup_incremental
+
+    commits_dir = corpus_dir + "/_commits"
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
-        try:
-            idx = spark.read.parquet(band_index_dir)
-        except AnalysisException:
-            idx = None
+        idx = read_committed_epochs(spark, band_index_dir, commits_dir)
         clean, band_delta = minhash_dedup_incremental(df, idx, id_col, text_col)
         clean = clean.localCheckpoint()
         band_delta = band_delta.localCheckpoint()
-        band_delta.write.mode("append").parquet(band_index_dir)
-        clean.write.mode("append").parquet(corpus_dir)
+        band_delta.write.mode("overwrite").parquet(
+            f"{band_index_dir}/epoch={epoch_id}"
+        )
+        clean.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
+        _mark_committed(spark, commits_dir, epoch_id)
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 

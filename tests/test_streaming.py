@@ -548,13 +548,15 @@ def test_funnel_stream_ttl_forgets_idle_users(spark, tmp_path):
         assert 1 in drive("long", ttl=3600)  # same schedule, state retained
 
 
-def test_incremental_dedup_sink_retry_drops_not_duplicates(spark, tmp_path):
-    """Crash-retry fail-safety of the index-before-corpus write order:
-    if a micro-batch dies AFTER its fingerprint delta landed but
-    BEFORE its corpus append (simulated here by pre-seeding the index
-    with the batch's fingerprints), the retry must DROP the batch's
-    docs — the corpus never gains duplicates, only potentially loses
-    rows recoverable from the source."""
+def test_incremental_dedup_sink_retry_converges_exactly_once(spark, tmp_path):
+    """Exactly-once under crash-retry (r7 epoch-commit scheme): if a
+    micro-batch dies AFTER its fingerprint epoch directory landed but
+    BEFORE its corpus write + commit marker (simulated by pre-seeding
+    index/epoch=0 with no marker), the retry must IGNORE the
+    uncommitted index rows, re-admit its own docs, idempotently
+    rewrite both epoch directories, and commit — the corpus converges
+    to exactly the no-crash result: no drops (the r6 scheme's failure
+    mode), no duplicates."""
     from pyspark.sql import functions as F
 
     from graphragdatapipeline_spark.operators.dedup import fingerprint
@@ -568,10 +570,11 @@ def test_incremental_dedup_sink_retry_drops_not_duplicates(spark, tmp_path):
         [(1, "en", "alpha beta"), (2, "en", "gamma delta")],
         "doc_id LONG, lang STRING, text STRING",
     )
-    # simulate the half-committed batch: fingerprints present, corpus absent
+    # simulate the half-committed epoch 0: fingerprints landed,
+    # corpus + commit marker absent
     docs.select(fingerprint(F.col("text")).alias("fp")).write.mode(
-        "append"
-    ).parquet(index_dir)
+        "overwrite"
+    ).parquet(index_dir + "/epoch=0")
 
     docs.coalesce(1).write.parquet(os.path.join(in_dir, "slice=0"))
     stream = (
@@ -584,17 +587,18 @@ def test_incremental_dedup_sink_retry_drops_not_duplicates(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    # the retry saw its own fingerprints → dropped both docs
-    import glob
-
-    corpus_files = glob.glob(corpus_dir + "/*.parquet")
-    n_corpus = (
-        spark.read.parquet(corpus_dir).count() if corpus_files else 0
-    )
-    assert n_corpus == 0, "retried batch must not duplicate into the corpus"
-    # index unchanged in content: exactly the two fingerprints, no dupes
-    fps = [r.fp for r in spark.read.parquet(index_dir).collect()]
-    assert len(set(fps)) == 2
+    # convergence: both docs present exactly once, epoch committed
+    commits = so.committed_epochs(spark, corpus_dir + "/_commits")
+    assert commits == [0]
+    corpus = so.read_committed_epochs(spark, corpus_dir, corpus_dir + "/_commits")
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2]
+    fps = [
+        r.fp
+        for r in so.read_committed_epochs(
+            spark, index_dir, corpus_dir + "/_commits"
+        ).collect()
+    ]
+    assert len(fps) == 2 and len(set(fps)) == 2
 
 
 def test_windowed_percentile_stream_equals_batch(
@@ -615,13 +619,13 @@ def test_windowed_percentile_stream_equals_batch(
     assert a == b and len(a) > 0
 
 
-def test_incremental_neardup_sink_retry_drops_not_duplicates(spark, tmp_path):
+def test_incremental_neardup_sink_retry_converges_exactly_once(spark, tmp_path):
     """MinHash twin of the exact-sink retry test: with the batch's
-    band delta already in the index (crash between the two appends),
-    the retry must drop the docs — near-duplicate corpus maintenance
-    never duplicates under retries either."""
-    from pyspark.sql import functions as F
-
+    band delta landed in index/epoch=0 but no corpus write and no
+    commit marker (crash between the writes), the retry ignores the
+    uncommitted bands, re-admits its docs, rewrites the epoch
+    idempotently, and commits — exactly-once convergence for near-dup
+    corpus maintenance too."""
     from graphragdatapipeline_spark.operators.dedup import (
         lsh_bands,
         minhash_signatures_rowwise,
@@ -637,9 +641,12 @@ def test_incremental_neardup_sink_retry_drops_not_duplicates(spark, tmp_path):
          (2, "en", "one two three four five six seven eight nine")],
         "doc_id LONG, lang STRING, text STRING",
     )
-    # simulate the half-committed batch: bands present, corpus absent
+    # simulate the half-committed epoch 0: bands landed, no corpus,
+    # no commit marker
     sig = minhash_signatures_rowwise(docs, "doc_id", "text", 3, 16)
-    lsh_bands(sig, "doc_id", 16, 4).write.mode("append").parquet(index_dir)
+    lsh_bands(sig, "doc_id", 16, 4).write.mode("overwrite").parquet(
+        index_dir + "/epoch=0"
+    )
 
     docs.coalesce(1).write.parquet(os.path.join(in_dir, "slice=0"))
     stream = (
@@ -652,11 +659,6 @@ def test_incremental_neardup_sink_retry_drops_not_duplicates(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    import glob
-
-    n_corpus = (
-        spark.read.parquet(corpus_dir).count()
-        if glob.glob(corpus_dir + "/*.parquet")
-        else 0
-    )
-    assert n_corpus == 0, "retried batch must not duplicate into the corpus"
+    assert so.committed_epochs(spark, corpus_dir + "/_commits") == [0]
+    corpus = so.read_committed_epochs(spark, corpus_dir, corpus_dir + "/_commits")
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2]
