@@ -100,18 +100,67 @@ def fix_mojibake(text: str | None) -> str | None:
     return text
 
 
+def remove_terminal_escapes(text: str | None) -> str | None:
+    """Strip ANSI terminal escape sequences (CSI color/cursor codes a
+    log-scraped corpus carries) — vendored twin of ftfy's
+    remove_terminal_escapes."""
+    import re
+
+    if text is None:
+        return None
+    return re.sub(r"\x1b\[[0-9;?]*[A-Za-z]", "", text)
+
+
+def unescape_html_entities(text: str | None) -> str | None:
+    """Unescape HTML entities the way ftfy does (fixes.unescape_html):
+    only well-formed `&name;` / `&#digits;` tokens WITH the closing
+    semicolon are decoded, each in isolation — never the stdlib's
+    semicolon-less legacy matching, which would corrupt prose like
+    '&copy 2020'. Unknown entities pass through untouched."""
+    import html
+    import re
+
+    if text is None:
+        return None
+
+    def _one(m: "re.Match[str]") -> str:
+        tok = m.group(0)
+        if tok.startswith("&#"):
+            return html.unescape(tok)
+        # strict named lookup: the WHOLE name+';' must be a known HTML5
+        # entity — html.unescape alone would longest-prefix-match the
+        # legacy semicolon-less table ('&notanentity;' → '¬anentity;')
+        name = tok[1:]
+        return html.entities.html5.get(name, tok)
+
+    return re.sub(r"&#?[0-9A-Za-z]{1,24};", _one, text)
+
+
+def fix_text_vendored(text: str | None) -> str | None:
+    """Vendored ftfy.fix_text pipeline over the three corruption
+    classes a web/log corpus actually hits (same order ftfy applies
+    them): terminal escapes → HTML entities → mojibake. Pure stdlib;
+    ftfy proper remains the higher-fidelity rung via
+    mojibake_repair_default()."""
+    if text is None:
+        return None
+    return fix_mojibake(unescape_html_entities(remove_terminal_escapes(text)))
+
+
 def mojibake_repair_default():
     """ftfy.fix_text when the library is importable, else the vendored
-    minimal repairer. Import-gated the same way as exact Leiden
-    (graph/algorithms.py): the engine upgrades in-place when ftfy is
-    installed, and the default chain still repairs the common
-    UTF-8/Latin-1 double-encode class without it."""
+    fix_text_vendored pipeline (terminal escapes + HTML entities +
+    mojibake — the same classes ftfy.fix_text covers by default).
+    Import-gated the same way as exact Leiden (graph/algorithms.py):
+    the engine upgrades in-place when ftfy is installed, and the
+    default chain still repairs the common corruption classes without
+    it."""
     try:
         import ftfy
 
         return ftfy.fix_text
     except ImportError:
-        return fix_mojibake
+        return fix_text_vendored
 
 
 def normalize_text_full(col: Column, repair_fn=None) -> Column:

@@ -384,3 +384,35 @@ def freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").isin([str(x) for x in items]).alias("in_sketch"),
         )
     )
+
+
+@register(
+    "text_fix_text_full",
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+         substring(text, 1, 30) || ' café & — “naïve” €', '\\"', '"', 'g'),
+         '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS fixed
+FROM documents
+""",
+)
+def text_fix_text_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 full-fidelity rung (r7): the vendored fix_text pipeline must
+    undo all THREE corruption classes ftfy.fix_text covers (reference
+    applies it unconditionally, data_transformation_helpers.py:20-86)
+    in one pass — each doc gets a non-ASCII suffix, then the string is
+    corrupted with (a) HTML-entity escaping of every '&', (b) the
+    classic UTF-8-read-as-Latin-1 mojibake over the whole string, and
+    (c) ANSI terminal color escapes wrapped around it. The DEFAULT
+    normalize_text_full chain (terminal-escape strip → semicolon-strict
+    entity unescape → mojibake repair → NFKC → native regex chain) must
+    return exactly the clean text; the oracle replays the clean text
+    through the same native chain."""
+    from graphragdatapipeline_spark.functions import normalize_text_full
+
+    d = read_table(spark, sf_dir, "documents")
+    clean = F.concat(F.substring("text", 1, 30), F.lit(" café & — “naïve” €"))
+    entity = F.replace(clean, F.lit("&"), F.lit("&amp;"))
+    moji = F.decode(F.encode(entity, "UTF-8"), "ISO-8859-1")
+    dirty = F.concat(F.lit("\x1b[31m"), moji, F.lit("\x1b[0m"))
+    return d.select("doc_id", normalize_text_full(dirty).alias("fixed"))

@@ -478,3 +478,46 @@ def test_fix_mojibake_inverts_latin1_misdecodes(s):
         assert nctrl(fix_mojibake(s)) <= nctrl(s)
         assert nctrl(fix_mojibake(corrupted)) <= nctrl(s)
         assert nctrl(fix_mojibake(double)) <= nctrl(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+            max_codepoint=0x024F,
+        ),
+        max_size=40,
+    )
+)
+def test_fix_text_vendored_inverts_triple_corruption(s):
+    """fix_text_vendored must undo entity-escaping + Latin-1 misdecode
+    + ANSI escapes in one pass for any Latin-range text (mojibake-
+    ambiguous inputs excluded, as for the plain repair property)."""
+    from graphragdatapipeline_spark.functions import (
+        _MOJIBAKE_CONT,
+        fix_text_vendored,
+    )
+
+    if re.search(f"[Â-ô][{_MOJIBAKE_CONT}]", s):
+        return  # inherently ambiguous; covered by the mojibake property
+    clean = s + " café & naïve"
+    dirty = (
+        "\x1b[31m"
+        + clean.replace("&", "&amp;").encode("utf-8").decode("latin-1")
+        + "\x1b[0m"
+    )
+    assert fix_text_vendored(dirty) == clean
+
+
+def test_unescape_html_entities_requires_semicolon():
+    """ftfy-policy entity handling: '&copy 2020' (legacy semicolon-less
+    form the stdlib would decode) passes through; '&copy; 2020',
+    numeric and named entities decode; unknown entities survive."""
+    from graphragdatapipeline_spark.functions import unescape_html_entities
+
+    assert unescape_html_entities("&copy 2020") == "&copy 2020"
+    assert unescape_html_entities("&copy; 2020") == "© 2020"
+    assert unescape_html_entities("a &amp; b &#39;c&#39;") == "a & b 'c'"
+    assert unescape_html_entities("&notanentity; x") == "&notanentity; x"
+    assert unescape_html_entities(None) is None
