@@ -724,3 +724,60 @@ def graph_leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deterministic BOOLEAN, connected_communities BOOLEAN, "
         "quality_above_singleton BOOLEAN",
     )
+
+
+def _kcore_oracle(k: int = 16, rounds: int = 10) -> str:
+    """Unrolled peel replay (same scheme as the pagerank/k-means
+    oracles): per round one degree CTE over the surviving symmetric
+    edge set and one double semi-join keeping edges whose BOTH
+    endpoints still clear degree >= k. Peeling is monotone, so any
+    unroll depth >= the fixpoint depth (7 at sf0.01 for k=16) yields
+    the exact core — extra rounds are no-ops, matching the engine's
+    run-to-fixpoint loop."""
+    parts = [
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+         greatest(a.l_partkey, b.l_partkey) AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 400 AND b.l_partkey < 400
+)""",
+        "e0 AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM pairs "
+        "UNION ALL SELECT hi AS src, lo AS dst FROM pairs)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM e{i} GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)"
+        )
+    sep = ",\n"
+    return (
+        f"WITH {sep.join(parts)}\n"
+        f"SELECT src AS id, count(*) AS core_degree FROM e{rounds} GROUP BY src"
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph (parts adjacent
+    when they share an order, restricted to a 400-part sub-graph so
+    the oracle replay stays light; the peel itself is scale-free):
+    iteratively remove vertices with in-subgraph degree < 16 until
+    fixpoint, return the surviving core members with their in-core
+    degree — the density filter a graph-curation pipeline runs before
+    community detection or GNN neighborhood sampling. At sf0.01 the
+    peel takes 7 real rounds (9330 -> 7028 symmetric edges, 400 -> 314
+    vertices), so this exercises genuine multi-round erosion, not a
+    one-shot degree filter."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 400)
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return ga.kcore(edges, k=16)

@@ -374,3 +374,27 @@ def test_weighted_pagerank_ignores_nonpositive_weights(spark):
     # C keeps its vertex (dangling), and Σrank stays 1
     assert set(ranks) == {"A", "B", "C"}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_kcore_peels_iteratively(spark):
+    # Triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is the
+    # triangle alone, and reaching it takes TWO peel rounds (5 falls
+    # first, only then 4 drops below degree 2) — pins the fixpoint
+    # loop, not just a one-shot degree filter.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    core = {r.id: r.core_degree for r in ga.kcore(edges, k=2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_and_full(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
+    # k above max degree: empty core (and no crash on empty rounds)
+    assert ga.kcore(edges, k=5).count() == 0
+    # k=1: everything survives, duplicate/reversed edges collapse
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3)], "src int, dst int"
+    )
+    core = {r.id: r.core_degree for r in ga.kcore(noisy, k=1).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}

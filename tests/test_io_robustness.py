@@ -81,3 +81,22 @@ def test_csv_source_quotes_escapes_and_permissive(spark, tmp_path):
     }
     assert df.filter("_corrupt_record IS NOT NULL").count() == 1
     df.unpersist()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink parity with parquet: values round-trip exactly
+    and predicates reach the scan (PushedFilters), so an ORC-backed
+    lake gets the same pruning economics as the parquet default."""
+    d = str(tmp_path / "t.orc")
+    spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (3, "c", 7.0)],
+        "id LONG, name STRING, score DOUBLE",
+    ).write.orc(d)
+    back = spark.read.orc(d)
+    assert {(r.id, r.name, r.score) for r in back.collect()} == {
+        (1, "a", 2.5),
+        (2, "b", None),
+        (3, "c", 7.0),
+    }
+    plan = back.filter(F.col("id") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,2)]" in plan

@@ -391,3 +391,12 @@ def test_kmeans_assignment_is_map_side(spark, sf_dir):
     assigned, _ = vs.kmeans_cells(e, k=4, iters=1)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_semantic_dedup_intracell_join_is_equi(spark, sf_dir):
+    """SemDeDup's pairwise scoring must stay an equi join on the
+    learned cell id (co-partitionable at scale) — a CartesianProduct
+    here would mean the blocking key silently fell out of the join."""
+    plan = _plan(spark, "dedup_semantic_kmeans", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
