@@ -38,12 +38,13 @@ from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
 # row — treat as unverified (they re-enter the window ahead of
 # still-green entries, right after the never-green ones).
 _FORCE_REVERIFY: set[str] = {
-    # round 7: fix_mojibake gained the ftfy-style no-new-controls
-    # guard (functions.py) — re-green against the fixture corpus
-    "text_mojibake_repair",
-    # round 7: now registered with the max_forward_degree=160 guardrail
-    # (oracle mirrors the cap) — the r6 unguarded green is stale
-    "graph_triangle_count",
+    # round 8: now registered with the max_bucket=8 guardrail + mega-
+    # bucket representative-keep rule (oracle mirrors both) — the r7
+    # unguarded green is stale
+    "dedup_corpus_verified",
+    # round 8: vector_lsh_buckets re-registered on the map-side
+    # lsh_signature_col path (same values, new plan shape)
+    "vector_lsh_buckets",
 }
 
 

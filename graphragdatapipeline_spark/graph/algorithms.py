@@ -565,7 +565,7 @@ def personalized_pagerank(
     return ranks
 
 
-def kcore(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+def kcore(edges: DataFrame, k: int, max_iter: int | None = None) -> DataFrame:
     """k-core decomposition membership: iteratively peel every vertex
     whose degree in the SURVIVING subgraph is < k until a fixpoint —
     the standard density filter for graph curation (drop barely-
@@ -579,10 +579,14 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     Scale shape: each round is one degree aggregation plus two
     semi-joins of the edge table against the survivor set — rows only
     ever shrink, lineage is cut per round (localCheckpoint), and the
-    fixpoint test is a cheap count, not a collect. Peeling converges
-    in O(peel depth) rounds, typically ≪ max_iter; because rounds
-    after the fixpoint are no-ops, a fixed-unroll SQL replay of
-    ≥ fixpoint depth is value-identical (how the oracle checks it).
+    fixpoint test is a cheap count, not a collect. Rows only ever
+    shrink, so the peel terminates in ≤ |V| rounds; by default it
+    runs to the guaranteed fixpoint (``max_iter=None``). Passing
+    ``max_iter`` turns it into a hard guard: exhausting it before the
+    fixpoint RAISES instead of silently returning a superset that may
+    still contain sub-k vertices. Because rounds after the fixpoint
+    are no-ops, a fixed-unroll SQL replay of ≥ fixpoint depth is
+    value-identical (how the oracle checks it).
     """
     canon = (
         edges.select(
@@ -596,7 +600,8 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     )
     alive = sym.localCheckpoint(eager=True)
     n_edges = alive.count()
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
         keep = deg.filter(F.col("_deg") >= k).select("src")
         nxt = (
@@ -610,6 +615,13 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         if n_next == n_edges:  # fixpoint: nobody fell below k
             break
         n_edges = n_next
+        rounds += 1
+        if max_iter is not None and rounds >= max_iter:
+            raise RuntimeError(
+                f"kcore did not reach a fixpoint within max_iter={max_iter} "
+                f"peel rounds ({n_edges} directed edges still shrinking); "
+                "pass max_iter=None to peel to the guaranteed fixpoint"
+            )
     return alive.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )

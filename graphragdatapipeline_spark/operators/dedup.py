@@ -212,6 +212,34 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_mega_bucket_drops(
+    bands_df: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Cluster-level resolution for LSH buckets larger than
+    ``max_bucket``: every member except the min-id representative is
+    returned as a doc to DROP. A bucket is full-band minhash agreement
+    — a mega bucket (boilerplate, licence blocks, mirrored pages) is a
+    duplicate cluster already, so production resolves it by keeping
+    one representative, not by scoring O(n²) pairs inside it. Cost is
+    one aggregation plus one bucket-equality join — linear in the band
+    table, regardless of how pathological the bucket is.
+
+    Pairs with ``lsh_candidate_pairs(..., max_bucket=...)``: small
+    buckets go through pairwise exact verification, mega buckets
+    through this representative-keep rule, so the cleaned corpus never
+    silently retains a mega cluster."""
+    sizes = bands_df.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bn"), F.min(id_col).alias("_rep")
+    )
+    mega = sizes.filter(F.col("_bn") > max_bucket)
+    return (
+        bands_df.join(mega, ["band_idx", "band_hash"])
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(id_col)
+        .distinct()
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -220,6 +248,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     reuse_bands: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → bucket-join.
     Signatures come from the zero-shuffle row-wise path; the only
@@ -239,7 +268,7 @@ def minhash_dedup_pairs(
     b = lsh_bands(sig, id_col, num_hashes, bands)
     if reuse_bands:
         b = b.localCheckpoint(eager=False)
-    return lsh_candidate_pairs(b, id_col)
+    return lsh_candidate_pairs(b, id_col, max_bucket=max_bucket)
 
 
 def jaccard_pairs(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from graphragdatapipeline_spark.io import read_table
 from graphragdatapipeline_spark.operators import dedup as dd
 from graphragdatapipeline_spark.registry import register
+from graphragdatapipeline_spark.session import ensure_parallelism
 
 NUM_HASHES = 16
 BANDS = 4
@@ -29,7 +30,7 @@ toks AS (
 )"""
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(max_bucket: int | None = None) -> str:
     n_salts = (NUM_HASHES + 3) // 4
     md5_cols = ", ".join(
         f"md5(concat('{g}|', shingle)) AS m{g}" for g in range(n_salts)
@@ -45,6 +46,14 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig"
         )
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    # The production guardrail mirrored in SQL: buckets above the cap
+    # are excluded from pairwise candidate generation (a mega-bucket is
+    # a duplicate CLUSTER, not a pair-scoring problem).
+    bucket_filter = (
+        ""
+        if max_bucket is None
+        else f"""QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= {max_bucket}"""
+    )
     return f"""
 WITH {_SHINGLES_CTE},
 hashed AS (
@@ -53,8 +62,11 @@ hashed AS (
   SELECT doc_id,
          {sig_cols}
   FROM hashed GROUP BY doc_id
-), bands AS (
+), bands_all AS (
   {bands_sql}
+), bands AS (
+  SELECT * FROM bands_all
+  {bucket_filter}
 )
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM bands a JOIN bands b USING (band_idx, band_hash)
@@ -179,13 +191,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=16)
 
 
-def _dedup_corpus_verified_oracle(threshold: float = 0.2) -> str:
-    """The full production near-dup flow in SQL: LSH candidate pairs →
-    exact-Jaccard verification (joined on candidates only) → drop
-    every doc that is the larger id of any verified pair."""
-    base = _minhash_oracle().strip()
+def _dedup_corpus_verified_oracle(
+    threshold: float = 0.2, max_bucket: int | None = None
+) -> str:
+    """The full production near-dup flow in SQL: LSH candidate pairs
+    (buckets ≤ max_bucket) → exact-Jaccard verification (joined on
+    candidates only) → drop every doc that is the larger id of any
+    verified pair; buckets ABOVE the cap are duplicate clusters and
+    resolve by keeping the min-id representative per bucket."""
+    base = _minhash_oracle(max_bucket=max_bucket).strip()
     body = base[len("WITH "):]
     head, final_select = body.rsplit("SELECT DISTINCT", 1)
+    mega = (
+        "SELECT doc_id FROM documents WHERE 1 = 0"
+        if max_bucket is None
+        else f"""SELECT DISTINCT b.doc_id
+  FROM bands_all b
+  JOIN (
+    SELECT band_idx, band_hash, min(doc_id) AS rep
+    FROM bands_all GROUP BY 1, 2 HAVING count(*) > {max_bucket}
+  ) m USING (band_idx, band_hash)
+  WHERE b.doc_id <> m.rep"""
+    )
     return f"""
 WITH {head.rstrip().rstrip(",")},
 cands AS (
@@ -204,31 +231,55 @@ cands AS (
   JOIN sizes sa ON c.a = sa.doc_id
   JOIN sizes sb ON c.b = sb.doc_id
   WHERE c.common / (sa.sz + sb.sz - c.common) >= {threshold}
+), mega_drops AS (
+  {mega}
 )
 SELECT d.doc_id, d.lang FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM verified v WHERE v.b = d.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM mega_drops md WHERE md.doc_id = d.doc_id)
 """
 
 
-@register("dedup_corpus_verified", oracle=_dedup_corpus_verified_oracle())
+# Registered guardrail for the corpus-verified flow: honest-scale band
+# buckets top out at 3–4 members (sf0.01 max 3 / sf0.1 max 4, p99.9 = 3
+# at both), so >8 docs agreeing on a FULL band is a duplicate cluster,
+# not a pair-scoring problem. Same philosophy as graph_triangle_count's
+# max_forward_degree=160 default; the oracle mirrors the cap exactly.
+MAX_BUCKET = 8
+
+
+@register(
+    "dedup_corpus_verified",
+    oracle=_dedup_corpus_verified_oracle(max_bucket=MAX_BUCKET),
+)
 def dedup_corpus_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup flow end-to-end: MinHash-LSH candidate
-    pairs → exact Jaccard verification joined on candidates only →
-    cleaned corpus (drop the larger id of each verified pair; smallest
-    id per duplicate group survives). At scale the verification join
-    touches |candidates| pairs, never the corpus²; false LSH positives
-    are filtered by the verify step, false negatives bounded by the
-    band collision curve (1-(1-s^4)^4). The oracle replays shingle →
-    sign → band → bucket-join → verify → anti-join entirely in SQL, at
-    id granularity. Jaccard VALUES are verified by dedup_ngram_jaccard
-    (same jaccard_pairs code path with jaccard in the output)."""
+    pairs (buckets ≤ MAX_BUCKET) → exact Jaccard verification joined
+    on candidates only → cleaned corpus (drop the larger id of each
+    verified pair; smallest id per duplicate group survives). Buckets
+    ABOVE the cap — boilerplate / mirror mega clusters, the quadratic
+    hazard at 100 TB — are resolved cluster-level instead: keep the
+    min-id representative per bucket, drop the rest, cost linear in
+    the band table. At scale the verification join touches
+    |candidates| pairs, never the corpus²; false LSH positives are
+    filtered by the verify step, false negatives bounded by the band
+    collision curve (1-(1-s^4)^4). The oracle replays shingle → sign →
+    band → bucket-cap → bucket-join → verify → mega-representative →
+    anti-join entirely in SQL, at id granularity. Jaccard VALUES are
+    verified by dedup_ngram_jaccard (same jaccard_pairs code path with
+    jaccard in the output)."""
     d = read_table(spark, sf_dir, "documents")
-    cands = dd.minhash_dedup_pairs(
-        d, "doc_id", "text", k=3, num_hashes=NUM_HASHES, bands=BANDS
+    sig = dd.minhash_signatures_rowwise(
+        ensure_parallelism(d), "doc_id", "text", k=3, num_hashes=NUM_HASHES
     )
+    # One band table feeds pairwise candidates AND mega-bucket drops.
+    bands = dd.lsh_bands(sig, "doc_id", NUM_HASHES, BANDS).localCheckpoint(eager=False)
+    cands = dd.lsh_candidate_pairs(bands, "doc_id", max_bucket=MAX_BUCKET)
+    mega = dd.lsh_mega_bucket_drops(bands, "doc_id", MAX_BUCKET)
     sh = dd.shingle_table(d, "doc_id", "text", k=3)
     pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
-    return dd.dedup_corpus(d.select("doc_id", "lang"), pairs.select("a", "b"), "doc_id")
+    clean = dd.dedup_corpus(d.select("doc_id", "lang"), pairs.select("a", "b"), "doc_id")
+    return clean.join(mega, "doc_id", "left_anti")
 
 
 @register(

@@ -214,13 +214,25 @@ FROM sig GROUP BY bucket
 )
 def vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketing (ANN scale path alongside IVF): 8
-    deterministic hyperplanes (embeddings 1–8), map-side signatures,
-    bucket histogram. Bit-compatible dot products on both engines."""
+    deterministic hyperplanes (embeddings 1–8), map-side signatures
+    via `lsh_signature_col` (the planes ship as literal arrays —
+    collecting 8 rows is index metadata, not the corpus), bucket
+    histogram. The signature is a per-row expression with ZERO
+    Exchange below the histogram aggregation — the 100 TB ingest
+    shape; the crossJoin+groupBy contrast formulation survives only in
+    `lsh_hyperplane_buckets` for the equivalence pytest. Bit-compatible
+    dot products on both engines."""
     e = read_table(spark, sf_dir, "embeddings")
     planes = e.filter(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").alias("h_id"), "embedding"
     )
-    sig = vs.lsh_hyperplane_buckets(e, planes)
+    h_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in planes.select("h_id", "embedding").collect()
+    ]
+    sig = e.select(
+        "vec_id", vs.lsh_signature_col(h_rows, F.col("embedding")).alias("bucket")
+    )
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )

@@ -262,10 +262,15 @@ def lsh_hyperplane_buckets(
     1 - angle/pi per bit; ANN search probes only the query's bucket
     (plus Hamming-1 neighbors for higher recall).
 
-    Scale shape: hyperplanes broadcast (R rows), signature is map-side
-    per vector — the only shuffle is the per-bucket aggregation the
-    caller adds. The complement of IVF (ivf_assign): LSH needs no
-    training pass; IVF adapts to the data distribution."""
+    RETIRED from the registered query path (round 8): the crossJoin +
+    groupBy formulation shuffles (docs × R) rows, while
+    `lsh_signature_col` computes the identical bucket as a per-row
+    expression with zero shuffle. Kept only as the independent
+    contrast formulation for
+    `test_lsh_signature_col_matches_bucket_join`.
+
+    The complement of IVF (ivf_assign): LSH needs no training pass;
+    IVF adapts to the data distribution."""
     h = F.broadcast(
         hyperplanes.select(
             F.col(h_id_col).alias("_h_id"), F.col(vec_col).alias("_h")

@@ -16,6 +16,24 @@ def test_lsh_candidate_pairs_max_bucket_guardrail(spark):
     assert {(r.a, r.b) for r in capped} == {(100, 101)}
 
 
+def test_lsh_mega_bucket_drops_keeps_min_representative(spark):
+    """Buckets over the cap resolve cluster-level: min-id survives,
+    every other member is returned as a drop; small buckets untouched.
+    A doc in BOTH a mega and a small bucket is still dropped (full-band
+    agreement with a mega cluster wins)."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    rows = []
+    # mega-bucket: ids 0..29 share (0, 999); small: (100, 101) share (1, 7);
+    # id 5 also appears in a small bucket (2, 8)
+    for i in range(30):
+        rows.append((i, 0, 999))
+    rows += [(100, 1, 7), (101, 1, 7), (5, 2, 8), (102, 2, 8)]
+    bands = spark.createDataFrame(rows, "doc_id LONG, band_idx INT, band_hash LONG")
+    drops = {r.doc_id for r in dd.lsh_mega_bucket_drops(bands, "doc_id", 10).collect()}
+    assert drops == set(range(1, 30))  # 0 is the representative; 100/101/102 kept
+
+
 def test_simhash_near_dups_max_bucket_guardrail(spark):
     from graphragdatapipeline_spark.operators import dedup as dd
 

@@ -393,10 +393,25 @@ def test_kmeans_assignment_is_map_side(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_vector_lsh_buckets_signature_is_mapside(spark, sf_dir):
+    """The registered LSH bucketing query must compute signatures as a
+    per-row expression: no join anywhere in the plan, and the ONLY
+    Exchange is the bucket-histogram aggregation (plus AQE's possible
+    read nodes) — never a crossJoin against the hyperplane table."""
+    plan = _plan(spark, "vector_lsh_buckets", sf_dir)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # one shuffle total: the groupBy("bucket") histogram
+    assert plan.count("Exchange") <= 1, plan
+
+
 def test_semantic_dedup_intracell_join_is_equi(spark, sf_dir):
     """SemDeDup's pairwise scoring must stay an equi join on the
     learned cell id (co-partitionable at scale) — a CartesianProduct
     here would mean the blocking key silently fell out of the join."""
     plan = _plan(spark, "dedup_semantic_kmeans", sf_dir)
     assert "CartesianProduct" not in plan
+    # At fixture scale a dropped blocking key would surface as a
+    # BroadcastNestedLoopJoin rather than a CartesianProduct — forbid both.
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
