@@ -353,6 +353,206 @@ def detect_communities_leiden_exact(
     )
 
 
+def louvain_move(
+    edges: DataFrame,
+    gamma: float = 1.0,
+    rounds: int = 4,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed Louvain move phase → (id, community): each round,
+    every vertex evaluates the Reichardt–Bornholdt modularity gain of
+    joining each neighbor community
+
+        score(i→c) = w_{i→c} − γ · k_i · K_{c∖i} / 2m
+
+    and synchronously adopts the argmax (ties to the lowest community
+    label; a move requires a strictly better score than staying). This
+    closes the quality gap between the LPA ladder and true
+    modularity optimization AT SCALE — unlike the driver-side Leiden
+    rung (detect_communities_leiden_exact), nothing here ever collects
+    the graph: per round the work is one neighbor-community
+    aggregation plus id-keyed joins, all hash-partitioned on vertex id
+    exactly like label_propagation.
+
+    Synchronous simultaneous moves can oscillate (two symmetric
+    vertices swapping communities forever), the classic distributed-
+    Louvain hazard; the standard damping is applied — each round only
+    vertices of one hash-parity class may move, alternating per round
+    — which breaks pairwise swap cycles and keeps every round a pure
+    function of the previous one (deterministic, any cluster layout).
+    Moves require strictly positive gain against the round-start
+    partition; because same-class vertices still move concurrently,
+    per-round quality improvement is damped rather than proven — the
+    contract query MEASURES the resulting RB quality against both the
+    singleton partition and the LPA ladder instead of assuming it.
+    Output labels are canonicalized to the minimum member vertex id.
+    Feed the result to ``_contract`` and re-run for the full
+    multi-level move-AND-AGGREGATE scheme.
+    """
+    par = max(edges.sparkSession.sparkContext.defaultParallelism, 2)
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("_w", F.lit(1.0))
+    sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("_w").alias("_k"))
+    ids = sym.select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        ids = ids.unionByName(vertices.select("id")).distinct()
+    nodes = (
+        ids.join(deg, "id", "left")
+        .select("id", F.coalesce("_k", F.lit(0.0)).alias("_k"))
+        .repartition(par, "id")
+        .localCheckpoint(eager=True)
+    )
+    two_m = nodes.agg(F.sum("_k")).first()[0] or 1.0  # scalar graph stat
+
+    memb = nodes.select("id", F.col("id").alias("community"))
+    # Renamed copy for strength lookups inside comm_K: `nodes` also
+    # joins directly into the scoring plan below, and reusing the same
+    # `_k` attribute in both subtrees makes the reference ambiguous
+    # after Spark's self-join de-duplication.
+    strength = nodes.select("id", F.col("_k").alias("_ck"))
+    for r in range(rounds):
+        comm_K = (
+            memb.join(strength, "id")
+            .groupBy("community")
+            .agg(F.sum("_ck").alias("_K"))
+        )
+        dst_comm = memb.select(
+            F.col("id").alias("dst"), F.col("community").alias("_c")
+        )
+        # w_{i→c} for every neighbor community of i (includes i's own
+        # community iff i has an intra-community edge)
+        nbr = (
+            sym.join(dst_comm, "dst")
+            .groupBy(F.col("src").alias("id"), F.col("_c"))
+            .agg(F.sum("_w").alias("_wic"))
+        )
+        cur = memb.select("id", F.col("community").alias("_a"))
+        # candidate set = neighbor communities ∪ {current} (the stay
+        # option must exist even with zero intra edges)
+        cand = (
+            nbr.unionByName(
+                cur.select("id", F.col("_a").alias("_c")).withColumn(
+                    "_wic", F.lit(0.0)
+                )
+            )
+            .groupBy("id", "_c")
+            .agg(F.max("_wic").alias("_wic"))
+        )
+        # `_k` renamed again here (`_ik`): cand's lineage reaches
+        # `nodes` through memb, so joining `nodes` directly would put
+        # two same-name attributes in scope.
+        scored = (
+            cand.join(cur, "id")
+            .join(nodes.select("id", F.col("_k").alias("_ik")), "id")
+            .join(comm_K, cand._c == comm_K.community)
+            .select(
+                "id",
+                "_c",
+                "_a",
+                (
+                    F.col("_wic")
+                    - F.lit(gamma)
+                    * F.col("_ik")
+                    * (
+                        F.col("_K")
+                        - F.when(F.col("_c") == F.col("_a"), F.col("_ik")).otherwise(
+                            F.lit(0.0)
+                        )
+                    )
+                    / F.lit(float(two_m))
+                ).alias("_score"),
+            )
+        )
+        stay = scored.filter(F.col("_c") == F.col("_a")).select(
+            "id", F.col("_score").alias("_stay")
+        )
+        # argmax with ties to the LOWEST community label (labels are
+        # strings, so the LPA bitwise-not trick is out): min_by over
+        # struct(-score, c) — struct comparison is field-by-field, so
+        # -score ascending = score descending, then c ascending.
+        best = scored.groupBy("id").agg(
+            F.min_by(
+                F.struct(F.col("_c"), F.col("_score")),
+                F.struct((-F.col("_score")).alias("_ns"), F.col("_c")),
+            ).alias("_b")
+        )
+        moved = (
+            best.select("id", F.col("_b._c").alias("_bc"), F.col("_b._score").alias("_bs"))
+            .join(stay, "id")
+            .join(cur, "id")
+        )
+        # parity gate: only one hash-class moves per round
+        gate = (F.abs(F.hash(F.col("id"))) % 2) == F.lit(r % 2)
+        memb = (
+            moved.select(
+                "id",
+                F.when(
+                    gate & (F.col("_bs") > F.col("_stay") + F.lit(1e-12)),
+                    F.col("_bc"),
+                )
+                .otherwise(F.col("_a"))
+                .alias("community"),
+            )
+            .repartition(par, "id")
+            .localCheckpoint(eager=True)
+        )
+    # canonical labels: the minimum member vertex id
+    canon = memb.groupBy("community").agg(F.min("id").alias("_label"))
+    return memb.join(canon, "community").select(
+        "id", F.col("_label").alias("community")
+    )
+
+
+def rb_quality_agg(
+    edges: DataFrame, membership: DataFrame, gamma: float
+) -> DataFrame:
+    """Distributed RB-configuration quality of a partition as a 1-row
+    DataFrame (column ``quality``) — the same objective the vendored
+    Leiden maximizes (graph/leiden.py:rb_quality), computed with joins
+    and aggregates so partition quality is measurable on a graph that
+    never fits a driver: Q(γ) = Σ_c e_c − γ · Σ_c K_c² / 2m over the
+    canonicalized undirected simple graph."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    m_lo = membership.select(F.col("id").alias("lo"), F.col("community").alias("_cl"))
+    m_hi = membership.select(F.col("id").alias("hi"), F.col("community").alias("_ch"))
+    intra = (
+        canon.join(m_lo, "lo")
+        .join(m_hi, "hi")
+        .filter(F.col("_cl") == F.col("_ch"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_e_intra"))
+    )
+    sym = canon.select(F.col("lo").alias("id")).unionByName(
+        canon.select(F.col("hi").alias("id"))
+    )
+    k = sym.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("_k"))
+    K2 = (
+        membership.join(k, "id", "left")
+        .groupBy("community")
+        .agg(F.sum(F.coalesce("_k", F.lit(0.0))).alias("_K"))
+        .agg(F.sum(F.col("_K") * F.col("_K")).alias("_sumK2"))
+    )
+    two_m = k.agg(F.sum("_k").alias("_2m"))
+    return (
+        intra.crossJoin(K2)
+        .crossJoin(two_m)
+        .select(
+            (
+                F.col("_e_intra")
+                - F.lit(gamma) * F.col("_sumK2") / F.greatest("_2m", F.lit(1.0))
+            ).alias("quality")
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

@@ -594,7 +594,15 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphragdatapipeline_spark.operators.dedup import dedup_corpus
 
     e = read_table(spark, sf_dir, "embeddings")
-    assigned, _ = vs.kmeans_cells(e, k=4, iters=3)
+    # Adaptive cell count: SemDeDup's pairwise cost is Σ|cell|², so
+    # cells must stay O(constant) — k grows with the corpus (the paper
+    # trains k ∝ n, e.g. 110k clusters for 5B embeddings; a FIXED k
+    # would re-create the quadratic blowup blocking exists to avoid).
+    # Targets ~128 vectors/cell; at the sf0.01 oracle fixture
+    # (500 vectors) this is exactly k=4, the unrolled oracle's k.
+    n = e.count()  # parquet metadata count — no data scan
+    k = max(4, int(n) // 128)
+    assigned, _ = vs.kmeans_cells(e, k=k, iters=3)
     blocked = e.join(assigned, "vec_id")
     pairs = vs.embedding_near_dup_pairs(blocked, threshold=0.3, block_col="cell")
     return dedup_corpus(e.select("vec_id", "label"), pairs.select("a", "b"), "vec_id")

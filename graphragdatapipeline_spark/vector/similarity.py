@@ -133,16 +133,34 @@ def embedding_near_dup_pairs(
             .filter(F.col("_bn") <= max_block)
             .drop("_bn")
         )
+    # Per-vector norms are computed map-side BEFORE the self-join:
+    # sqrt(dot(v,v)) once per vector instead of once per PAIR — the
+    # pairwise hot loop then evaluates a single interpreted
+    # higher-order fold (the cross dot product) per candidate instead
+    # of three. Bit-identical to cosine_similarity: same fold order,
+    # same operands, so sqrt(aa)*sqrt(bb) is the same double either
+    # way (pinned by the oracle parity of every consumer).
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(dot_product(ed, ed))
     a = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("a"),
+        ed.alias("va"),
+        norm.alias("_na"),
     )
     b = embeddings.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("b"),
+        ed.alias("vb"),
+        norm.alias("_nb"),
     )
     return (
         a.join(b, "blk")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("blk", "a", "b", "cosine")
     )
@@ -364,6 +382,7 @@ def kmeans_cells(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_path: str = "auto",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic distributed k-means (Lloyd's algorithm) — the
     REAL IVF training step (replacing the fixture label standing in as
@@ -384,7 +403,28 @@ def kmeans_cells(
     ASSIGNMENT is a map-side expression over broadcast centroid
     literals — one scan per iteration, zero shuffle beyond the
     (cell, dim) partial-agg whose row count is k·dim, independent of
-    corpus size. Empty clusters keep their previous centroid."""
+    corpus size. Empty clusters keep their previous centroid.
+
+    ``assign_path`` picks how nearest-centroid assignment executes:
+
+    - ``"fold"`` — the per-centroid left-fold SQL expression,
+      bit-compatible with the DuckDB oracle's unrolled replay. O(k·dim)
+      interpreted higher-order-function work per row, so it is the
+      right path only while k is small (the oracle fixture trains
+      k=4).
+    - ``"arrow"`` — Arrow-batched pandas UDF: one numpy
+      (batch × dim)·(dim × k) matmul per batch, argmin with
+      ties-to-lowest (np.argmin takes the first minimum). This is the
+      100 TB IVF-training shape — centroids broadcast as a k·dim
+      closure array, assignment cost amortized across the whole Arrow
+      batch. Distances use numpy's summation order, which can differ
+      from the fold by ulps AT CELL BOUNDARIES — equidistant-boundary
+      vectors are the only divergence risk, so the exact fold remains
+      the oracle surface.
+    - ``"auto"`` (default) — ``"fold"`` for k ≤ 8 (covers every
+      oracle-checked registration, which all train k=4), ``"arrow"``
+      above: the interpreted cost and the literal-array expression
+      size both grow linearly in k."""
     import math
 
     ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -406,7 +446,33 @@ def kmeans_cells(
     # len(cents), not the requested count).
     k = len(cents)
 
+    if assign_path == "auto":
+        assign_path = "fold" if k <= 8 else "arrow"
+
     def assign_col(cents_now: list[list[float]]) -> Column:
+        if assign_path == "arrow":
+            import numpy as np
+            from pyspark.sql.functions import pandas_udf
+
+            cmat = np.asarray(cents_now, dtype=np.float64)  # k × dim
+            cnorm = (cmat * cmat).sum(axis=1)  # ||c||² per centroid
+
+            @pandas_udf("int")
+            def _nearest(vecs):  # type: ignore[no-untyped-def]
+                import numpy as _np
+                import pandas as _pd
+
+                x = _np.asarray(
+                    [_np.asarray(v, dtype=_np.float64) for v in vecs]
+                )
+                if len(x) == 0:
+                    return _pd.Series([], dtype="int32")
+                # argmin over ||x-c||² = ||x||² - 2·x·c + ||c||²; the
+                # ||x||² term is constant per row and dropped
+                d = cnorm[None, :] - 2.0 * (x @ cmat.T)
+                return _pd.Series(_np.argmin(d, axis=1).astype("int32"))
+
+            return _nearest(F.col(vec_col))
         dists = []
         for c in cents_now:
             ca = F.array(*[F.lit(float(x)) for x in c])

@@ -398,3 +398,36 @@ def test_kcore_empty_and_full(spark):
     )
     core = {r.id: r.core_degree for r in ga.kcore(noisy, k=1).collect()}
     assert core == {1: 2, 2: 2, 3: 2}
+
+
+def test_louvain_move_recovers_planted_cliques(spark):
+    """Two 5-cliques bridged by one edge: the distributed move phase
+    must merge each clique into one community (γ=1.0 modularity keeps
+    the bridge inter-community), labels canonical to min member id,
+    and the parity-damped synchronous scheme must be deterministic."""
+    cliques = [[f"a{i}" for i in range(5)], [f"b{i}" for i in range(5)]]
+    rows = []
+    for cl in cliques:
+        rows += [(u, v) for i, u in enumerate(cl) for v in cl[i + 1:]]
+    rows.append(("a0", "b0"))  # bridge
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    m1 = {r.id: r.community for r in ga.louvain_move(edges, rounds=4).collect()}
+    m2 = {r.id: r.community for r in ga.louvain_move(edges, rounds=4).collect()}
+    assert m1 == m2
+    assert {m1[f"a{i}"] for i in range(5)} == {"a0"}
+    assert {m1[f"b{i}"] for i in range(5)} == {"b0"}
+
+
+def test_rb_quality_agg_matches_pure_python(spark):
+    """The distributed RB-quality aggregate must equal graph/leiden.py's
+    driver-side rb_quality on the same graph and partition."""
+    from graphragdatapipeline_spark.graph.leiden import rb_quality
+
+    rows = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(rows, "src int, dst int")
+    memb = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    memb_df = spark.createDataFrame(list(memb.items()), "id int, community int")
+    for gamma in (1.0, 0.5, 2.0):
+        q_spark = ga.rb_quality_agg(edges, memb_df, gamma).first()[0]
+        q_py = rb_quality(5, [(u, v, 1.0) for u, v in rows], [memb[i] for i in range(5)], gamma)
+        assert abs(q_spark - q_py) < 1e-9, (gamma, q_spark, q_py)

@@ -128,6 +128,25 @@ def test_kmeans_cells_deterministic_and_separates(spark):
     assert len({next(iter(c)) for c in by_cell.values()}) == 3
 
 
+def test_kmeans_arrow_assignment_matches_fold(spark, sf_dir):
+    """The Arrow-vectorized nearest-centroid path (the 100 TB shape,
+    auto-selected for k > 16) must produce the same training run as
+    the oracle-exact fold expression on real fixture embeddings —
+    same assignments AND same final centroids. Continuous embeddings
+    have no equidistant boundary ties, so ulp-level distance
+    differences cannot flip an argmin here."""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    a_fold, c_fold = vs.kmeans_cells(e, k=8, iters=3, assign_path="fold")
+    a_arrow, c_arrow = vs.kmeans_cells(e, k=8, iters=3, assign_path="arrow")
+    assert c_fold == c_arrow
+    assert sorted(map(tuple, a_fold.collect())) == sorted(
+        map(tuple, a_arrow.collect())
+    )
+
+
 def test_lsh_probe_topk_gapped_hyperplane_ids(spark):
     """Probe bits must come from the actual h_id values (1 << (h_id-1)),
     not positional order: with gapped ids the positional flip probes
