@@ -358,6 +358,7 @@ def louvain_move(
     gamma: float = 1.0,
     rounds: int = 4,
     vertices: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Distributed Louvain move phase → (id, community): each round,
     every vertex evaluates the Reichardt–Bornholdt modularity gain of
@@ -386,25 +387,60 @@ def louvain_move(
     contract query MEASURES the resulting RB quality against both the
     singleton partition and the LPA ladder instead of assuming it.
     Output labels are canonicalized to the minimum member vertex id.
-    Feed the result to ``_contract`` and re-run for the full
-    multi-level move-AND-AGGREGATE scheme.
+    Feed the result to ``_contract_weighted`` and re-run for the full
+    multi-level move-AND-AGGREGATE scheme (detect_communities_louvain).
+
+    ``weight_col`` turns on weighted semantics — required for running
+    on a CONTRACTED graph, where parallel-edge multiplicities become
+    weights and intra-community weight becomes self-loops: parallel
+    edges sum, w ≤ 0 is dropped (the pagerank/LPA policy), and a
+    self-loop edge contributes 2·w to its vertex's strength (it moves
+    with the vertex, so it never enters a gain term — exactly
+    graph/leiden.py's treatment) while staying out of the neighbor-
+    community sums. Unweighted mode keeps the simple-graph reading:
+    parallel edges collapse, self-loops are ignored entirely.
     """
     par = max(edges.sparkSession.sparkContext.defaultParallelism, 2)
-    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).withColumn("_w", F.lit(1.0))
+    if weight_col is None:
+        e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).withColumn("_w", F.lit(1.0))
+        self_w = None
+    else:
+        we = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("_w")
+        ).filter(F.col("_w") > 0)
+        loops = we.filter(F.col("src") == F.col("dst"))
+        self_w = loops.groupBy(F.col("src").alias("id")).agg(
+            F.sum("_w").alias("_sw")
+        )
+        ns = we.filter(F.col("src") != F.col("dst"))
+        sym = (
+            ns.unionByName(
+                ns.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "_w"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+        )
     sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("_w").alias("_k"))
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id")).distinct()
-    nodes = (
-        ids.join(deg, "id", "left")
-        .select("id", F.coalesce("_k", F.lit(0.0)).alias("_k"))
-        .repartition(par, "id")
-        .localCheckpoint(eager=True)
+    if self_w is not None:
+        ids = ids.unionByName(self_w.select("id")).distinct()
+    nodes = ids.join(deg, "id", "left").select(
+        "id", F.coalesce("_k", F.lit(0.0)).alias("_k")
     )
+    if self_w is not None:
+        nodes = nodes.join(self_w, "id", "left").select(
+            "id",
+            (F.col("_k") + 2.0 * F.coalesce("_sw", F.lit(0.0))).alias("_k"),
+        )
+    nodes = nodes.repartition(par, "id").localCheckpoint(eager=True)
     two_m = nodes.agg(F.sum("_k")).first()[0] or 1.0  # scalar graph stat
 
     memb = nodes.select("id", F.col("id").alias("community"))
@@ -503,6 +539,108 @@ def louvain_move(
     canon = memb.groupBy("community").agg(F.min("id").alias("_label"))
     return memb.join(canon, "community").select(
         "id", F.col("_label").alias("community")
+    )
+
+
+def _contract_weighted(
+    edges: DataFrame, assignment: DataFrame, weight_col: str | None = None
+) -> DataFrame:
+    """Weight-preserving graph aggregation for the Louvain ladder →
+    (src, dst, weight): communities collapse to super-vertices,
+    parallel inter-community edges SUM (unlike ``_contract``'s
+    distinct, which is right for LPA votes but loses modularity mass),
+    and intra-community weight lands on a self-loop row (src = dst) —
+    the strength bookkeeping louvain_move's weighted mode expects.
+    Total edge weight is conserved level-to-level, so 2m — and
+    therefore the meaning of γ — is identical at every level."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    a_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("_cs"))
+    a_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("_cd"))
+    joined = (
+        edges.select("src", "dst", w.alias("_w"))
+        .join(a_src, "src")
+        .join(a_dst, "dst")
+        .select(
+            F.least("_cs", "_cd").alias("src"),
+            F.greatest("_cs", "_cd").alias("dst"),
+            "_w",
+        )
+    )
+    return joined.groupBy("src", "dst").agg(F.sum("_w").alias("weight"))
+
+
+def detect_communities_louvain(
+    vertices: DataFrame,
+    edges: DataFrame,
+    resolutions: tuple[float, float, float] = (2.0, 0.5, 0.1),
+    rounds_per_level: tuple[int, int, int] = (4, 4, 4),
+) -> DataFrame:
+    """G3, fully distributed Louvain ladder → (id, community_L0,
+    community_L1, community_L2): the complete move-AND-AGGREGATE
+    scheme — louvain_move at γ=2.0 on the input graph, then weighted
+    contraction and louvain_move again at γ=0.5 and γ=0.1 on
+    successively coarser super-vertex graphs. Same consumer contract
+    as detect_communities (per-vertex ids at three granularities,
+    nested by construction, deterministic) and the same reference
+    resolutions as the exact Leiden rung — but optimizing actual RB
+    modularity at every level with nothing ever collected, which is
+    the 100 TB upgrade over the LPA ladder's propagation heuristic."""
+    base = edges.select("src", "dst")
+    l0 = louvain_move(
+        base, gamma=resolutions[0], rounds=rounds_per_level[0], vertices=vertices
+    )
+    # Contracted levels are materialized with persist()+count(), NOT
+    # localCheckpoint: a checkpointed frame is a stats-free LogicalRDD,
+    # and feeding one into the next level's join-heavy rounds degrades
+    # every downstream plan (measured 10x: 25 s vs 2.3 s for two
+    # rounds on the same 41-edge contracted graph) — an
+    # InMemoryRelation keeps sizeInBytes, so join planning stays sane.
+    # At deployment scale each level would be written to the lake
+    # between runs, which is the same fix with durability.
+    g1 = _contract_weighted(base, l0).persist()
+    g1.count()
+    l1_super = louvain_move(
+        g1, gamma=resolutions[1], rounds=rounds_per_level[1], weight_col="weight"
+    )
+    l1 = (
+        l0.alias("a")
+        .join(
+            l1_super.select(
+                F.col("id").alias("community"), F.col("community").alias("_cl1")
+            ).alias("b"),
+            "community",
+            "left",
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("community").alias("community_L0"),
+            F.coalesce("_cl1", F.col("community")).alias("community_L1"),
+        )
+    )
+    g2 = _contract_weighted(g1, l1_super, weight_col="weight").persist()
+    g2.count()
+    l2_super = louvain_move(
+        g2, gamma=resolutions[2], rounds=rounds_per_level[2], weight_col="weight"
+    )
+    return (
+        l1.alias("a")
+        .join(
+            l2_super.select(
+                F.col("id").alias("community_L1"), F.col("community").alias("_cl2")
+            ).alias("b"),
+            "community_L1",
+            "left",
+        )
+        .select(
+            "id",
+            "community_L0",
+            "community_L1",
+            F.coalesce("_cl2", F.col("community_L1")).alias("community_L2"),
+        )
     )
 
 

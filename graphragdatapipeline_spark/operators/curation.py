@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphragdatapipeline_spark.text.analysis import tokens_ws
+
 # 32-bit hash bucket domain: md5 is stable across engines/releases
 # (unlike xxhash64/DuckDB hash()), so splits never shift under engine
 # upgrades — a contract reproducible-training setups rely on.
@@ -274,6 +276,90 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         redacted = F.regexp_replace(redacted, pat, repl)
     return df.select(
         F.col(id_col), *counts, F.md5(redacted).alias("redacted_hash")
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW-corpus
+    document by the log-likelihood ratio of its hashed n-gram features
+    under a TARGET-domain bag-of-ngrams model vs the raw-corpus model —
+    the standard way to up-sample target-like data (here: ``target`` is
+    any boolean column expression, e.g. lang = 'en') without a trained
+    classifier.
+
+    → (doc_id, n_features, log_ratio, target_like)
+
+    Features are unigrams + word bigrams hashed into ``buckets`` cells
+    (first 4 md5 nibbles mod B — engine-portable, same trick as the
+    MinHash layer); both models are add-½ smoothed over the B cells, so
+    every per-cell log term takes INTEGER arguments:
+    llr(cell) = [ln(2·c_t+1) − ln(2·N_t+B)] − [ln(2·c_r+1) − ln(2·N_r+B)],
+    quantized to int64 micro-units. A document's log-ratio is the exact
+    integer sum of its cells' llr values (order-independent), rounded
+    once to 6 dp; ``target_like`` is the sign (llr > 0 ⇔ the doc looks
+    more like the target domain than the raw mix).
+
+    Scale shape: the feature stream is map-side (tokenize + hash, no
+    shuffle); both models live in ONE B-row table (a groupBy over the
+    feature stream with a conditional sum — a single pass computes
+    target and raw counts together) that broadcasts into the scoring
+    join; per-doc aggregation is the only other shuffle. At 100 TB the
+    model stays B rows regardless of corpus size — this is why DSIR
+    hashes features instead of keeping a vocabulary."""
+    toks = tokens_ws(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = df.select(
+        F.col(id_col),
+        target.cast("boolean").alias("_tgt"),
+        F.explode(F.concat(toks, bigrams)).alias("_f"),
+    ).withColumn(
+        "_cell",
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 4), 16, 10).cast("long")
+        % buckets,
+    )
+    model = feats.groupBy("_cell").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+        F.count(F.lit(1)).alias("_cr"),
+    )
+    totals = model.agg(F.sum("_ct").alias("_Nt"), F.sum("_cr").alias("_Nr"))
+    llr_q = F.floor(
+        (
+            F.log(2 * F.col("_ct") + 1)
+            - F.log(2 * F.col("_Nt") + F.lit(buckets))
+            - F.log(2 * F.col("_cr") + 1)
+            + F.log(2 * F.col("_Nr") + F.lit(buckets))
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    scored_model = F.broadcast(
+        model.crossJoin(F.broadcast(totals)).select("_cell", llr_q.alias("_llr"))
+    )
+    per_doc = (
+        feats.join(scored_model, "_cell")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_features"), F.sum("_llr").alias("_s"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_features",
+        (
+            F.floor((F.col("_s") / 1_000_000.0) * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("log_ratio"),
+        (F.col("_s") > 0).alias("target_like"),
     )
 
 

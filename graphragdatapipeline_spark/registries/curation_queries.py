@@ -379,3 +379,65 @@ def curation_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").alias("first_key"),
         F.max("sk").alias("last_key"),
     )
+
+
+_DSIR_NIB = (
+    "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1)"
+)
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         unnest(w || list_transform(generate_series(1, len(w) - 1),
+                                    i -> concat_ws(' ', w[i], w[i+1]))) AS f
+  FROM toks
+), cells AS (
+  SELECT doc_id, tgt, ({_DSIR_NIB}) % 64 AS cell
+  FROM (SELECT doc_id, tgt, md5(f) AS h FROM feats)
+), model AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM cells GROUP BY cell
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS Nt, CAST(sum(cr) AS BIGINT) AS Nr FROM model
+), llr AS (
+  SELECT m.cell,
+         CAST(floor((ln(2 * m.ct + 1) - ln(2 * t.Nt + 64)
+                     - ln(2 * m.cr + 1) + ln(2 * t.Nr + 64)) * 1000000 + 0.5)
+              AS BIGINT) AS lq
+  FROM model m CROSS JOIN tot t
+), per AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(l.lq) AS BIGINT) AS s
+  FROM cells c JOIN llr l USING (cell)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_features,
+       floor((s / 1000000.0) * 1000000 + 0.5) / 1000000.0 AS log_ratio,
+       (s > 0) AS target_like
+FROM per
+""",
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): hashed
+    unigram+bigram bag-of-ngrams models of the TARGET domain
+    (lang = 'en') vs the RAW corpus, per-document log-likelihood
+    ratio, integer-quantized end-to-end so the oracle replays
+    feature-hash → both models → per-doc score exactly. The standard
+    pre-training move for "more data that looks like X" without a
+    trained classifier — the model is B=64 rows at ANY corpus size."""
+    from graphragdatapipeline_spark.operators.curation import dsir_importance_weights
+
+    d = read_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(d, F.col("lang") == "en", "doc_id", "text")

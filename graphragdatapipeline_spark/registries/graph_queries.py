@@ -807,6 +807,71 @@ def graph_louvain_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_louvain_ladder",
+    oracle="""
+SELECT CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+          + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+       AS BIGINT) AS n_vertices,
+       true AS full_coverage,
+       true AS nested_hierarchy,
+       true AS counts_monotone
+""",
+)
+def graph_louvain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3, the COMPLETE distributed move-AND-AGGREGATE scheme
+    (detect_communities_louvain): louvain_move at the reference's
+    γ=2.0, weighted contraction, louvain_move again at γ=0.5 and
+    γ=0.1 on the coarser super-vertex graphs — same 3-granularity
+    consumer contract as the LPA ladder and the exact-Leiden rung,
+    optimizing real RB modularity at every level with nothing ever
+    collected. Contract (computed distributed, like
+    graph_louvain_distributed): every vertex labeled at all 3 levels,
+    the hierarchy NESTED by construction (no L0 community split
+    across L1 parents, none of L1 across L2), and community counts
+    monotone coarsening. Per-move determinism is pinned by
+    graph_louvain_distributed; move-phase quality ≥ LPA likewise."""
+    g = build_tpch_graph(spark, sf_dir)
+    out = ga.detect_communities_louvain(g.vertices, g.edges)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (
+            F.sum(
+                (
+                    F.col("community_L0").isNull()
+                    | F.col("community_L1").isNull()
+                    | F.col("community_L2").isNull()
+                ).cast("int")
+            )
+            == 0
+        ).alias("full_coverage"),
+        (
+            (F.countDistinct("community_L0") >= F.countDistinct("community_L1"))
+            & (F.countDistinct("community_L1") >= F.countDistinct("community_L2"))
+        ).alias("counts_monotone"),
+    )
+    split01 = (
+        out.groupBy("community_L0")
+        .agg(F.countDistinct("community_L1").alias("_k"))
+        .agg((F.sum((F.col("_k") > 1).cast("int")) == 0).alias("_ok01"))
+    )
+    split12 = (
+        out.groupBy("community_L1")
+        .agg(F.countDistinct("community_L2").alias("_k"))
+        .agg((F.sum((F.col("_k") > 1).cast("int")) == 0).alias("_ok12"))
+    )
+    return (
+        stats.crossJoin(split01)
+        .crossJoin(split12)
+        .select(
+            "n_vertices",
+            "full_coverage",
+            (F.col("_ok01") & F.col("_ok12")).alias("nested_hierarchy"),
+            "counts_monotone",
+        )
+    )
+
+
 def _kcore_oracle(k: int = 16, rounds: int = 10) -> str:
     """Unrolled peel replay (same scheme as the pagerank/k-means
     oracles): per round one degree CTE over the surviving symmetric

@@ -363,3 +363,46 @@ def fulltext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     out = bm25_topk(d, ["spark", "join", "stream"], k=10)
     return out.select("doc_id", dround(F.col("bm25"), 6).alias("bm25"))
+
+
+@register(
+    "text_lm_quality_score",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), corpus AS (
+  SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM cnt
+), tl AS (
+  SELECT t.doc_id,
+         CAST(floor((ln(2 * c.c + 1) - ln(2 * corpus.N + corpus.V)) * 1000000 + 0.5)
+              AS BIGINT) AS lq
+  FROM toks t JOIN cnt c USING (tok) CROSS JOIN corpus
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lq) AS BIGINT) AS sum_lq
+  FROM tl GROUP BY doc_id
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS nt, CAST(sum(sum_lq) AS BIGINT) AS slq
+  FROM per
+)
+SELECT p.doc_id, p.n_tokens,
+       floor((-p.sum_lq / (p.n_tokens * 1000000.0)) * 1000000 + 0.5) / 1000000.0
+         AS cross_entropy,
+       (CAST(-p.sum_lq AS DOUBLE) * t.nt <= CAST(-t.slq AS DOUBLE) * p.n_tokens)
+         AS below_corpus_mean
+FROM per p CROSS JOIN tot t
+""",
+)
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity gate (the KenLM quality filter of the
+    CCNet / LLaMA pipelines, unigram form): add-½-smoothed unigram LM
+    trained distributed on the corpus itself, per-document cross-
+    entropy, and the token-weighted below-corpus-mean keep flag.
+    Integer-quantized log-probs make the whole flow value-exact — the
+    oracle replays train + score + flag end-to-end in SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.lm_quality_scores(d, "doc_id", "text")

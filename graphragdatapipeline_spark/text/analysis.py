@@ -228,6 +228,79 @@ def fulltext_lookup(index: DataFrame, terms: list[str], id_col: str = "doc_id") 
     )
 
 
+def lm_quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020;
+    the KenLM-perplexity gate in the CCNet / LLaMA data pipelines,
+    unigram form): train an add-½-smoothed unigram LM on the corpus
+    ITSELF — token counts via one distributed aggregation — then score
+    every document by its per-token cross-entropy under that LM, and
+    flag documents at-or-below the token-weighted corpus mean (the
+    "head + middle" kept by perplexity bucketing; boilerplate-heavy
+    and low-information docs land in the high-CE tail).
+
+    → (doc_id, n_tokens, cross_entropy, below_corpus_mean)
+
+    Cross-engine exactness, the property every oracle here leans on:
+    log p(t) = ln(2c_t + 1) − ln(2N + V) takes only INTEGER arguments
+    (ln agrees across libms far past 6 dp — BM25 precedent), each
+    token's log-prob is quantized to int64 micro-units
+    (floor(x·10⁶ + 0.5)), so the per-doc sum is order-independent
+    exact integer arithmetic, the cross-entropy is one double division
+    rounded back to 6 dp, and the keep-flag is an integer
+    cross-product comparison (ce_d ≤ corpus_ce without any float
+    aggregation: −Σlq_d · N_tok ≤ −Σlq_corpus · n_d; the products stay
+    below 2⁵³ at fixture scale, so the doubles are exact).
+
+    Scale shape: the LM "training" is one groupBy(token) count (partial
+    aggregation absorbs heavy-hitter skew); scoring joins the token
+    stream against the vocab-sized count table on the token key (both
+    sides hash-partitioned on token — at 100 TB the vocab is millions
+    of rows, far under the corpus, and never collected); corpus totals
+    are 1-row aggregates cross-joined into the plan, never driver
+    round-trips."""
+    toks = df.select(F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    corpus = counts.agg(
+        F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    lq = F.floor(
+        (
+            F.log(2 * F.col("_c") + 1)
+            - F.log(2 * F.col("_N") + F.col("_V"))
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), lq.alias("_lq"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lq").alias("_sum_lq"))
+    )
+    totals = per_doc.agg(
+        F.sum("n_tokens").alias("_nt"), F.sum("_sum_lq").alias("_slq")
+    )
+    ce = F.floor(
+        (-F.col("_sum_lq") / (F.col("n_tokens") * 1_000_000.0)) * 1_000_000
+        + F.lit(0.5)
+    ) / 1_000_000.0
+    keep = (-F.col("_sum_lq")).cast("double") * F.col("_nt") <= (
+        -F.col("_slq")
+    ).cast("double") * F.col("n_tokens")
+    return (
+        per_doc.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            ce.alias("cross_entropy"),
+            keep.alias("below_corpus_mean"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     terms: list[str],

@@ -388,3 +388,32 @@ def test_global_row_number_empty(spark):
 
     empty = spark.createDataFrame([], "id LONG, k STRING")
     assert global_row_number(empty, ["k", "id"]).count() == 0
+
+
+def test_dsir_weights_separate_domains(spark):
+    """Planted two-domain corpus: target-domain docs must get positive
+    log-likelihood ratios (target-like), the off-domain docs negative,
+    and a fresh unseen doc written in target vocabulary must score
+    target-like — the actual selection use case."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators.curation import dsir_importance_weights
+
+    tgt_words = "alpha beta gamma delta epsilon"
+    raw_words = "zork mumble frobnicate xyzzy plugh"
+    rows = [(i, tgt_words, "en") for i in range(10)]
+    rows += [(100 + i, raw_words, "de") for i in range(10)]
+    rows.append((999, "alpha beta epsilon", "de"))  # unseen mix, target vocab
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(df, F.col("lang") == "en").collect()
+    }
+    assert all(out[i].target_like and out[i].log_ratio > 0 for i in range(10))
+    assert all(
+        not out[100 + i].target_like and out[100 + i].log_ratio < 0
+        for i in range(10)
+    )
+    assert out[999].target_like
+    # n_features = unigrams + bigrams
+    assert out[999].n_features == 3 + 2

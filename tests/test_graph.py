@@ -431,3 +431,35 @@ def test_rb_quality_agg_matches_pure_python(spark):
         q_spark = ga.rb_quality_agg(edges, memb_df, gamma).first()[0]
         q_py = rb_quality(5, [(u, v, 1.0) for u, v in rows], [memb[i] for i in range(5)], gamma)
         assert abs(q_spark - q_py) < 1e-9, (gamma, q_spark, q_py)
+
+
+def test_louvain_ladder_nested_and_weighted_semantics(spark):
+    """Three 4-cliques in a chain (bridges A-B, B-C): L0 at γ=2.0 must
+    keep the cliques separate; the weighted contraction must preserve
+    modularity mass (bridge weights + intra self-loops) so a coarser
+    resolution can merge super-vertices; every level stays nested."""
+    cl = [[f"{c}{i}" for i in range(4)] for c in "abc"]
+    rows = []
+    for nodes in cl:
+        rows += [(u, v) for i, u in enumerate(nodes) for v in nodes[i + 1:]]
+    rows += [("a0", "b0"), ("b0", "c0")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {
+        r.id: r
+        for r in ga.detect_communities_louvain(
+            spark.createDataFrame([(v,) for n in cl for v in n], "id string"),
+            edges,
+            rounds_per_level=(4, 2, 2),
+        ).collect()
+    }
+    assert len(out) == 12
+    # L0: each clique is one community
+    for nodes in cl:
+        assert len({out[v].community_L0 for v in nodes}) == 1
+    assert len({out[v].community_L0 for v in out}) == 3
+    # nested: an L0 community maps to exactly one L1, L1 to one L2
+    for lo, hi in (("community_L0", "community_L1"), ("community_L1", "community_L2")):
+        m = {}
+        for r in out.values():
+            m.setdefault(r[lo], set()).add(r[hi])
+        assert all(len(s) == 1 for s in m.values())

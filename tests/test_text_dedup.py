@@ -191,3 +191,36 @@ def test_bpe_chunking_equals_word_windows(spark, sf_dir):
     a = {tuple(r) for r in bpe.collect()}
     b = {tuple(r) for r in words.collect()}
     assert a == b and len(a) >= 50
+
+
+def test_lm_quality_scores_hand_computed(spark):
+    """Unigram LM cross-entropy on a 3-doc corpus, verified against a
+    driver-side replay of the exact quantized arithmetic; the repeated
+    common-token doc must score BELOW the rare-token doc (lower CE =
+    more predictable), and the flag must match the token-weighted
+    corpus mean rule."""
+    import math
+
+    from graphragdatapipeline_spark.text.analysis import lm_quality_scores
+
+    docs = [(1, "the the the"), (2, "the cat"), (3, "rare")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in lm_quality_scores(df, "doc_id", "text").collect()}
+
+    toks = {1: ["the"] * 3, 2: ["the", "cat"], 3: ["rare"]}
+    cnt = {"the": 4, "cat": 1, "rare": 1}
+    N, V = 6, 3
+    lq = {
+        t: math.floor((math.log(2 * c + 1) - math.log(2 * N + V)) * 1e6 + 0.5)
+        for t, c in cnt.items()
+    }
+    per = {d: (len(ts), sum(lq[t] for t in ts)) for d, ts in toks.items()}
+    nt = sum(n for n, _ in per.values())
+    slq = sum(s for _, s in per.values())
+    for d, (n, s) in per.items():
+        ce = math.floor((-s / (n * 1e6)) * 1e6 + 0.5) / 1e6
+        assert rows[d].n_tokens == n
+        assert abs(rows[d].cross_entropy - ce) < 1e-9, (d, rows[d].cross_entropy, ce)
+        assert rows[d].below_corpus_mean == (float(-s) * nt <= float(-slq) * n)
+    assert rows[1].cross_entropy < rows[3].cross_entropy
+    assert rows[1].below_corpus_mean and not rows[3].below_corpus_mean
