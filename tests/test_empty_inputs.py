@@ -228,3 +228,50 @@ def test_image_stats_empty_blobs(spark):
         [], "blob_id STRING, media_type STRING, doc_id LONG, payload BINARY"
     )
     assert image_stats(blobs).count() == 0
+
+
+def test_louvain_move_empty(spark):
+    from graphragdatapipeline_spark.graph import algorithms as ga
+
+    edges = _empty(spark, "src STRING, dst STRING")
+    out = ga.louvain_move(edges, rounds=2)
+    assert out.count() == 0
+    assert out.columns == ["id", "community"]
+    # weighted mode, and isolated vertices supplied separately
+    wedges = _empty(spark, "src STRING, dst STRING, weight DOUBLE")
+    verts = spark.createDataFrame([("A",), ("B",)], "id STRING")
+    got = {
+        r.id: r.community
+        for r in ga.louvain_move(
+            wedges, rounds=2, vertices=verts, weight_col="weight"
+        ).collect()
+    }
+    assert got == {"A": "A", "B": "B"}  # singletons stay singletons
+
+
+def test_lm_quality_scores_empty(spark):
+    from graphragdatapipeline_spark.text.analysis import lm_quality_scores
+
+    out = lm_quality_scores(_empty(spark, "doc_id BIGINT, text STRING"))
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_tokens", "cross_entropy", "below_corpus_mean",
+    ]
+
+
+def test_dsir_weights_empty_and_no_target(spark):
+    from graphragdatapipeline_spark.operators.curation import dsir_importance_weights
+
+    out = dsir_importance_weights(
+        _empty(spark, "doc_id BIGINT, text STRING, lang STRING"),
+        F.col("lang") == "en",
+    )
+    assert out.count() == 0
+    # no target docs at all: weights still compute (uniform smoothing
+    # makes every cell's target model identical), nothing throws
+    df = spark.createDataFrame(
+        [(1, "aa bb", "de"), (2, "cc dd", "de")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    rows = dsir_importance_weights(df, F.col("lang") == "en").collect()
+    assert len(rows) == 2
