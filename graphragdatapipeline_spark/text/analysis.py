@@ -228,6 +228,62 @@ def fulltext_lookup(index: DataFrame, terms: list[str], id_col: str = "doc_id") 
     )
 
 
+def lm_token_index_delta(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental LM maintenance, the index-building half → (tok, c):
+    token counts for ONE ingest batch. The persisted corpus LM is the
+    groupBy-sum of all appended deltas — per ingest you tokenize only
+    the BATCH, never rescan the lake (exact_dedup_incremental's shape,
+    applied to model maintenance; exact accumulation pinned in
+    tests/test_text_dedup.py). Merge rule: union the delta with the
+    stored index and groupBy(tok).sum(c)."""
+    return (
+        df.select(F.explode(tokens_ws(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def lm_score_against_index(
+    df: DataFrame,
+    token_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental LM maintenance, the scoring half → (doc_id,
+    n_tokens, sum_lq): score any document set against a PERSISTED
+    token-count index (tok, c) — same add-½-smoothed integer-quantized
+    log-probs as lm_quality_scores, so scoring the full corpus against
+    the full index reproduces lm_quality_scores' cross-entropy exactly
+    (pinned in pytest). sum_lq is returned raw (int64 micro-units) so
+    callers pick their own flag policy — a fixed CE threshold for
+    per-ingest gating, or the corpus-mean rule when the whole
+    population is in hand."""
+    toks = df.select(F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("tok"))
+    counts = token_index.select("tok", F.col("c").alias("_c"))
+    corpus = counts.agg(F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V"))
+    # LEFT join: a batch can contain tokens the index has never seen
+    # (c = 0 → the add-½ unseen-token log-prob, −ln(2N+V)); on the
+    # full-corpus-vs-full-index contract every token hits, so this is
+    # identical to lm_quality_scores there.
+    lq = F.floor(
+        (
+            F.log(2 * F.coalesce("_c", F.lit(0)) + 1)
+            - F.log(2 * F.col("_N") + F.col("_V"))
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        toks.join(counts, "tok", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), lq.alias("_lq"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lq").alias("sum_lq"))
+    )
+
+
 def lm_quality_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -260,26 +316,12 @@ def lm_quality_scores(
     of rows, far under the corpus, and never collected); corpus totals
     are 1-row aggregates cross-joined into the plan, never driver
     round-trips."""
-    toks = df.select(F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
-    corpus = counts.agg(
-        F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V")
-    )
-    lq = F.floor(
-        (
-            F.log(2 * F.col("_c") + 1)
-            - F.log(2 * F.col("_N") + F.col("_V"))
-        )
-        * 1_000_000
-        + F.lit(0.5)
-    ).cast("long")
-    per_doc = (
-        toks.join(counts, "tok")
-        .crossJoin(F.broadcast(corpus))
-        .select(F.col(id_col), lq.alias("_lq"))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lq").alias("_sum_lq"))
-    )
+    # Composed from the incremental-maintenance halves (single source
+    # of truth for the quantized arithmetic): train = one index delta
+    # over the whole corpus, score = the corpus against that index.
+    per_doc = lm_score_against_index(
+        df, lm_token_index_delta(df, text_col), id_col, text_col
+    ).withColumnRenamed("sum_lq", "_sum_lq")
     totals = per_doc.agg(
         F.sum("n_tokens").alias("_nt"), F.sum("_sum_lq").alias("_slq")
     )

@@ -224,3 +224,67 @@ def test_lm_quality_scores_hand_computed(spark):
         assert rows[d].below_corpus_mean == (float(-s) * nt <= float(-slq) * n)
     assert rows[1].cross_entropy < rows[3].cross_entropy
     assert rows[1].below_corpus_mean and not rows[3].below_corpus_mean
+
+
+def test_lm_incremental_index_matches_batch_training(spark, sf_dir):
+    """The per-ingest LM maintenance shape: token-index deltas from two
+    batches must accumulate to EXACTLY the one-shot corpus counts, and
+    scoring the corpus against the accumulated index must reproduce
+    lm_quality_scores' quantized cross-entropy bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.text.analysis import (
+        lm_quality_scores,
+        lm_score_against_index,
+        lm_token_index_delta,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = d.approxQuantile("doc_id", [0.5], 0.001)[0]
+    b1, b2 = d.filter(F.col("doc_id") <= mid), d.filter(F.col("doc_id") > mid)
+
+    idx = (
+        lm_token_index_delta(b1)
+        .unionByName(lm_token_index_delta(b2))
+        .groupBy("tok")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    oneshot = lm_token_index_delta(d)
+    assert (
+        idx.join(oneshot, "tok", "full")
+        .filter(
+            idx.c.isNull() | oneshot.c.isNull() | (idx.c != oneshot.c)
+        )
+        .count()
+        == 0
+    )
+
+    scored = lm_score_against_index(d, idx)
+    full = lm_quality_scores(d)
+    ce = scored.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.floor((-F.col("sum_lq") / (F.col("n_tokens") * 1_000_000.0)) * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("cross_entropy"),
+    )
+    diff = (
+        ce.alias("a")
+        .join(full.alias("b"), "doc_id")
+        .filter(
+            (F.col("a.n_tokens") != F.col("b.n_tokens"))
+            | (F.col("a.cross_entropy") != F.col("b.cross_entropy"))
+        )
+    )
+    assert diff.count() == 0 and ce.count() == full.count()
+
+    # unseen-token policy: a fresh doc scored against the old index
+    # gets the add-half unseen log-prob, not a dropped token
+    fresh = spark.createDataFrame(
+        [(999_999, "zzqqxx zzqqxx")], "doc_id LONG, text STRING"
+    )
+    r = lm_score_against_index(fresh, idx).first()
+    assert r.n_tokens == 2
