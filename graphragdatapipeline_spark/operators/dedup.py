@@ -429,6 +429,38 @@ def dedup_corpus(
     return df.join(drop, id_col, "left_anti")
 
 
+def dup_cluster_assignments(
+    docs: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Duplicate-CLUSTER view of a near-dup pair set → (id, cluster_id,
+    cluster_size): connected components over the verified pairs (the
+    transitive closure a pairwise drop rule ignores — A~B, B~C puts A
+    and C in one cluster even when A~C was never scored), with every
+    pair-free document its own singleton cluster. cluster_id is the
+    min member id (the Hash-Min component label), so the drop rule of
+    dedup_corpus is exactly "keep cluster_id's row" on cluster-closed
+    pair sets. Production uses this shape for dup-cluster review,
+    cluster-level sampling, and keep-BEST selection
+    (registries: dedup_keep_best_by_quality) where min-id is the wrong
+    survivor. Cost: O(diameter) Hash-Min rounds over the PAIR graph
+    (far smaller than the corpus) plus one left join back to docs."""
+    from graphragdatapipeline_spark.graph.algorithms import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("id").alias(id_col), F.col("component").alias("_cl")
+    )
+    assigned = docs.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col), F.coalesce("_cl", F.col(id_col)).alias("cluster_id")
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )
+
+
 def exact_dedup_incremental(
     new: DataFrame, fp_index: DataFrame | None, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -191,30 +191,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=16)
 
 
-def _dedup_corpus_verified_oracle(
+def _verified_flow_ctes(
     threshold: float = 0.2, max_bucket: int | None = None
 ) -> str:
-    """The full production near-dup flow in SQL: LSH candidate pairs
-    (buckets ≤ max_bucket) → exact-Jaccard verification (joined on
-    candidates only) → drop every doc that is the larger id of any
-    verified pair; buckets ABOVE the cap are duplicate clusters and
-    resolve by keeping the min-id representative per bucket."""
+    """Shared CTE body for the production near-dup flow, through the
+    `verified` pair set: minhash chain → (bucket-capped) candidate
+    pairs → exact-Jaccard verification. Reused by the cleaned-corpus,
+    cluster-assignment and keep-best oracles so all three gates verify
+    the IDENTICAL pipeline."""
     base = _minhash_oracle(max_bucket=max_bucket).strip()
     body = base[len("WITH "):]
     head, final_select = body.rsplit("SELECT DISTINCT", 1)
-    mega = (
-        "SELECT doc_id FROM documents WHERE 1 = 0"
-        if max_bucket is None
-        else f"""SELECT DISTINCT b.doc_id
-  FROM bands_all b
-  JOIN (
-    SELECT band_idx, band_hash, min(doc_id) AS rep
-    FROM bands_all GROUP BY 1, 2 HAVING count(*) > {max_bucket}
-  ) m USING (band_idx, band_hash)
-  WHERE b.doc_id <> m.rep"""
-    )
-    return f"""
-WITH {head.rstrip().rstrip(",")},
+    return f"""{head.rstrip().rstrip(",")},
 cands AS (
   SELECT DISTINCT {final_select}
 ), sizes AS (
@@ -231,7 +219,30 @@ cands AS (
   JOIN sizes sa ON c.a = sa.doc_id
   JOIN sizes sb ON c.b = sb.doc_id
   WHERE c.common / (sa.sz + sb.sz - c.common) >= {threshold}
-), mega_drops AS (
+)"""
+
+
+def _dedup_corpus_verified_oracle(
+    threshold: float = 0.2, max_bucket: int | None = None
+) -> str:
+    """The full production near-dup flow in SQL: LSH candidate pairs
+    (buckets ≤ max_bucket) → exact-Jaccard verification (joined on
+    candidates only) → drop every doc that is the larger id of any
+    verified pair; buckets ABOVE the cap are duplicate clusters and
+    resolve by keeping the min-id representative per bucket."""
+    mega = (
+        "SELECT doc_id FROM documents WHERE 1 = 0"
+        if max_bucket is None
+        else f"""SELECT DISTINCT b.doc_id
+  FROM bands_all b
+  JOIN (
+    SELECT band_idx, band_hash, min(doc_id) AS rep
+    FROM bands_all GROUP BY 1, 2 HAVING count(*) > {max_bucket}
+  ) m USING (band_idx, band_hash)
+  WHERE b.doc_id <> m.rep"""
+    )
+    return f"""
+WITH {_verified_flow_ctes(threshold, max_bucket)}, mega_drops AS (
   {mega}
 )
 SELECT d.doc_id, d.lang FROM documents d
@@ -280,6 +291,137 @@ def dedup_corpus_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
     clean = dd.dedup_corpus(d.select("doc_id", "lang"), pairs.select("a", "b"), "doc_id")
     return clean.join(mega, "doc_id", "left_anti")
+
+
+def _verified_pairs_df(spark: SparkSession, sf_dir: str):
+    """Engine side of _verified_flow_ctes: the capped-LSH → exact-
+    Jaccard verified pair set the cluster queries consume."""
+    d = read_table(spark, sf_dir, "documents")
+    cands = dd.minhash_dedup_pairs(
+        d, "doc_id", "text", k=3, num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket=MAX_BUCKET,
+    )
+    sh = dd.shingle_table(d, "doc_id", "text", k=3)
+    return d, dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
+
+
+_CLUSTER_CTES = f"""{_verified_flow_ctes(0.2, 8)},
+uedges AS (
+  SELECT a AS src, b AS dst FROM verified
+  UNION SELECT b, a FROM verified
+), walk(id, label) AS (
+  SELECT src, src FROM uedges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN uedges e ON e.src = w.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+), allc AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+), csize AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM allc GROUP BY cluster_id
+)"""
+
+
+@register(
+    "dedup_cluster_assignments",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT a.doc_id, a.cluster_id, s.cluster_size
+FROM allc a JOIN csize s USING (cluster_id)
+""",
+)
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignments over the verified near-dup pair
+    graph: connected components close the pairwise relation
+    transitively (A~B, B~C ⇒ {{A,B,C}} even though A~C was never
+    scored), every pair-free doc is its own singleton, cluster_id is
+    the min member id. The production view behind dup review,
+    cluster-level sampling, and keep-best selection. Oracle: the same
+    verified-pair CTEs as dedup_corpus_verified plus a recursive
+    min-label walk (the graph_connected_components oracle pattern) —
+    the whole flow shingle → LSH → verify → components replayed at id
+    granularity."""
+    d, pairs = _verified_pairs_df(spark, sf_dir)
+    return dd.dup_cluster_assignments(d, pairs, "doc_id")
+
+
+@register(
+    "dedup_keep_best_by_quality",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+ltoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), lcnt AS (
+  SELECT tok, count(*) AS c FROM ltoks GROUP BY tok
+), lcorpus AS (
+  SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM lcnt
+), ltl AS (
+  SELECT t.doc_id,
+         CAST(floor((ln(2 * c.c + 1) - ln(2 * lcorpus.N + lcorpus.V)) * 1000000 + 0.5)
+              AS BIGINT) AS lq
+  FROM ltoks t JOIN lcnt c USING (tok) CROSS JOIN lcorpus
+), lper AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lq) AS BIGINT) AS sum_lq
+  FROM ltl GROUP BY doc_id
+), ranked AS (
+  SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         row_number() OVER (
+           PARTITION BY a.cluster_id
+           ORDER BY coalesce(-p.sum_lq / p.n_tokens, 1e18) ASC, a.doc_id ASC
+         ) AS rn
+  FROM allc a
+  JOIN csize s USING (cluster_id)
+  LEFT JOIN lper p ON p.doc_id = a.doc_id
+)
+SELECT doc_id, cluster_id, cluster_size FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keep_best_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL production survivor rule: keep the HIGHEST-QUALITY
+    member of each duplicate cluster, not the smallest id — min-id
+    keeps whichever copy was crawled first; quality-keep retains the
+    cleanest copy of boilerplate-mangled mirrors. Quality is the
+    LM cross-entropy of text_lm_quality_score (lower = more fluent),
+    compared via the exact un-rounded ratio −Σlq/n_tokens (one IEEE
+    division of exact int64s — identical ordering on both engines),
+    ties to the smallest doc_id; docs with no tokens sort last.
+    Composes three independently-oracled layers — verified pair flow,
+    connected-components clustering, integer-quantized LM scoring —
+    and the oracle replays all three end-to-end."""
+    from pyspark.sql import Window
+
+    from graphragdatapipeline_spark.text.analysis import (
+        lm_score_against_index,
+        lm_token_index_delta,
+    )
+
+    d, pairs = _verified_pairs_df(spark, sf_dir)
+    clusters = dd.dup_cluster_assignments(d, pairs, "doc_id")
+    scores = lm_score_against_index(d, lm_token_index_delta(d))
+    ranked = (
+        clusters.join(scores, "doc_id", "left")
+        .withColumn(
+            "_q",
+            F.coalesce(
+                (-F.col("sum_lq")) / F.col("n_tokens"), F.lit(1e18)
+            ),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.asc("_q"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return ranked.select("doc_id", "cluster_id", "cluster_size")
 
 
 @register(

@@ -98,3 +98,56 @@ def test_minhash_dedup_incremental_equals_batch_at_once(spark, sf_dir):
     }
     assert got == want
     assert bd1.count() + bd2.count() == 4 * len(got)
+
+
+def test_dup_cluster_assignments_transitive_and_singletons(spark):
+    """A~B, B~C must land A, B, C in ONE cluster labeled by the min id
+    even though A~C was never scored; docs in no pair are singletons of
+    size 1."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], "doc_id LONG")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a LONG, b LONG")
+    rows = {r.doc_id: r for r in dd.dup_cluster_assignments(docs, pairs, "doc_id").collect()}
+    assert {rows[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert all(rows[i].cluster_size == 3 for i in (1, 2, 3))
+    assert rows[9].cluster_id == 9 and rows[9].cluster_size == 1
+
+
+def test_keep_best_by_quality_prefers_fluent_member(spark, sf_dir):
+    """On a crafted cluster the kept member must be the lowest-CE doc
+    (common-vocabulary copy), NOT the min id — the semantic difference
+    from dedup_corpus's min-id rule."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators import dedup as dd
+    from graphragdatapipeline_spark.text.analysis import (
+        lm_score_against_index,
+        lm_token_index_delta,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zzq vvk wwj zzq"),          # rare tokens → high CE
+            (2, "the the cat the the cat"),  # common tokens → low CE
+            (7, "the cat"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a LONG, b LONG")
+    clusters = dd.dup_cluster_assignments(docs, pairs, "doc_id")
+    scores = lm_score_against_index(docs, lm_token_index_delta(docs))
+    ranked = (
+        clusters.join(scores, "doc_id", "left")
+        .withColumn("_q", (-F.col("sum_lq")) / F.col("n_tokens"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(F.asc("_q"), F.asc("doc_id"))
+            ),
+        )
+        .filter("_rn = 1")
+    )
+    kept = {r.doc_id for r in ranked.collect()}
+    assert kept == {2, 7}  # doc 2 beats min-id doc 1 on fluency
