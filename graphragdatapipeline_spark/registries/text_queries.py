@@ -406,3 +406,55 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays train + score + flag end-to-end in SQL."""
     d = read_table(spark, sf_dir, "documents")
     return ta.lm_quality_scores(d, "doc_id", "text")
+
+
+@register(
+    "text_lm_bigram_score",
+    oracle=r"""
+WITH toksarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), stream AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS prev, w[1] AS cur
+  FROM toksarr WHERE len(w) >= 1
+  UNION ALL
+  SELECT t.doc_id, t.w[i] AS prev, t.w[i + 1] AS cur
+  FROM toksarr t, LATERAL unnest(generate_series(1, len(t.w) - 1)) AS s(i)
+), ucnt AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(w) AS tok FROM toksarr) GROUP BY tok
+), bcnt AS (
+  SELECT prev, cur, count(*) AS cb FROM stream WHERE prev IS NOT NULL
+  GROUP BY prev, cur
+), corpus AS (
+  SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM ucnt
+), scored AS (
+  SELECT s.doc_id,
+         CAST(floor(ln(
+           CASE WHEN s.prev IS NULL
+                THEN (2 * cu.c + 1) / (2 * corpus.N + corpus.V)
+                ELSE 0.75e0 * ((2 * coalesce(b.cb, 0) + 1) / (2 * cup.c + corpus.V))
+                   + 0.25e0 * ((2 * cu.c + 1) / (2 * corpus.N + corpus.V))
+           END) * 1000000 + 0.5) AS BIGINT) AS lq
+  FROM stream s
+  JOIN ucnt cu ON cu.tok = s.cur
+  LEFT JOIN ucnt cup ON cup.tok = s.prev
+  LEFT JOIN bcnt b ON b.prev = s.prev AND b.cur = s.cur
+  CROSS JOIN corpus
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       floor((-CAST(sum(lq) AS BIGINT) / (count(*) * 1000000.0)) * 1000000 + 0.5)
+         / 1000000.0 AS cross_entropy
+FROM scored GROUP BY doc_id
+""",
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM cross-entropy per document (λ=0.75
+    bigram / 0.25 unigram, add-½ both components) — the model-order
+    upgrade over text_lm_quality_score's unigram gate, sensitive to
+    token TRANSITIONS (word-soup scores badly even when its unigrams
+    are common). Train + score replayed end-to-end in SQL with the
+    same integer-quantized log-prob discipline."""
+    d = read_table(spark, sf_dir, "documents")
+    return ta.lm_bigram_scores(d, "doc_id", "text")

@@ -284,6 +284,88 @@ def lm_score_against_index(
     )
 
 
+def lm_bigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated-bigram LM cross-entropy → (doc_id, n_tokens,
+    cross_entropy): one rung closer to CCNet's 5-gram KenLM than the
+    unigram gate — token transitions now matter, so shuffled-word soup
+    that fools a unigram model scores badly here.
+
+        p(w_i | w_{i-1}) = λ·(2·c(w_{i-1},w_i)+1)/(2·c(w_{i-1})+V)
+                         + (1−λ)·(2·c(w_i)+1)/(2·N+V)
+
+    (add-½ smoothing in both components; the first token of a document
+    is scored by the unigram term alone). Exactness: every count is an
+    exact integer, the interpolation is a fixed IEEE op sequence over
+    integer-derived doubles mirrored verbatim in the oracle SQL, and
+    the per-token ln is quantized to int64 micro-units, so the per-doc
+    sum stays order-independent (the lm_quality_scores discipline, one
+    model order up).
+
+    Scale shape: the bigram stream is built IN-ROW (zip_with over two
+    slices of the token array — map-side, no self-join on position);
+    the bigram model is one groupBy((prev,cur)) count; scoring joins
+    the stream against the unigram table twice (cur, prev) and the
+    bigram table once, all token-keyed hash joins."""
+    toks = tokens_ws(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    firsts = df.filter(n >= 1).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at(toks, 1).alias("cur"),
+    )
+    rest = df.select(F.col(id_col), F.explode(bigrams).alias("_bg")).select(
+        F.col(id_col), F.col("_bg.prev").alias("prev"), F.col("_bg.cur").alias("cur")
+    )
+    stream = firsts.unionByName(rest)
+
+    ucnt = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bcnt = (
+        rest.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    corpus = ucnt.agg(F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V"))
+
+    cu = ucnt.select(F.col("tok").alias("cur"), F.col("_c").alias("_cu"))
+    cup = ucnt.select(F.col("tok").alias("prev"), F.col("_c").alias("_cup"))
+    uni_p = (2 * F.col("_cu") + 1) / (2 * F.col("_N") + F.col("_V"))
+    bi_p = (2 * F.coalesce("_cb", F.lit(0)) + 1) / (
+        2 * F.col("_cup") + F.col("_V")
+    )
+    p = F.when(F.col("prev").isNull(), uni_p).otherwise(
+        F.lit(lam) * bi_p + F.lit(1.0 - lam) * uni_p
+    )
+    lq = F.floor(F.log(p) * 1_000_000 + F.lit(0.5)).cast("long")
+    per_doc = (
+        stream.join(cu, "cur")
+        .join(cup, "prev", "left")
+        .join(bcnt, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), lq.alias("_lq"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lq").alias("_sum_lq"))
+    )
+    ce = F.floor(
+        (-F.col("_sum_lq") / (F.col("n_tokens") * 1_000_000.0)) * 1_000_000
+        + F.lit(0.5)
+    ) / 1_000_000.0
+    return per_doc.select(
+        F.col(id_col), "n_tokens", ce.alias("cross_entropy")
+    )
+
+
 def lm_quality_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

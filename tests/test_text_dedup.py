@@ -288,3 +288,28 @@ def test_lm_incremental_index_matches_batch_training(spark, sf_dir):
     )
     r = lm_score_against_index(fresh, idx).first()
     assert r.n_tokens == 2
+
+
+def test_lm_bigram_scores_sensitive_to_transitions(spark):
+    """Docs with IDENTICAL unigram multisets but different orderings
+    must separate under the bigram model: the doc whose transitions
+    match the corpus-dominant pattern scores lower CE than the
+    shuffled word-soup twin (a unigram model scores them identically)."""
+    from graphragdatapipeline_spark.text.analysis import (
+        lm_bigram_scores,
+        lm_quality_scores,
+    )
+
+    base = "the cat sat on the mat"
+    soup = "mat the on cat the sat"
+    docs = [(i, base) for i in range(10)] + [(100, base), (101, soup)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bi = {r.doc_id: r.cross_entropy for r in lm_bigram_scores(df).collect()}
+    uni = {r.doc_id: r.cross_entropy for r in lm_quality_scores(df).collect()}
+    assert uni[100] == uni[101]          # unigram model is order-blind
+    assert bi[100] < bi[101]             # bigram model is not
+    # single-token and empty-ish docs don't break the first-token path
+    one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    r = lm_bigram_scores(one).first()
+    # a single-token corpus gives p = (2·1+1)/(2·1+1) = 1 → CE exactly 0
+    assert r.n_tokens == 1 and r.cross_entropy == 0.0
