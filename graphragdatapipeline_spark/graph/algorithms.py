@@ -573,6 +573,60 @@ def _contract_weighted(
     return joined.groupBy("src", "dst").agg(F.sum("_w").alias("weight"))
 
 
+def louvain_multilevel(
+    edges: DataFrame,
+    gamma: float = 1.0,
+    rounds: int = 4,
+    max_cycles: int = 10,
+    vertices: DataFrame | None = None,
+    weight_col: str | None = None,
+    min_shrink: float = 0.01,
+) -> DataFrame:
+    """FULL Louvain at one resolution → (id, community): repeat
+    (parity-damped move phase → weighted contraction) until the
+    community count stops shrinking by more than ``min_shrink`` (or
+    ``max_cycles``). A single synchronous move phase from singletons
+    mostly forms PAIRS (measured at 99k vertices: 99k → 50.6k
+    communities after one phase, vs exact Leiden's 4.4k final) — the
+    aggregate-and-move-again loop is what lets communities grow past
+    the one-phase horizon, exactly as in sequential Louvain. Each
+    cycle costs one contraction plus `rounds` move rounds ON THE
+    CONTRACTED graph, which shrinks geometrically, so the loop is
+    front-loaded: cycle 1 dominates. Per-cycle convergence check is a
+    distinct-count (driver scalar, like the kcore fixpoint test).
+    Measured at reference scale (99k/124k, γ=2.0): RB quality 51k
+    after one phase → 83k at the default budget (125 s) → plateau
+    ~87k ≈ 0.76× exact Leiden at rounds=8/20 cycles — the damped
+    synchronous argmax trades the last fraction of sequential-Leiden
+    quality for never collecting the graph (full table and the
+    three-rung quality ladder in SCALE.md)."""
+    memb = louvain_move(edges, gamma, rounds, vertices, weight_col)
+    mapping = memb
+    cur_edges, cur_w, level_memb = edges, weight_col, memb
+    prev_n = mapping.select("community").distinct().count()
+    for _ in range(max_cycles - 1):
+        g = _contract_weighted(cur_edges, level_memb, cur_w).persist()
+        g.count()  # materialize WITH stats (see detect_communities_louvain)
+        sup = louvain_move(g, gamma, rounds, weight_col="weight")
+        n = sup.select("community").distinct().count()
+        mapping = (
+            mapping.withColumnRenamed("community", "_lvl")
+            .join(
+                sup.select(
+                    F.col("id").alias("_lvl"), F.col("community").alias("community")
+                ),
+                "_lvl",
+            )
+            .select("id", "community")
+            .localCheckpoint(eager=True)
+        )
+        cur_edges, cur_w, level_memb = g, "weight", sup
+        if n >= prev_n * (1.0 - min_shrink):
+            break
+        prev_n = n
+    return mapping
+
+
 def detect_communities_louvain(
     vertices: DataFrame,
     edges: DataFrame,
@@ -581,17 +635,25 @@ def detect_communities_louvain(
 ) -> DataFrame:
     """G3, fully distributed Louvain ladder → (id, community_L0,
     community_L1, community_L2): the complete move-AND-AGGREGATE
-    scheme — louvain_move at γ=2.0 on the input graph, then weighted
-    contraction and louvain_move again at γ=0.5 and γ=0.1 on
-    successively coarser super-vertex graphs. Same consumer contract
-    as detect_communities (per-vertex ids at three granularities,
-    nested by construction, deterministic) and the same reference
-    resolutions as the exact Leiden rung — but optimizing actual RB
-    modularity at every level with nothing ever collected, which is
-    the 100 TB upgrade over the LPA ladder's propagation heuristic."""
+    scheme — louvain_multilevel (up to 3 move→contract cycles) at
+    γ=2.0 on the input graph, then weighted contraction and
+    louvain_multilevel again at γ=0.5 and γ=0.1 on successively
+    coarser super-vertex graphs. Same consumer contract as
+    detect_communities (per-vertex ids at three granularities, nested
+    by construction, deterministic) and the same reference resolutions
+    as the exact Leiden rung — but optimizing actual RB modularity at
+    every level with nothing ever collected, which is the 100 TB
+    upgrade over the LPA ladder's propagation heuristic. Quality sits
+    between LPA and exact Leiden (three-rung table in SCALE.md); raise
+    max_cycles in louvain_multilevel when quality is worth more wall
+    time."""
     base = edges.select("src", "dst")
-    l0 = louvain_move(
-        base, gamma=resolutions[0], rounds=rounds_per_level[0], vertices=vertices
+    l0 = louvain_multilevel(
+        base,
+        gamma=resolutions[0],
+        rounds=rounds_per_level[0],
+        max_cycles=3,
+        vertices=vertices,
     )
     # Contracted levels are materialized with persist()+count(), NOT
     # localCheckpoint: a checkpointed frame is a stats-free LogicalRDD,
@@ -603,8 +665,12 @@ def detect_communities_louvain(
     # between runs, which is the same fix with durability.
     g1 = _contract_weighted(base, l0).persist()
     g1.count()
-    l1_super = louvain_move(
-        g1, gamma=resolutions[1], rounds=rounds_per_level[1], weight_col="weight"
+    l1_super = louvain_multilevel(
+        g1,
+        gamma=resolutions[1],
+        rounds=rounds_per_level[1],
+        max_cycles=3,
+        weight_col="weight",
     )
     l1 = (
         l0.alias("a")
@@ -623,8 +689,12 @@ def detect_communities_louvain(
     )
     g2 = _contract_weighted(g1, l1_super, weight_col="weight").persist()
     g2.count()
-    l2_super = louvain_move(
-        g2, gamma=resolutions[2], rounds=rounds_per_level[2], weight_col="weight"
+    l2_super = louvain_multilevel(
+        g2,
+        gamma=resolutions[2],
+        rounds=rounds_per_level[2],
+        max_cycles=3,
+        weight_col="weight",
     )
     return (
         l1.alias("a")
