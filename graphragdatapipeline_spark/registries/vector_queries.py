@@ -418,44 +418,56 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
-    """Unrolled Lloyd's-iteration replay (same scheme as the pagerank
-    oracles): per iteration one assignment CTE (fold-of-squared-diffs
-    distance, ties to the lowest cell) and one quantized centroid
-    update (exact int64 component sums → one double division → 6-dp
-    rounding — the order-independent arithmetic that makes k-means
-    cross-engine exact)."""
+def _kmeans_unroll_parts(
+    prefix: str, emb_cte: str, k: int, iters: int, dim: int
+) -> list[str]:
+    """The reusable Lloyd's-replay CTE chain: per iteration one
+    assignment CTE (fold-of-squared-diffs distance, ties to the lowest
+    cell) and one quantized centroid update (exact int64 component
+    sums → one double division → 6-dp rounding — the order-independent
+    arithmetic that makes k-means cross-engine exact). `prefix` names
+    the CTEs so several independent trainings (PQ subspaces) can share
+    one WITH clause."""
     q6 = lambda e: f"floor(({e}) * 1000000 + 0.5) / 1000000"  # noqa: E731
     parts = [
-        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "
-        f"list_transform(v, x -> {q6('x')}) AS c FROM emb ORDER BY vec_id LIMIT {k})",
+        f"{prefix}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "
+        f"list_transform(v, x -> {q6('x')}) AS c FROM {emb_cte} ORDER BY vec_id LIMIT {k})",
     ]
     for i in range(iters + 1):
         parts.append(
-            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"{prefix}a{i} AS (SELECT vec_id, cell FROM ("
             f"SELECT e.vec_id, c.cell, "
             f"list_sum(list_transform(list_zip(e.v, c.c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist "
-            f"FROM emb e CROSS JOIN c{i} c) "
+            f"FROM {emb_cte} e CROSS JOIN {prefix}c{i} c) "
             f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) = 1)"
         )
         if i == iters:
             break
         parts.append(
-            f"s{i} AS (SELECT a.cell, d.i AS dim, "
+            f"{prefix}s{i} AS (SELECT a.cell, d.i AS dim, "
             f"sum(CAST(floor(e.v[d.i + 1] * 1000000 + 0.5) AS BIGINT)) AS s, count(*) AS n "
-            f"FROM a{i} a JOIN emb e USING (vec_id) CROSS JOIN range({dim}) d(i) "
+            f"FROM {prefix}a{i} a JOIN {emb_cte} e USING (vec_id) CROSS JOIN range({dim}) d(i) "
             f"GROUP BY a.cell, d.i)"
         )
         parts.append(
-            f"n{i} AS (SELECT cell, "
+            f"{prefix}n{i} AS (SELECT cell, "
             f"list({q6('CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)')} ORDER BY dim) AS c "
-            f"FROM s{i} GROUP BY cell)"
+            f"FROM {prefix}s{i} GROUP BY cell)"
         )
         parts.append(
-            f"c{i + 1} AS (SELECT p.cell, COALESCE(u.c, p.c) AS c "
-            f"FROM c{i} p LEFT JOIN n{i} u USING (cell))"
+            f"{prefix}c{i + 1} AS (SELECT p.cell, COALESCE(u.c, p.c) AS c "
+            f"FROM {prefix}c{i} p LEFT JOIN {prefix}n{i} u USING (cell))"
         )
+    return parts
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's-iteration replay (same scheme as the pagerank
+    oracles) over the full embedding space."""
+    q6 = lambda e: f"floor(({e}) * 1000000 + 0.5) / 1000000"  # noqa: E731
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+    ] + _kmeans_unroll_parts("", "emb", k, iters, dim)
     sep = ",\n"
     return (
         f"WITH {sep.join(parts)}\n"
@@ -549,6 +561,69 @@ def vector_ivf_probe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = e.join(members, "vec_id").filter(F.col("vec_id") != 0)
     out = vs.cosine_topk(cand, q, k=5)
     return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))
+
+
+def _pq_oracle(
+    m: int = 2, k: int = 4, iters: int = 2, dim: int = 64, topk: int = 8
+) -> str:
+    """PQ replay: per subspace the full quantized-k-means unroll
+    (shared _kmeans_unroll_parts, prefixed CTEs), then the query's
+    per-subspace distance tables (same fold), then ADC scoring =
+    sum of per-subspace table lookups at each vector's final code."""
+    subdim = dim // m
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+    ]
+    for mi in range(m):
+        lo, hi = mi * subdim + 1, (mi + 1) * subdim
+        parts.append(f"emb{mi} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb)")
+        parts += _kmeans_unroll_parts(f"p{mi}_", f"emb{mi}", k, iters, subdim)
+        parts.append(f"qv{mi} AS (SELECT v FROM emb{mi} WHERE vec_id = 0)")
+        parts.append(
+            f"dt{mi} AS (SELECT c.cell, "
+            f"list_sum(list_transform(list_zip(q.v, c.c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d "
+            f"FROM p{mi}_c{iters} c CROSS JOIN qv{mi} q)"
+        )
+    joins = " ".join(
+        f"JOIN p{mi}_a{iters} a{mi} ON a{mi}.vec_id = a0.vec_id "
+        f"JOIN dt{mi} d{mi} ON d{mi}.cell = a{mi}.cell"
+        for mi in range(1, m)
+    )
+    dsum = " + ".join(f"d{mi}.d" for mi in range(m))
+    sep = ",\n"
+    return (
+        f"WITH {sep.join(parts)},\n"
+        f"scored AS (\n"
+        f"  SELECT a0.vec_id, {dsum} AS dist\n"
+        f"  FROM p0_a{iters} a0 JOIN dt0 d0 ON d0.cell = a0.cell {joins}\n"
+        f"  WHERE a0.vec_id <> 0\n"
+        f")\n"
+        f"SELECT vec_id, floor(dist * 1000000 + 0.5) / 1000000 AS adc_dist\n"
+        f"FROM scored ORDER BY dist ASC, vec_id ASC LIMIT {topk}"
+    )
+
+
+@register("vector_pq_adc_topk", oracle=_pq_oracle())
+def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011), end-to-end: train
+    m=2 per-subspace codebooks with the deterministic quantized
+    k-means, encode every vector to m codes via map-side
+    nearest-centroid expressions, and answer the query by asymmetric
+    distance — per-subspace query→centroid tables computed driver-side
+    (m·k doubles of index metadata), per-row score = sum of m table
+    lookups. The 100 TB shape: codes are m small ints stored at
+    ingest, so the candidate scan reads ~(4·dim)/m× less than raw
+    vectors and evaluates array lookups instead of a dim-wide fold;
+    exact rerank composes on top like lsh_probe_topk. The oracle
+    replays BOTH subspace trainings, the encoding, the distance
+    tables, and the ADC ranking in one SQL statement."""
+    from graphragdatapipeline_spark.registry import dround
+
+    e = read_table(spark, sf_dir, "embeddings")
+    books = vs.pq_train(e, m=2, k=4, iters=2)
+    q = _query_vec(spark, sf_dir)
+    out = vs.pq_adc_topk(e.filter(F.col("vec_id") != 0), books, q, k=8)
+    return out.select("vec_id", dround(F.col("adc_dist"), 6).alias("adc_dist"))
 
 
 def _semantic_dedup_oracle(k: int = 4, iters: int = 3, tau: float = 0.3) -> str:

@@ -376,6 +376,113 @@ def lsh_probe_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def nearest_centroid_col(cents: list[list[float]], vec_col: Column) -> Column:
+    """Map-side nearest-centroid assignment over broadcast centroid
+    literals: the same sequential-fold squared distance as kmeans_cells'
+    fold path (bit-compatible with the DuckDB replay), first-min ties
+    to the lowest centroid id. Zero shuffle — the 100 TB encode shape
+    (centroids are index metadata; assignment is a per-row expression,
+    at scale computed once at ingest and stored)."""
+    ed = F.transform(vec_col, lambda x: x.cast("double"))
+    dists = []
+    for c in cents:
+        ca = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(ed, ca, lambda a, b: (a - b) * (a - b))
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training (Jégou et al. 2011, the
+    memory-compression ANN scale path the reference's Chroma store
+    gets from its HNSW backend): split the dim-d space into m
+    contiguous subspaces and run the SAME deterministic quantized
+    k-means (kmeans_cells) independently in each. Returns m codebooks
+    of k centroids of dim/m floats — m·k·(d/m) = k·d floats of index
+    metadata regardless of corpus size.
+
+    At 100 TB the win is storage + bandwidth: each vector compresses
+    to m small codes (m bytes at k≤256), so the candidate scan of an
+    ADC query reads codes, not vectors — a 4-byte-per-float, d-float
+    embedding shrinks ~(4d)/m ×. Training cost is m independent
+    kmeans runs over sliced views of one corpus scan per iteration."""
+    row = embeddings.select(vec_col).first()
+    dim = len(row[0])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    books = []
+    for mi in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), mi * subdim + 1, subdim).alias(vec_col),
+        )
+        _, cents = kmeans_cells(sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        books.append(cents)
+    return books
+
+
+def pq_encode_cols(
+    books: list[list[list[float]]], vec_col: Column
+) -> list[Column]:
+    """Encode a vector column into m PQ codes — one map-side
+    nearest-centroid expression per subspace, zero shuffle."""
+    subdim = len(books[0][0])
+    return [
+        nearest_centroid_col(b, F.slice(vec_col, mi * subdim + 1, subdim))
+        for mi, b in enumerate(books)
+    ]
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is
+    NOT quantized — per subspace, a k-entry table of exact squared
+    distances query-subvector → centroid is computed driver-side
+    (m·k doubles of metadata, same left fold as the engine/oracle),
+    and each corpus row's approximate distance is the sum of m table
+    lookups at its codes. The scan evaluates m array-index lookups
+    per row instead of a d-dim fold — and at scale reads the m-byte
+    code columns instead of the 4d-byte vectors. TakeOrdered keeps k
+    rows per partition; no global sort. Exact-rerank composes on top
+    exactly like lsh_probe_topk's rerank stage."""
+    subdim = len(books[0][0])
+    score: Column | None = None
+    for mi, book in enumerate(books):
+        qsub = query_vec[mi * subdim : (mi + 1) * subdim]
+        table = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(qsub, c):
+                acc += (a - b) * (a - b)  # same left fold as the oracle
+            table.append(acc)
+        code = nearest_centroid_col(
+            book, F.slice(F.col(vec_col), mi * subdim + 1, subdim)
+        )
+        t = F.array(*[F.lit(float(x)) for x in table])
+        term = F.element_at(t, code + 1)
+        score = term if score is None else score + term
+    return (
+        embeddings.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def kmeans_cells(
     embeddings: DataFrame,
     k: int = 4,

@@ -254,3 +254,79 @@ def test_embedder_from_env_gates_on_variable(spark, monkeypatch):
     except ImportError:
         with pytest.raises(NotImplementedError):
             vs.embedder_from_env()
+
+
+def test_pq_train_encode_adc_contract(spark):
+    """PQ contract on a planted two-cluster corpus: codebooks are
+    deterministic across retrains, codes stay in [0, k), and ADC
+    ranks the query's own cluster ahead of the far cluster — the
+    approximate distance must preserve the coarse geometry even
+    though each vector is compressed to m codes."""
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rows = []
+    for i in range(40):  # cluster A around +1 in the first half-space
+        base = [1.0 + (i % 7) * 0.01] * 4 + [0.0] * 4
+        rows.append((i, base))
+    for i in range(40, 80):  # cluster B around -1 in the second half-space
+        base = [0.0] * 4 + [-1.0 - (i % 5) * 0.01] * 4
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    books = vs.pq_train(df, m=2, k=4, iters=2)
+    books2 = vs.pq_train(df, m=2, k=4, iters=2)
+    assert books == books2  # quantized training is run-deterministic
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+
+    codes = df.select(
+        "vec_id", *[c.alias(f"code_{i}") for i, c in enumerate(vs.pq_encode_cols(books, F.col("embedding")))]
+    ).collect()
+    for r in codes:
+        assert 0 <= r.code_0 < 4 and 0 <= r.code_1 < 4
+
+    query = [1.0] * 4 + [0.0] * 4  # sits in cluster A
+    top = vs.pq_adc_topk(df, books, query, k=10).collect()
+    assert len(top) == 10
+    assert all(r.vec_id < 40 for r in top)  # all hits from cluster A
+    # ADC distances are non-decreasing in rank and far cluster scores worse
+    dists = [r.adc_dist for r in top]
+    assert dists == sorted(dists)
+
+
+def test_pq_adc_matches_table_lookup_locally(spark):
+    """ADC scores are exactly the sum of per-subspace table entries at
+    each vector's code — recompute driver-side for every row."""
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = vs.pq_train(df, m=2, k=4, iters=2)
+    query = [0.5] * 8
+    out = {
+        r.vec_id: r.adc_dist
+        for r in vs.pq_adc_topk(df, books, query, k=24).collect()
+    }
+    codes = {
+        r.vec_id: (r.c0, r.c1)
+        for r in df.select(
+            "vec_id",
+            vs.pq_encode_cols(books, F.col("embedding"))[0].alias("c0"),
+            vs.pq_encode_cols(books, F.col("embedding"))[1].alias("c1"),
+        ).collect()
+    }
+
+    def table(book, qsub):
+        out = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(qsub, c):
+                acc += (a - b) * (a - b)
+            out.append(acc)
+        return out
+
+    t0, t1 = table(books[0], query[:4]), table(books[1], query[4:])
+    for vid, (c0, c1) in codes.items():
+        assert out[vid] == t0[c0] + t1[c1]
