@@ -279,6 +279,107 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def perplexity_bucket_sample(
+    scored: DataFrame,
+    rates: tuple[float, float, float] = (1.0, 0.5, 0.1),
+    id_col: str = "doc_id",
+    ce_col: str = "cross_entropy",
+    buckets: int = _BUCKETS,
+    salt: str = "ppl",
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.4): split the
+    corpus into head / middle / tail by LM cross-entropy terciles and
+    keep each bucket at its own rate (CCNet trains on head+middle;
+    the LLaMA pipeline keeps head fully, samples the rest). Input is
+    any (id, cross_entropy) frame — here lm_quality_scores /
+    lm_bigram_scores output.
+
+    Scale shape, deliberately NOT ntile: a global ntile would sort the
+    whole corpus through one partition. Instead the two tercile
+    CUTOFFS come from a single percentile aggregate (one scalar row,
+    broadcast back), and bucket + keep are then map-side expressions —
+    exactly how CCNet computes cutoffs (on a sample) and streams the
+    corpus through them. Membership is a salted-hash property of the
+    ROW (deterministic_sample semantics): stable across partitionings,
+    retries, and engines."""
+    th = scored.agg(
+        F.percentile(F.col(ce_col), F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))).alias(
+            "_t"
+        )
+    )
+    h = hash_bucket(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")), buckets)
+    bucket = (
+        F.when(F.col(ce_col) <= F.col("_t")[0], "head")
+        .when(F.col(ce_col) <= F.col("_t")[1], "middle")
+        .otherwise("tail")
+    )
+    thresholds = [int(r * buckets) for r in rates]
+    keep = (
+        F.when(F.col("bucket") == "head", F.col("_h") < thresholds[0])
+        .when(F.col("bucket") == "middle", F.col("_h") < thresholds[1])
+        .otherwise(F.col("_h") < thresholds[2])
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn("bucket", bucket)
+        .withColumn("_h", h)
+        .filter(keep)
+        .select(F.col(id_col), "bucket", F.col(ce_col))
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    target: int = 250,
+    buckets: int = _BUCKETS,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual
+    sampling of XLM-R / mT5: q_g ∝ n_g^α, α<1 upsamples the tail
+    RELATIVE to its natural share): derive per-group keep rates from
+    the corpus's own group counts so the kept corpus approaches
+    target·q_g docs per group, capped at keeping everything.
+
+    Arithmetic is integer-exact end-to-end so the sample is
+    engine-portable: s_g = floor(n_g^α·10⁶ + 0.5) (pow on integer
+    arguments — cross-libm stable like the ln/BM25 precedent), the
+    normalizer S = Σ s_g is an int64 sum, and each group's hash
+    threshold is one INTEGER division
+    min(buckets, (buckets·target·s_g) div (S·n_g)) — no float
+    quotient whose rounding could flip a row near the boundary.
+    Membership is then the usual salted-hash row property.
+
+    Scale shape: the group table is |groups| rows (a broadcast),
+    the keep test is map-side — one scan, zero shuffle beyond the
+    group-count aggregate."""
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    s = cnt.withColumn(
+        "_s",
+        F.floor(F.pow(F.col("_n").cast("double"), F.lit(alpha)) * 1_000_000 + 0.5)
+        .cast("long"),
+    )
+    tot = s.agg(F.sum("_s").alias("_snorm"))  # NB: "_S" would collide with
+    # "_s" under Spark's case-insensitive resolution
+    thr = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("_num", F.lit(int(buckets) * int(target)).cast("long") * F.col("_s"))
+        .withColumn("_den", F.col("_snorm") * F.col("_n"))
+        .withColumn(
+            "_thr", F.least(F.lit(int(buckets)).cast("long"), F.expr("_num div _den"))
+        )
+        .select(group_col, "_thr")
+    )
+    h = hash_bucket(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")), buckets)
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(h < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     target: Column,

@@ -441,3 +441,100 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return dsir_importance_weights(d, F.col("lang") == "en", "doc_id", "text")
+
+
+@register(
+    "curation_perplexity_buckets",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), corpus AS (
+  SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM cnt
+), tl AS (
+  SELECT t.doc_id,
+         CAST(floor((ln(2 * c.c + 1) - ln(2 * corpus.N + corpus.V)) * 1000000 + 0.5)
+              AS BIGINT) AS lq
+  FROM toks t JOIN cnt c USING (tok) CROSS JOIN corpus
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lq) AS BIGINT) AS sum_lq
+  FROM tl GROUP BY doc_id
+), ce AS (
+  SELECT doc_id,
+         floor((-sum_lq / (n_tokens * 1000000.0)) * 1000000 + 0.5) / 1000000.0
+           AS cross_entropy
+  FROM per
+), th AS (
+  SELECT quantile_cont(cross_entropy, [1.0/3, 2.0/3]) AS t FROM ce
+), b AS (
+  SELECT c.doc_id, c.cross_entropy,
+         CASE WHEN c.cross_entropy <= th.t[1] THEN 'head'
+              WHEN c.cross_entropy <= th.t[2] THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         (('0x' || substr(md5(concat('ppl|', CAST(c.doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000) AS h
+  FROM ce c CROSS JOIN th
+)
+SELECT doc_id, bucket, cross_entropy
+FROM b
+WHERE bucket = 'head'
+   OR (bucket = 'middle' AND h < 5000)
+   OR (bucket = 'tail' AND h < 1000)
+""",
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing end-to-end (Wenzek et al. 2020): the
+    corpus-trained unigram LM scores every document (the oracled
+    text_lm_quality_score flow), tercile CUTOFFS come from one
+    percentile aggregate (broadcast scalars, never a global ntile
+    sort), and each bucket keeps at its own deterministic-hash rate —
+    head fully, middle 50%, tail 10%. Spark percentile is
+    bit-compatible with DuckDB quantile_cont (same p·(n−1) linear
+    interpolation), the cross-entropies entering it are already
+    6-dp-exact integers-over-10⁶, and membership is a salted md5
+    property of the row — so the oracle replays scoring, cutoffs,
+    bucketing, and sampling value-exactly."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = ta.lm_quality_scores(d, "doc_id", "text")
+    return cu.perplexity_bucket_sample(
+        scored.select("doc_id", "cross_entropy"), rates=(1.0, 0.5, 0.1)
+    )
+
+
+@register(
+    "curation_temperature_sampling",
+    oracle="""
+WITH cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), sq AS (
+  SELECT lang, n,
+         CAST(floor(power(CAST(n AS DOUBLE), 0.7) * 1000000 + 0.5) AS BIGINT) AS s
+  FROM cnt
+), tot AS (
+  SELECT CAST(sum(s) AS BIGINT) AS stot FROM sq
+), thr AS (
+  SELECT lang, least(CAST(10000 AS BIGINT), (2500000 * s) // (stot * n)) AS thr
+  FROM sq CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr t ON d.lang = t.lang
+WHERE (('0x' || substr(md5(concat('temp|', CAST(d.doc_id AS VARCHAR))), 1, 8))::BIGINT % 10000) < t.thr
+""",
+)
+def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (XLM-R / mT5 sampling,
+    α=0.7): per-lang keep rates derived from the corpus's own counts
+    — q_lang ∝ n^0.7, so low-resource languages keep a larger
+    FRACTION of their docs than the head language — targeting ~250
+    kept docs total. Thresholds are integer-exact (quantized n^α,
+    int64 normalizer, integer division), membership is a salted-hash
+    row property; the oracle replays rate derivation + sampling at id
+    granularity."""
+    d = read_table(spark, sf_dir, "documents")
+    return cu.temperature_sample(
+        d.select("doc_id", "lang"), group_col="lang", id_col="doc_id",
+        alpha=0.7, target=250,
+    ).select("doc_id", "lang")

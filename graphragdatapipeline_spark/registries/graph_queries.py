@@ -475,6 +475,65 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_link_prediction",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+         greatest(a.l_partkey, b.l_partkey) AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 200 AND b.l_partkey < 200
+), adj AS (
+  SELECT lo AS z, hi AS n FROM pairs UNION ALL SELECT hi, lo FROM pairs
+), deg AS (
+  SELECT z, count(*) AS deg FROM adj GROUP BY z
+), wedges AS (
+  SELECT a.n AS u, b.n AS w, d.deg
+  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+  JOIN deg d ON d.z = a.z
+  WHERE d.deg <= 64
+), scored AS (
+  SELECT u, w, CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS aa6
+  FROM wedges GROUP BY u, w
+)
+SELECT u, w, common_neighbors,
+       CAST(aa6 AS DOUBLE) / 1000000.0 AS adamic_adar
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.lo = s.u AND p.hi = s.w)
+ORDER BY aa6 DESC, u ASC, w ASC LIMIT 20
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: common-neighbor
+    count + Adamic-Adar (Σ 1/ln(deg) over shared neighbors) for
+    NON-adjacent part pairs — 'parts that should probably co-occur
+    but never have', the missing-edge primitive of entity-graph
+    curation. Registered GUARDED like the triangle count
+    (max_center_degree=64): wedge volume is Σ deg(z)², and hub
+    centers contribute the least AA weight per wedge, so the cap
+    removes the costliest and least informative work first. Per-wedge
+    AA weights are integer-quantized micro-units summed in int64 —
+    order-independent, so the oracle replays the whole flow
+    (canonicalization, degrees-on-full-graph, capped wedge join,
+    quantized sum, non-adjacency anti-join, top-20)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 200)
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    out = ga.link_prediction_scores(edges, max_center_degree=64)
+    return (
+        out.orderBy(F.desc("aa6"), F.asc("u"), F.asc("w"))
+        .limit(20)
+        .select("u", "w", "common_neighbors", "adamic_adar")
+    )
+
+
 def _ppr_oracle(damping: float = 0.85, iters: int = 8, top: int = 20) -> str:
     """Unrolled personalized-PageRank replay (same superstep-per-CTE
     scheme as _pagerank_oracle) with the teleport vector restricted to

@@ -417,3 +417,40 @@ def test_dsir_weights_separate_domains(spark):
     assert out[999].target_like
     # n_features = unigrams + bigrams
     assert out[999].n_features == 3 + 2
+
+
+def test_perplexity_bucket_sample_terciles(spark):
+    """9 docs with cross-entropies 1..9: quantile_cont cutoffs put
+    docs 1-3 in head, 4-6 in middle, 7-9 in tail. Rates (1,1,0)
+    keep exactly head+middle; (1,0,0) keeps exactly head."""
+    from graphragdatapipeline_spark.operators import curation as cu
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)], "doc_id LONG, cross_entropy DOUBLE"
+    )
+    both = cu.perplexity_bucket_sample(scored, rates=(1.0, 1.0, 0.0))
+    rows = {r.doc_id: r.bucket for r in both.collect()}
+    assert rows == {1: "head", 2: "head", 3: "head",
+                    4: "middle", 5: "middle", 6: "middle"}
+    head_only = cu.perplexity_bucket_sample(scored, rates=(1.0, 0.0, 0.0))
+    assert {r.doc_id for r in head_only.collect()} == {1, 2, 3}
+
+
+def test_temperature_sample_upsamples_tail_group(spark):
+    """alpha<1 keeps a LARGER fraction of the small group: with 100
+    big / 10 small docs, alpha=0.5, target=50, the small group's
+    derived rate caps at 1.0 (every doc kept) while the big group is
+    genuinely subsampled. Determinism: identical reruns."""
+    from graphragdatapipeline_spark.operators import curation as cu
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    kept = cu.temperature_sample(df, "lang", "doc_id", alpha=0.5, target=50)
+    out = kept.collect()
+    small = [r for r in out if r.lang == "small"]
+    big = [r for r in out if r.lang == "big"]
+    assert len(small) == 10            # rate capped at 1.0 — all kept
+    assert 0 < len(big) < 100          # genuinely subsampled
+    assert len(big) / 100 < 1.0
+    rerun = cu.temperature_sample(df, "lang", "doc_id", alpha=0.5, target=50)
+    assert sorted(r.doc_id for r in rerun.collect()) == sorted(r.doc_id for r in out)

@@ -463,3 +463,42 @@ def test_louvain_ladder_nested_and_weighted_semantics(spark):
         for r in out.values():
             m.setdefault(r[lo], set()).add(r[hi])
         assert all(len(s) == 1 for s in m.values())
+
+
+def test_link_prediction_square_graph(spark):
+    """4-cycle 1-2-3-4: the two diagonals are the only non-adjacent
+    pairs, each with both opposite corners as common neighbors —
+    AA = 2/ln(2) exactly (every vertex has degree 2)."""
+    import math
+
+    from graphragdatapipeline_spark.graph import algorithms as ga
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src INT, dst INT"
+    )
+    rows = {(r.u, r.w): r for r in ga.link_prediction_scores(edges).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    expected = 2 * math.floor(1_000_000.0 / math.log(2.0) + 0.5) / 1_000_000.0
+    for r in rows.values():
+        assert r.common_neighbors == 2
+        assert r.adamic_adar == expected
+
+
+def test_link_prediction_center_degree_guardrail(spark):
+    """A star center above the cap generates no wedges; degrees are
+    still computed on the FULL graph, so surviving scores are exact."""
+    from graphragdatapipeline_spark.graph import algorithms as ga
+
+    # hub 0 connected to 1..9 (deg 9); plus a small path 1-10-2
+    edges = [(0, i) for i in range(1, 10)] + [(1, 10), (10, 2)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    full = ga.link_prediction_scores(df).collect()
+    assert {(r.u, r.w) for r in full} >= {(1, 2), (2, 3)}  # hub wedges present
+    capped = {(r.u, r.w): r for r in
+              ga.link_prediction_scores(df, max_center_degree=4).collect()}
+    # hub 0 (deg 9) is no longer a wedge center: its fan-out pairs
+    # (2,3), (3,4), ... vanish; what survives routes through the
+    # low-degree centers 1, 2, 10 only
+    assert set(capped) == {(1, 2), (0, 10)}
+    assert capped[(1, 2)].common_neighbors == 1  # center 10 only
+    assert capped[(0, 10)].common_neighbors == 2  # centers 1 and 2
