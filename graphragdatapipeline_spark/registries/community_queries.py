@@ -14,9 +14,9 @@ from graphragdatapipeline_spark.operators import relational as rel
 from graphragdatapipeline_spark.registry import register
 
 
-@register(
-    "community_metadata_rollup",
-    oracle="""
+# Shared by community_metadata_rollup (verbatim) and
+# graphrag_global_search (as a CTE prefix)
+_ROLLUP_ORACLE = """
 WITH members AS (
   SELECT n.n_name AS community, c.c_custkey AS member_id,
          c.c_mktsegment AS segment, c.c_acctbal AS bal
@@ -46,7 +46,12 @@ SELECT r.community, r.member_count, t.top_segments, p.representatives, r.member_
 FROM rollup_base r
 JOIN top_segments t ON r.community = t.community
 JOIN reps p ON r.community = p.community
-""",
+"""
+
+
+@register(
+    "community_metadata_rollup",
+    oracle=_ROLLUP_ORACLE,
     headline=True,
 )
 def community_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,4 +156,86 @@ def community_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_nations"),
             F.col("top_nations"),
         ).alias("prompt"),
+    )
+
+
+@register(
+    "graphrag_global_search",
+    oracle=_ROLLUP_ORACLE.rstrip()[: _ROLLUP_ORACLE.rstrip().rindex("SELECT r.community")]
+    + """, rollup AS (
+  SELECT r.community, r.member_count, t.top_segments, p.representatives
+  FROM rollup_base r
+  JOIN top_segments t ON r.community = t.community
+  JOIN reps p ON r.community = p.community
+), scored AS (
+  SELECT community, member_count, top_segments, representatives,
+         CAST((CASE WHEN top_segments LIKE '%BUILDING%' THEN 1 ELSE 0 END)
+            + (CASE WHEN top_segments LIKE '%AUTOMOBILE%' THEN 1 ELSE 0 END)
+            + (CASE WHEN top_segments LIKE '%MACHINERY%' THEN 1 ELSE 0 END) AS BIGINT)
+           AS relevance
+  FROM rollup
+), ranked AS (
+  SELECT community, member_count, top_segments, relevance,
+         relevance * 1000000 + member_count AS score,
+         printf('Community report: %s (%d members; segments %s). Representatives: %s.',
+                community, member_count, top_segments, representatives) AS context_block
+  FROM scored WHERE relevance > 0
+)
+SELECT community, member_count, top_segments, relevance, context_block,
+       CAST(row_number() OVER (ORDER BY score DESC, community ASC) AS INT) AS position
+FROM ranked
+ORDER BY score DESC, community ASC LIMIT 5
+""",
+)
+def graphrag_global_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphRAG GLOBAL search, the community-level counterpart of
+    graphrag_local_search (Microsoft GraphRAG's map stage: score every
+    community report against the question, keep the most relevant as
+    reduce-stage context; the reference materializes exactly these
+    reports via generate_community_summaries.py). Deterministic twin
+    of the LLM relevance rater: keyword hits over each community's
+    segment summary, occurrence weight = member_count as the integer
+    tiebreak (score = relevance·10⁶ + members — all-integer ranking),
+    irrelevant reports dropped, top-5 context blocks assembled with
+    position numbers. Scale shape: the report table is |communities|
+    rows (already aggregated by the oracled rollup); scoring and
+    ranking touch no corpus-sized data — one TakeOrdered over
+    community count."""
+    from pyspark.sql import Window
+
+    rollup = community_metadata_rollup(spark, sf_dir)
+    terms = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+    relevance = sum(
+        F.when(F.col("top_segments").contains(t), 1).otherwise(0) for t in terms
+    ).cast("long")
+    scored = (
+        rollup.withColumn("relevance", relevance)
+        .filter(F.col("relevance") > 0)
+        .withColumn(
+            "score", F.col("relevance") * F.lit(1_000_000) + F.col("member_count")
+        )
+        .withColumn(
+            "context_block",
+            F.format_string(
+                "Community report: %s (%d members; segments %s). Representatives: %s.",
+                F.col("community"),
+                F.col("member_count"),
+                F.col("top_segments"),
+                F.col("representatives"),
+            ),
+        )
+    )
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("community"))
+        .limit(5)
+        .withColumn(
+            "position",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("community")))
+            .cast("int"),
+        )
+    )
+    return top.select(
+        "community", "member_count", "top_segments", "relevance",
+        "context_block", "position",
     )

@@ -626,6 +626,49 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", dround(F.col("adc_dist"), 6).alias("adc_dist"))
 
 
+def _pq_rerank_oracle(
+    m: int = 2, k: int = 4, iters: int = 2, dim: int = 64,
+    shortlist: int = 32, topk: int = 8,
+) -> str:
+    """IVFPQ-style read-path replay: the full PQ unroll, then the ADC
+    shortlist, then exact cosine rerank of the survivors."""
+    base = _pq_oracle(m, k, iters, dim, shortlist)
+    cut = base.rindex("SELECT vec_id, floor")
+    return (
+        base[:cut]
+        + f""", shortlist AS (
+  SELECT vec_id FROM scored ORDER BY dist ASC, vec_id ASC LIMIT {shortlist}
+), q AS (SELECT v FROM emb WHERE vec_id = 0),
+rr AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.v)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS sim
+  FROM emb e JOIN shortlist s USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+FROM rr ORDER BY sim DESC, vec_id ASC LIMIT {topk}"""
+    )
+
+
+@register("vector_pq_rerank_topk", oracle=_pq_rerank_oracle())
+def vector_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE PQ read path (FAISS IVFPQ search shape): ADC
+    shortlist of 32 over the compressed codes, then exact cosine
+    rerank to top-8 — only the shortlist ever touches full vectors.
+    The oracle replays training, encoding, ADC shortlisting, and the
+    exact rerank end-to-end; the sibling vector_pq_adc_topk pins the
+    ADC ordering itself."""
+    from graphragdatapipeline_spark.registry import dround
+
+    e = read_table(spark, sf_dir, "embeddings")
+    books = vs.pq_train(e, m=2, k=4, iters=2)
+    q = _query_vec(spark, sf_dir)
+    out = vs.pq_rerank_topk(
+        e.filter(F.col("vec_id") != 0), books, q, k=8, shortlist=32
+    )
+    return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))
+
+
 def _semantic_dedup_oracle(k: int = 4, iters: int = 3, tau: float = 0.3) -> str:
     """SemDeDup replay: the full k-means training unroll (shared with
     _kmeans_oracle), then intra-cell cosine pairs over the FINAL

@@ -483,6 +483,28 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 8,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The complete PQ read path: ADC shortlist (cheap scan over
+    codes) → exact cosine rerank of the `shortlist` survivors — the
+    standard IVFPQ/FAISS search shape. Only `shortlist` rows ever
+    load their full vectors; at 100 TB that is the difference between
+    scanning codes (m bytes/row) and scanning embeddings
+    (4·dim bytes/row), with exactness restored on the short list."""
+    cand_ids = pq_adc_topk(
+        embeddings, books, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    cand = embeddings.join(cand_ids, id_col)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def kmeans_cells(
     embeddings: DataFrame,
     k: int = 4,

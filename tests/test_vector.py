@@ -330,3 +330,23 @@ def test_pq_adc_matches_table_lookup_locally(spark):
     t0, t1 = table(books[0], query[:4]), table(books[1], query[4:])
     for vid, (c0, c1) in codes.items():
         assert out[vid] == t0[c0] + t1[c1]
+
+
+def test_pq_rerank_recovers_exact_topk(spark):
+    """With a shortlist wide enough to cover the query's cluster, the
+    ADC-shortlist → exact-rerank path returns exactly the bruteforce
+    cosine top-k (the IVFPQ recall contract at full probe width)."""
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [1.0 + (i % 7) * 0.01] * 4 + [0.01 * (i % 3)] * 4))
+    for i in range(40, 80):
+        rows.append((i, [0.0] * 4 + [-1.0 - (i % 5) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = vs.pq_train(df, m=2, k=4, iters=2)
+    query = [1.0] * 4 + [0.0] * 4
+    exact = [r.vec_id for r in vs.cosine_topk(df, query, k=8).collect()]
+    rr = [r.vec_id for r in
+          vs.pq_rerank_topk(df, books, query, k=8, shortlist=40).collect()]
+    assert rr == exact
