@@ -275,3 +275,28 @@ def test_dsir_weights_empty_and_no_target(spark):
     )
     rows = dsir_importance_weights(df, F.col("lang") == "en").collect()
     assert len(rows) == 2
+
+
+def test_pq_rerank_empty_corpus(spark):
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    out = vs.pq_rerank_topk(
+        _empty(spark, "vec_id BIGINT, embedding ARRAY<DOUBLE>"),
+        books, [1.0, 0.0, 0.0, 1.0], k=4, shortlist=8,
+    )
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "sim"]
+
+
+def test_pq_rerank_shortlist_larger_than_corpus(spark):
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 1.0]), (2, [0.0, 1.0, 1.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    rows = vs.pq_rerank_topk(df, books, [1.0, 0.0, 0.0, 1.0], k=8, shortlist=64).collect()
+    # corpus smaller than shortlist and k: every row survives, exact order
+    assert [r.vec_id for r in rows] == [1, 2]
