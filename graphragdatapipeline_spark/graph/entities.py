@@ -1,0 +1,109 @@
+"""Entity resolution (record linkage) — the canonical-entity step a
+GraphRAG ingestion runs before graph construction: raw mentions of the
+same real-world entity (name variants, near-identical records) are
+linked and collapsed to one canonical id, so edges aggregate on
+entities instead of spelling variants. The reference merges entities
+by exact name-or-alias equality during graph build
+(utils/neo4j_helpers.py — the MERGE-on-name pattern); this module is
+the fuzzy generalization: blocking → multi-attribute match rule →
+transitive closure → canonical survivor.
+
+Scale shape (the classic ER pipeline, e.g. Fellegi–Sunter blocking):
+pair generation is an equi-join on the BLOCKING key — records in
+different blocks never meet, so cost is Σ|block|² instead of n².
+``max_block`` drops degenerate mega-blocks before the self-join (the
+same guardrail philosophy as the dedup layer's max_bucket /
+max_posting: a block with millions of members is a data-quality
+problem to triage, not a pairwise-scoring problem). Transitive closure
+runs on the MATCH-PAIR graph — far smaller than the record set — via
+the shared Hash-Min components operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def candidate_pairs(
+    records: DataFrame,
+    id_col: str,
+    block_col: str,
+    max_block: int | None = None,
+) -> DataFrame:
+    """(a, b) candidate pairs (a < b) from an equi-self-join on the
+    blocking key, with every non-key column of both sides preserved
+    as a_<col> / b_<col> for downstream match rules."""
+    if max_block is not None:
+        keep = (
+            records.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") <= max_block)
+            .select(block_col)
+        )
+        records = records.join(keep, block_col, "left_semi")
+    cols = [c for c in records.columns if c != block_col]
+    a = records.select(block_col, *[F.col(c).alias(f"a_{c}") for c in cols])
+    b = records.select(block_col, *[F.col(c).alias(f"b_{c}") for c in cols])
+    return a.join(b, block_col).filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+
+
+def resolve_entities(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    size_col: str | None = None,
+    name_jaccard: float = 0.5,
+    max_size_gap: int = 1,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Resolve records to canonical entities → (id, canonical_id,
+    cluster_size, canonical_name).
+
+    Match rule (within a block): token-set Jaccard of the lowercased
+    names ≥ ``name_jaccard`` — compared as the integer inequality
+    |∩|·10⁶ ≥ threshold·10⁶·|∪| so both engines decide identically —
+    and, when ``size_col`` is given, |size difference| ≤ max_size_gap.
+    Matches are closed transitively (A~B, B~C ⇒ one entity even though
+    A~C may fail the rule — the survivorship semantics every MDM
+    system uses); canonical_id is the min member id and
+    canonical_name that member's name, so every variant maps to one
+    stable survivor record."""
+    from graphragdatapipeline_spark.operators.dedup import dup_cluster_assignments
+
+    toks = records.withColumn(
+        "_ts",
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col(name_col)), r"\s+"), lambda t: t != "")
+        ),
+    )
+    pairs = candidate_pairs(
+        toks.select(id_col, block_col, "_ts", *([size_col] if size_col else [])),
+        id_col,
+        block_col,
+        max_block=max_block,
+    )
+    inter = F.size(F.array_intersect(F.col("a__ts"), F.col("b__ts")))
+    union = F.size(F.array_union(F.col("a__ts"), F.col("b__ts")))
+    match = inter * F.lit(1_000_000) >= F.lit(int(name_jaccard * 1_000_000)) * union
+    if size_col is not None:
+        match = match & (
+            F.abs(F.col(f"a_{size_col}") - F.col(f"b_{size_col}")) <= max_size_gap
+        )
+    matched = pairs.filter(match).select(
+        F.col(f"a_{id_col}").alias("a"), F.col(f"b_{id_col}").alias("b")
+    )
+    clusters = dup_cluster_assignments(records, matched, id_col)
+    canon = records.select(
+        F.col(id_col).alias("cluster_id"), F.col(name_col).alias("canonical_name")
+    )
+    return (
+        clusters.join(canon, "cluster_id")
+        .select(
+            id_col,
+            F.col("cluster_id").alias("canonical_id"),
+            "cluster_size",
+            "canonical_name",
+        )
+    )

@@ -325,6 +325,81 @@ def jaccard_pairs(
     )
 
 
+def cap_postings(shingles: DataFrame, cap: int, key_col: str = "shingle") -> DataFrame:
+    """Drop stop-shingles: remove every shingle whose posting list
+    (doc count) exceeds ``cap`` BEFORE any self-join. A shingle shared
+    by millions of boilerplate docs contributes O(posting²) candidate
+    rows while carrying near-zero similarity signal — the standard
+    stop-word cut in inverted-index dedup, and the posting-level twin
+    of the LSH layer's max_bucket guardrail. One groupBy count + one
+    broadcast-able semi join keyed on the shingle."""
+    keep = (
+        shingles.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_posting"))
+        .filter(F.col("_posting") <= cap)
+        .select(key_col)
+    )
+    return shingles.join(keep, key_col, "left_semi")
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """DIRECTED n-gram containment pairs ≥ threshold → (src, dst,
+    containment) where containment(src→dst) = |S(src)∩S(dst)| /
+    |S(src)| — the asymmetric near-dup relation Jaccard misses: a
+    short document quoted whole inside a long one has tiny Jaccard
+    (union is the long doc) but containment ≈ 1. This is the
+    quote/subset detector used for decontamination sweeps and
+    boilerplate-inclusion audits where "A is inside B" matters, not
+    "A equals B".
+
+    Same inverted-index shape as jaccard_pairs (docs only meet if they
+    share a shingle — never a cross join); the symmetric common-count
+    is computed ONCE per unordered pair and emitted in both directions
+    with each side's own denominator. ``max_posting`` applies the
+    cap_postings stop-shingle guardrail before the self-join (the
+    posting-explosion hazard at 100 TB; sizes are computed BEFORE the
+    cap so denominators stay exact)."""
+    shingles = shingles.localCheckpoint(eager=False)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    joined = shingles if max_posting is None else cap_postings(shingles, max_posting)
+    a = joined.select(F.col(id_col).alias("a"), "shingle")
+    b = joined.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    both = common.join(sa, "a").join(sb, "b")
+    # Both directions exploded from ONE joined row (a union of two
+    # selects would re-run the self-join + groupBy per branch — Spark
+    # does not share subplans across union arms).
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    (F.col("common") / F.col("sz_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    (F.col("common") / F.col("sz_b")).alias("containment"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.*")
+    return directed.filter(F.col("containment") >= threshold)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint (bits ≤ 16 from the first 4 md5 nibbles of
     each token). Bit b votes +1/−1 by token-hash bit; fingerprint bit

@@ -159,9 +159,41 @@ def community_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graphrag_global_search",
-    oracle=_ROLLUP_ORACLE.rstrip()[: _ROLLUP_ORACLE.rstrip().rindex("SELECT r.community")]
+def _scored_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community reports keyword-scored against the question — the
+    Spark twin of the `ranked` CTE in _REPORT_CTES: relevance =
+    keyword hits over the segment summary, score = relevance·10⁶ +
+    member_count (all-integer ranking), irrelevant reports dropped,
+    context block rendered per report."""
+    rollup = community_metadata_rollup(spark, sf_dir)
+    terms = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+    relevance = sum(
+        F.when(F.col("top_segments").contains(t), 1).otherwise(0) for t in terms
+    ).cast("long")
+    return (
+        rollup.withColumn("relevance", relevance)
+        .filter(F.col("relevance") > 0)
+        .withColumn(
+            "score", F.col("relevance") * F.lit(1_000_000) + F.col("member_count")
+        )
+        .withColumn(
+            "context_block",
+            F.format_string(
+                "Community report: %s (%d members; segments %s). Representatives: %s.",
+                F.col("community"),
+                F.col("member_count"),
+                F.col("top_segments"),
+                F.col("representatives"),
+            ),
+        )
+    )
+
+
+# rollup → keyword-scored reports → ranked context blocks; the shared
+# prefix of graphrag_global_search (top-5 map stage) and
+# graphrag_context_pack (token-budgeted reduce-stage packing).
+_REPORT_CTES = (
+    _ROLLUP_ORACLE.rstrip()[: _ROLLUP_ORACLE.rstrip().rindex("SELECT r.community")]
     + """, rollup AS (
   SELECT r.community, r.member_count, t.top_segments, p.representatives
   FROM rollup_base r
@@ -180,7 +212,14 @@ def community_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
          printf('Community report: %s (%d members; segments %s). Representatives: %s.',
                 community, member_count, top_segments, representatives) AS context_block
   FROM scored WHERE relevance > 0
+)"""
 )
+
+
+@register(
+    "graphrag_global_search",
+    oracle=_REPORT_CTES
+    + """
 SELECT community, member_count, top_segments, relevance, context_block,
        CAST(row_number() OVER (ORDER BY score DESC, community ASC) AS INT) AS position
 FROM ranked
@@ -203,28 +242,7 @@ def graphrag_global_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     community count."""
     from pyspark.sql import Window
 
-    rollup = community_metadata_rollup(spark, sf_dir)
-    terms = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
-    relevance = sum(
-        F.when(F.col("top_segments").contains(t), 1).otherwise(0) for t in terms
-    ).cast("long")
-    scored = (
-        rollup.withColumn("relevance", relevance)
-        .filter(F.col("relevance") > 0)
-        .withColumn(
-            "score", F.col("relevance") * F.lit(1_000_000) + F.col("member_count")
-        )
-        .withColumn(
-            "context_block",
-            F.format_string(
-                "Community report: %s (%d members; segments %s). Representatives: %s.",
-                F.col("community"),
-                F.col("member_count"),
-                F.col("top_segments"),
-                F.col("representatives"),
-            ),
-        )
-    )
+    scored = _scored_reports(spark, sf_dir)
     top = (
         scored.orderBy(F.desc("score"), F.asc("community"))
         .limit(5)
@@ -238,4 +256,56 @@ def graphrag_global_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "community", "member_count", "top_segments", "relevance",
         "context_block", "position",
+    )
+
+
+@register(
+    "graphrag_context_pack",
+    oracle=_REPORT_CTES
+    + """, pack AS (
+  SELECT community, member_count, relevance, score,
+         CAST(len(list_filter(string_split(context_block, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM ranked
+), cum AS (
+  SELECT community, member_count, relevance, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY score DESC, community ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(row_number() OVER (ORDER BY score DESC, community ASC) AS INT)
+           AS position
+  FROM pack
+)
+SELECT community, member_count, relevance, n_tokens, cum_tokens, position
+FROM cum WHERE cum_tokens <= 100
+""",
+)
+def graphrag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphRAG REDUCE-stage context assembly: the ranked community
+    reports (graphrag_global_search's map output, unlimited) are
+    greedily packed into the answer prompt's token budget — highest
+    score first, stop when the running token total would exceed the
+    window (budget 100 here; the reference's reduce stage does exactly
+    this before the final LLM call). Cumulative sum over rank order is
+    a single-partition window — fine BY CONTRACT: it runs on
+    |communities| rows (the map stage already reduced corpus-sized
+    data), the same driver-scale division as the Leiden rung."""
+    from pyspark.sql import Window
+
+    scored = _scored_reports(spark, sf_dir)
+    n_tokens = F.size(
+        F.filter(F.split(F.col("context_block"), " "), lambda t: t != "")
+    ).cast("long")
+    w = Window.orderBy(F.desc("score"), F.asc("community"))
+    cum = (
+        scored.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("position", F.row_number().over(w).cast("int"))
+    )
+    return cum.filter(F.col("cum_tokens") <= 100).select(
+        "community", "member_count", "relevance", "n_tokens",
+        "cum_tokens", "position",
     )

@@ -165,6 +165,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", dround(F.col("jaccard"), 6).alias("jaccard"))
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), both_sides AS (
+  SELECT c.a, c.b, c.common, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM common c
+  JOIN sizes sa ON c.a = sa.doc_id
+  JOIN sizes sb ON c.b = sb.doc_id
+), directed AS (
+  SELECT a AS src, b AS dst, common / sz_a AS containment FROM both_sides
+  UNION ALL
+  SELECT b AS src, a AS dst, common / sz_b AS containment FROM both_sides
+)
+SELECT src, dst, floor(containment * 1000000 + 0.5) / 1000000 AS containment
+FROM directed WHERE containment >= 0.15
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs (|S(src)∩S(dst)|/|S(src)| ≥
+    0.15) — the asymmetric quote/subset relation: a short doc pasted
+    whole into a long one scores containment ≈ 1 where Jaccard ≈
+    |short|/|long| ≈ 0. The decontamination/quote-audit twin of
+    dedup_ngram_jaccard, same inverted-index join (pairs only where a
+    shingle is shared), common-count computed once per unordered pair
+    and emitted both directions with per-side denominators."""
+    from graphragdatapipeline_spark.registry import dround
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = dd.shingle_table(d, "doc_id", "text", k=3)
+    pairs = dd.containment_pairs(sh, "doc_id", threshold=0.15)
+    return pairs.select(
+        "src", "dst", dround(F.col("containment"), 6).alias("containment")
+    )
+
+
 def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 16) -> str:
     """Pairs oracle: the engine's segment bucketing is exhaustive by
     pigeonhole (hamming ≤ h ⇒ ≥1 of h+1 segments equal), so the result

@@ -986,3 +986,65 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return ga.kcore(edges, k=16)
+
+
+@register(
+    "graph_entity_resolution",
+    oracle="""
+WITH RECURSIVE recs AS (
+  SELECT p_partkey, p_brand, p_size, p_name,
+         list_distinct(list_filter(string_split_regex(lower(p_name), '\\s+'),
+                                   x -> x <> '')) AS ts
+  FROM part
+), matched AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM recs a JOIN recs b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE len(list_intersect(a.ts, b.ts)) * 1000000
+          >= 500000 * len(list_distinct(list_concat(a.ts, b.ts)))
+    AND abs(a.p_size - b.p_size) <= 1
+), uedges AS (
+  SELECT a AS src, b AS dst FROM matched UNION SELECT b, a FROM matched
+), walk(id, label) AS (
+  SELECT src, src FROM uedges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN uedges e ON e.src = w.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+), allc AS (
+  SELECT p.p_partkey, coalesce(c.cluster_id, p.p_partkey) AS canonical_id
+  FROM part p LEFT JOIN comp c ON p.p_partkey = c.id
+), csize AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM allc GROUP BY canonical_id
+)
+SELECT a.p_partkey, a.canonical_id, s.cluster_size, cn.p_name AS canonical_name
+FROM allc a
+JOIN csize s USING (canonical_id)
+JOIN part cn ON cn.p_partkey = a.canonical_id
+""",
+)
+def graph_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog — the canonical-entity
+    step before graph construction (the reference MERGEs vertices by
+    exact name/alias; this is the fuzzy generalization). Blocking on
+    p_brand (pairs never cross blocks — Σ|block|², not n²), match =
+    token-set Jaccard(p_name) ≥ 0.5 as an integer inequality AND
+    |p_size gap| ≤ 1, transitive closure over the match pairs (Hash-Min
+    components on the PAIR graph), canonical survivor = min member id,
+    its name carried as canonical_name. The oracle replays blocking →
+    rule → recursive min-label walk → survivor join end-to-end."""
+    from graphragdatapipeline_spark.graph.entities import resolve_entities
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    return resolve_entities(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_col="p_brand",
+        size_col="p_size",
+        name_jaccard=0.5,
+        max_size_gap=1,
+    )

@@ -724,3 +724,47 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = e.join(assigned, "vec_id")
     pairs = vs.embedding_near_dup_pairs(blocked, threshold=0.3, block_col="cell")
     return dedup_corpus(e.select("vec_id", "label"), pairs.select("a", "b"), "vec_id")
+
+
+@register(
+    "vector_sq8_topk",
+    oracle="""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id = 0
+), enc AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id <> 0
+), params AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+  FROM enc
+), deq AS (
+  SELECT vec_id,
+         list_transform(v, x -> mn + floor((x - mn) / scale + 0.5) * scale) AS dv
+  FROM params
+), scored AS (
+  SELECT vec_id,
+         list_dot_product(dv, qe)
+           / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qe, qe))) AS sim
+  FROM deq, q
+)
+SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 8
+""",
+)
+def vector_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8 SCALAR-quantized vectors (SQ8): encode =
+    per-vector affine map onto 0..255 (map-side, no model), search =
+    dequantize-on-the-fly against the exact query. The 4×-compression
+    rung between exact scan and PQ — at 100 TB the scan reads 1
+    byte/dim instead of 4, and reconstruction error is bounded by
+    scale/2 per component. Oracle replays encode → dequantize → cosine
+    → top-k with the identical arithmetic sequence."""
+    from graphragdatapipeline_spark.registry import dround
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    codes = vs.sq8_encode(emb)
+    top = vs.sq8_topk(codes, _query_vec(spark, sf_dir), k=8)
+    return top.select("vec_id", dround(F.col("sim"), 6).alias("sim"))

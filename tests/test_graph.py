@@ -502,3 +502,57 @@ def test_link_prediction_center_degree_guardrail(spark):
     assert set(capped) == {(1, 2), (0, 10)}
     assert capped[(1, 2)].common_neighbors == 1  # center 10 only
     assert capped[(0, 10)].common_neighbors == 2  # centers 1 and 2
+
+
+def test_resolve_entities_transitive_chain(spark):
+    """A~B and B~C under the match rule but A≁C (size gap 2): the
+    closure still puts all three in one entity with the min-id
+    survivor's name — the MDM survivorship semantics."""
+    from graphragdatapipeline_spark.graph.entities import resolve_entities
+
+    recs = spark.createDataFrame(
+        [
+            (10, "acme corp", "B1", 5),
+            (11, "acme corporation corp", "B1", 6),   # j(10,11)=2/3, gap 1
+            (12, "acme corporation corp", "B1", 7),   # j(11,12)=1, gap 1; gap(10,12)=2
+            (20, "zen works", "B1", 5),               # no token overlap ≥ 0.5
+            (30, "acme corp", "B2", 5),               # other block: never meets 10
+        ],
+        "rid long, name string, blk string, sz int",
+    )
+    out = {
+        r.rid: (r.canonical_id, r.cluster_size, r.canonical_name)
+        for r in resolve_entities(
+            recs, "rid", "name", "blk", size_col="sz", name_jaccard=0.5
+        ).collect()
+    }
+    assert out[10] == (10, 3, "acme corp")
+    assert out[11] == (10, 3, "acme corp")
+    assert out[12] == (10, 3, "acme corp")      # linked only transitively
+    assert out[20] == (20, 1, "zen works")      # singleton survives as itself
+    assert out[30] == (30, 1, "acme corp")      # blocking kept it apart
+
+
+def test_resolve_entities_max_block_guardrail(spark):
+    """Records in an over-cap block are never paired (each stays a
+    singleton) — the mega-block triage rule, not silent O(n²)."""
+    from graphragdatapipeline_spark.graph.entities import resolve_entities
+
+    big = [(i, "same name", "BIG", 1) for i in range(10)]
+    small = [(100, "other thing", "SM", 1), (101, "other thing", "SM", 1)]
+    recs = spark.createDataFrame(big + small, "rid long, name string, blk string, sz int")
+    out = resolve_entities(
+        recs, "rid", "name", "blk", size_col="sz", max_block=5
+    ).collect()
+    sizes = {r.rid: r.cluster_size for r in out}
+    assert all(sizes[i] == 1 for i in range(10))   # capped block: singletons
+    assert sizes[100] == 2 and sizes[101] == 2     # small block still resolves
+
+
+def test_resolve_entities_empty(spark):
+    from graphragdatapipeline_spark.graph.entities import resolve_entities
+
+    recs = spark.createDataFrame([], "rid long, name string, blk string")
+    out = resolve_entities(recs, "rid", "name", "blk")
+    assert out.count() == 0
+    assert out.columns == ["rid", "canonical_id", "cluster_size", "canonical_name"]

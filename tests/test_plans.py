@@ -415,3 +415,36 @@ def test_semantic_dedup_intracell_join_is_equi(spark, sf_dir):
     # BroadcastNestedLoopJoin rather than a CartesianProduct — forbid both.
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_sq8_plan_is_mapside_topk(spark, sf_dir):
+    """SQ8 search must stay one scan: encode + dequantize + cosine as
+    row-wise expressions under a TakeOrdered — zero Exchange means the
+    4×-narrower code scan is the ONLY corpus-sized cost at 100 TB."""
+    plan = _plan(spark, "vector_sq8_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
+    assert "BatchEvalPython" not in plan
+
+
+def test_entity_resolution_pairs_are_blocked_equi(spark, sf_dir):
+    """ER candidate generation must stay an equi join on the blocking
+    key (Σ|block|², co-partitionable); a dropped key would surface as
+    CartesianProduct / BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "graph_entity_resolution", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_single_pass_self_join(spark, sf_dir):
+    """Both containment directions must come from ONE inverted-index
+    self-join (exploded row-wise) — a union of per-direction selects
+    would run the join + groupBy twice."""
+    plan = _plan(spark, "dedup_containment", sf_dir)
+    assert "Union" not in plan
+    assert "Generate explode" in plan
+    # exactly ONE shingle-keyed self-join in the whole plan
+    import re
+
+    shingle_joins = re.findall(r"BroadcastHashJoin \[shingle|SortMergeJoin \[shingle", plan)
+    assert len(shingle_joins) == 1, plan

@@ -313,3 +313,55 @@ def test_lm_bigram_scores_sensitive_to_transitions(spark):
     r = lm_bigram_scores(one).first()
     # a single-token corpus gives p = (2·1+1)/(2·1+1) = 1 → CE exactly 0
     assert r.n_tokens == 1 and r.cross_entropy == 0.0
+
+
+def test_containment_asymmetric_quote(spark):
+    """A short doc pasted whole into a long one: containment(short→long)
+    = 1.0 while Jaccard is far below any dedup threshold — the relation
+    only the directed operator catches."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    sh = dd.shingle_table(df, "doc_id", "text", k=3)
+    got = {
+        (r.src, r.dst): r.containment
+        for r in dd.containment_pairs(sh, "doc_id", threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0            # short fully inside long
+    assert got[(2, 1)] < 0.1             # long barely overlaps short
+    jac = dd.jaccard_pairs(sh, "doc_id", threshold=0.0).collect()
+    assert jac[0].jaccard < 0.1          # Jaccard misses the quote
+
+
+def test_containment_max_posting_guardrail(spark):
+    """Stop-shingle cap: a shingle shared by every doc is dropped before
+    the self-join, removing pairs whose ONLY evidence is boilerplate;
+    denominators stay exact (sizes computed pre-cap)."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    # every doc shares "common common common"; docs 1/2 also share a
+    # rare 3-shingle
+    docs = [(i, f"common common common unique{i} only{i} here{i}") for i in range(3, 9)]
+    docs += [(1, "common common common rare pair shingle"),
+             (2, "common common common rare pair shingle extra")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = dd.shingle_table(df, "doc_id", "text", k=3)
+    uncapped = dd.containment_pairs(sh, "doc_id", threshold=0.01)
+    capped = dd.containment_pairs(sh, "doc_id", threshold=0.01, max_posting=4)
+    assert uncapped.count() > capped.count()
+    kept = {(r.src, r.dst) for r in capped.collect()}
+    # the rare-shingle pair survives the cap, both directions
+    assert (1, 2) in kept and (2, 1) in kept
+
+
+def test_containment_empty(spark):
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    sh = spark.createDataFrame([], "doc_id long, shingle string")
+    out = dd.containment_pairs(sh, "doc_id", threshold=0.5)
+    assert out.count() == 0
+    assert out.columns == ["src", "dst", "containment"]

@@ -350,3 +350,39 @@ def test_pq_rerank_recovers_exact_topk(spark):
     rr = [r.vec_id for r in
           vs.pq_rerank_topk(df, books, query, k=8, shortlist=40).collect()]
     assert rr == exact
+
+
+def test_sq8_reconstruction_error_bound(spark):
+    """Dequantized components sit within scale/2 of the originals —
+    the SQ8 contract that bounds the similarity perturbation."""
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    df = spark.createDataFrame(
+        [(1, [0.13, -2.7, 3.14, 0.0]), (2, [5.0, 5.0, 5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    enc = {r.vec_id: r for r in vs.sq8_encode(df).collect()}
+    orig = {1: [0.13, -2.7, 3.14, 0.0], 2: [5.0, 5.0, 5.0, 5.0]}
+    for vid, r in enc.items():
+        assert all(0 <= c <= 255 for c in r.codes)
+        for c, x in zip(r.codes, orig[vid]):
+            assert abs((r.mn + c * r.scale) - x) <= r.scale / 2 + 1e-12
+    # constant vector: degenerate range → scale 1, all codes 0, exact
+    assert enc[2].scale == 1.0 and enc[2].codes == [0, 0, 0, 0]
+    assert enc[2].mn == 5.0
+
+
+def test_sq8_topk_recall_vs_exact(spark, sf_dir):
+    """SQ8 top-8 vs exact top-8 on the fixture corpus: quantization at
+    8 bits barely moves cosine, so overlap must stay high (≥ 6/8)."""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    row = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row.embedding]
+    exact = {r.vec_id for r in vs.cosine_topk(emb, q, k=8).collect()}
+    sq8 = {r.vec_id for r in vs.sq8_topk(vs.sq8_encode(emb), q, k=8).collect()}
+    assert len(exact & sq8) >= 6
