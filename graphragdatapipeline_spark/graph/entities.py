@@ -30,10 +30,22 @@ def candidate_pairs(
     id_col: str,
     block_col: str,
     max_block: int | None = None,
+    band_col: str | None = None,
+    band_gap: int = 0,
 ) -> DataFrame:
     """(a, b) candidate pairs (a < b) from an equi-self-join on the
     blocking key, with every non-key column of both sides preserved
-    as a_<col> / b_<col> for downstream match rules."""
+    as a_<col> / b_<col> for downstream match rules.
+
+    When the match rule carries a numeric proximity constraint
+    (|a.band − b.band| ≤ band_gap), pass ``band_col``: the join key
+    becomes (block, band) with the A side exploded into band offsets
+    −gap..+gap, so each qualifying pair collides on EXACTLY ONE key
+    (offset = b.band − a.band) and pairs outside the gap never meet.
+    This shrinks candidate volume from Σ|block|² to
+    (2·gap+1)·Σ|cell|² — the sorted-neighborhood trick as an equi
+    join, which is what survives at 100 TB where the similarity
+    filter would otherwise evaluate on every in-block pair."""
     if max_block is not None:
         keep = (
             records.groupBy(block_col)
@@ -45,7 +57,18 @@ def candidate_pairs(
     cols = [c for c in records.columns if c != block_col]
     a = records.select(block_col, *[F.col(c).alias(f"a_{c}") for c in cols])
     b = records.select(block_col, *[F.col(c).alias(f"b_{c}") for c in cols])
-    return a.join(b, block_col).filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+    if band_col is None:
+        return a.join(b, block_col).filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+    offsets = F.array(*[F.lit(o) for o in range(-band_gap, band_gap + 1)])
+    a = a.withColumn(
+        "_band", F.explode(F.transform(offsets, lambda o: F.col(f"a_{band_col}") + o))
+    )
+    b = b.withColumn("_band", F.col(f"b_{band_col}"))
+    return (
+        a.join(b, [block_col, "_band"])
+        .filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .drop("_band")
+    )
 
 
 def resolve_entities(
@@ -83,6 +106,8 @@ def resolve_entities(
         id_col,
         block_col,
         max_block=max_block,
+        band_col=size_col,
+        band_gap=max_size_gap,
     )
     inter = F.size(F.array_intersect(F.col("a__ts"), F.col("b__ts")))
     union = F.size(F.array_union(F.col("a__ts"), F.col("b__ts")))

@@ -171,9 +171,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_SHINGLES_CTE},
 sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), keep_sh AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 32
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep_sh USING (shingle)
 ), common AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-  FROM sh a JOIN sh b USING (shingle)
+  FROM shc a JOIN shc b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), both_sides AS (
@@ -197,12 +201,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |short|/|long| ≈ 0. The decontamination/quote-audit twin of
     dedup_ngram_jaccard, same inverted-index join (pairs only where a
     shingle is shared), common-count computed once per unordered pair
-    and emitted both directions with per-side denominators."""
+    and emitted both directions with per-side denominators. Registered
+    with the max_posting=32 stop-shingle guardrail as the DEFAULT (a
+    no-op at fixture scale — max posting is 7 — but the bound that
+    keeps pair volume linear under boilerplate shingles at 100 TB; the
+    oracle applies the identical cap, denominators stay pre-cap
+    exact)."""
     from graphragdatapipeline_spark.registry import dround
 
     d = read_table(spark, sf_dir, "documents")
     sh = dd.shingle_table(d, "doc_id", "text", k=3)
-    pairs = dd.containment_pairs(sh, "doc_id", threshold=0.15)
+    pairs = dd.containment_pairs(sh, "doc_id", threshold=0.15, max_posting=32)
     return pairs.select(
         "src", "dst", dround(F.col("containment"), 6).alias("containment")
     )

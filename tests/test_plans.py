@@ -443,8 +443,15 @@ def test_containment_single_pass_self_join(spark, sf_dir):
     plan = _plan(spark, "dedup_containment", sf_dir)
     assert "Union" not in plan
     assert "Generate explode" in plan
-    # exactly ONE shingle-keyed self-join in the whole plan
+    # exactly ONE inner shingle-keyed self-join (the max_posting cap
+    # adds one LeftSemi on the shingle — that one is not the pair join)
     import re
 
-    shingle_joins = re.findall(r"BroadcastHashJoin \[shingle|SortMergeJoin \[shingle", plan)
+    shingle_joins = [
+        m.group(0)
+        for m in re.finditer(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[shingle[^\n]*", plan
+        )
+        if "LeftSemi" not in m.group(0)
+    ]
     assert len(shingle_joins) == 1, plan
