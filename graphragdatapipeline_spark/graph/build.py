@@ -178,3 +178,155 @@ def build_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         )
     )
     return PropertyGraph(vertices=vertices, edges=edges)
+
+
+def cooccurrence_graph(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    max_doc_terms: int | None = None,
+) -> DataFrame:
+    """Term co-occurrence graph extracted FROM TEXT → (src, dst,
+    cooccur, pmi): the graph-FROM-text rung the reference reaches via
+    per-article extraction (extract_artists_articles.py feeding
+    ingest_graph_db.py's MERGE edges) — two terms are linked when they
+    appear in the same document, edge weight = number of co-occurring
+    documents, scored
+    by PMI = ln(N·c(a,b) / (c(a)·c(b))) so corpus-frequent terms don't
+    drown genuine associations. This is how a GraphRAG ingestion
+    builds its graph when no LLM is in the loop (and the exact
+    candidate structure an LLM extractor is validated against).
+
+    Scale shape: per-doc DISTINCT terms explode once; pair generation
+    is a doc-keyed self-join, so volume is Σ C(|terms(d)|, 2) — linear
+    in docs for bounded vocabularies. ``max_doc_terms`` drops
+    mega-docs (a page with thousands of distinct terms contributes
+    O(terms²) pairs of near-zero signal — the doc-level twin of the
+    dedup layer's max_bucket) BEFORE the self-join; doc and term
+    frequencies stay pre-cap exact so PMI is unbiased."""
+    terms = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+            )
+        ).alias("term"),
+    )
+    terms = terms.localCheckpoint(eager=False)
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = terms
+    if max_doc_terms is not None:
+        keep = (
+            terms.groupBy("_d")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") <= max_doc_terms)
+            .select("_d")
+        )
+        joined = terms.join(keep, "_d", "left_semi")
+    a = joined.select("_d", F.col("term").alias("src"))
+    b = joined.select("_d", F.col("term").alias("dst"))
+    pairs = (
+        a.join(b, "_d")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cooccur"))
+        .filter(F.col("cooccur") >= min_count)
+    )
+    fa = tf.select(F.col("term").alias("src"), F.col("df").alias("df_a"))
+    fb = tf.select(F.col("term").alias("dst"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(fa, "src")
+        .join(fb, "dst")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "src",
+            "dst",
+            "cooccur",
+            F.log(
+                F.col("n") * F.col("cooccur") / (F.col("df_a") * F.col("df_b"))
+            ).alias("pmi"),
+        )
+    )
+
+
+def cooccurrence_index_delta(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_terms: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental co-occurrence maintenance, the index-building half →
+    (edge_delta (src, dst, cooccur), tf_delta (term, df), n_delta (n)):
+    the three ADDITIVE count states of cooccurrence_graph for ONE
+    ingest batch — per ingest you tokenize only the BATCH, never
+    rescan the lake (lm_token_index_delta's shape applied to graph
+    maintenance). Merge rule: union each delta with its stored table
+    and groupBy-sum; PMI is then recomputed from the merged counts via
+    pmi_from_index — counts are additive, PMI is not, which is exactly
+    why the persisted state is counts."""
+    terms = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+            )
+        ).alias("term"),
+    ).localCheckpoint(eager=False)
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.countDistinct(id_col).alias("n"))
+    joined = terms
+    if max_doc_terms is not None:
+        keep = (
+            terms.groupBy("_d")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") <= max_doc_terms)
+            .select("_d")
+        )
+        joined = terms.join(keep, "_d", "left_semi")
+    a = joined.select("_d", F.col("term").alias("src"))
+    b = joined.select("_d", F.col("term").alias("dst"))
+    edges = (
+        a.join(b, "_d")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cooccur"))
+    )
+    return edges, tf, n
+
+
+def merge_count_index(old: DataFrame | None, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """groupBy-sum merge of an additive count table with its delta
+    (all non-key columns are summed). The shuffle is keyed on the
+    index keys only — at 100 TB the stored index is partitioned by
+    the same keys, so each merge is a co-partitioned combine."""
+    if old is None:
+        return delta
+    merged = old.unionByName(delta)
+    counts = [c for c in delta.columns if c not in keys]
+    return merged.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in counts])
+
+
+def pmi_from_index(
+    edges: DataFrame, tf: DataFrame, n_docs: DataFrame, min_count: int = 2
+) -> DataFrame:
+    """PMI edge scoring from PERSISTED count state — the read half of
+    incremental co-occurrence maintenance, identical arithmetic to
+    cooccurrence_graph (one double division, one ln)."""
+    fa = tf.select(F.col("term").alias("src"), F.col("df").alias("df_a"))
+    fb = tf.select(F.col("term").alias("dst"), F.col("df").alias("df_b"))
+    return (
+        edges.filter(F.col("cooccur") >= min_count)
+        .join(fa, "src")
+        .join(fb, "dst")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "src",
+            "dst",
+            "cooccur",
+            F.log(
+                F.col("n") * F.col("cooccur") / (F.col("df_a") * F.col("df_b"))
+            ).alias("pmi"),
+        )
+    )

@@ -4,7 +4,8 @@ same real-world entity (name variants, near-identical records) are
 linked and collapsed to one canonical id, so edges aggregate on
 entities instead of spelling variants. The reference merges entities
 by exact name-or-alias equality during graph build
-(utils/neo4j_helpers.py — the MERGE-on-name pattern); this module is
+(defs/assets/ingest_graph_db.py:225-290 — MERGE on natural keys;
+alias lists collected at extract_artists.py:210-240); this module is
 the fuzzy generalization: blocking → multi-attribute match rule →
 transitive closure → canonical survivor.
 

@@ -1048,3 +1048,51 @@ def graph_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_jaccard=0.5,
         max_size_gap=1,
     )
+
+
+@register(
+    "graph_text_cooccurrence",
+    oracle=r"""
+WITH terms AS (
+  SELECT doc_id AS d,
+         unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x <> ''))) AS term
+  FROM documents
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), tf AS (
+  SELECT term, count(*) AS df FROM terms GROUP BY term
+), kept AS (
+  SELECT d FROM terms GROUP BY d HAVING count(*) <= 64
+), tk AS (
+  SELECT t.d, t.term FROM terms t JOIN kept USING (d)
+), pairs AS (
+  SELECT a.term AS src, b.term AS dst, count(*) AS cooccur
+  FROM tk a JOIN tk b USING (d)
+  WHERE a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT p.src, p.dst, p.cooccur,
+       floor(ln(n.n * p.cooccur / (fa.df * fb.df)) * 1000000 + 0.5) / 1000000 AS pmi
+FROM pairs p
+JOIN tf fa ON p.src = fa.term
+JOIN tf fb ON p.dst = fb.term
+CROSS JOIN nd n
+""",
+)
+def graph_text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence graph extracted FROM TEXT with PMI weights —
+    the graph-FROM-text rung (the reference reaches it via per-article
+    extraction feeding ingest_graph_db.py's MERGE edges; co-mention in
+    the same article is the association signal): per-doc distinct terms → doc-keyed pair join →
+    document-level co-occurrence counts → PMI = ln(N·c_ab/(c_a·c_b)).
+    Registered with the max_doc_terms=64 mega-doc guardrail (no-op at
+    fixture vocabulary; bounds per-doc pair volume at C(64,2) at
+    100 TB) and min_count=5 noise floor; the oracle replays explode →
+    cap → pair join → PMI end-to-end."""
+    from graphragdatapipeline_spark.graph.build import cooccurrence_graph
+    from graphragdatapipeline_spark.registry import dround
+
+    d = read_table(spark, sf_dir, "documents")
+    g = cooccurrence_graph(d, "doc_id", "text", min_count=5, max_doc_terms=64)
+    return g.select("src", "dst", "cooccur", dround(F.col("pmi"), 6).alias("pmi"))

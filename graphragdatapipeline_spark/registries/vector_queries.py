@@ -768,3 +768,80 @@ def vector_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = vs.sq8_encode(emb)
     top = vs.sq8_topk(codes, _query_vec(spark, sf_dir), k=8)
     return top.select("vec_id", dround(F.col("sim"), 6).alias("sim"))
+
+
+def _ivf_sq8_oracle(
+    k: int = 4, iters: int = 3, dim: int = 64, shortlist: int = 16, topk: int = 5
+) -> str:
+    """IVF → SQ8 shortlist → exact rerank replay: trained-cell probe
+    (shared k-means unroll), SQ8 dequantized cosine inside the cell,
+    top-`shortlist` survivors rescored with exact full-precision
+    cosine."""
+    base = _kmeans_oracle(k, iters, dim)
+    with_body = base[: base.index("\nSELECT a.cell")]
+    return (
+        with_body
+        + f""",
+qv AS (SELECT v FROM emb WHERE vec_id = 0),
+qcell AS (
+  SELECT c.cell FROM c{iters} c CROSS JOIN qv q
+  ORDER BY list_sum(list_transform(list_zip(q.v, c.c), p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+           c.cell ASC LIMIT 1
+), members AS (
+  SELECT e.vec_id, e.v FROM emb e JOIN a{iters} a USING (vec_id)
+  WHERE a.cell = (SELECT cell FROM qcell) AND e.vec_id <> 0
+), params AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+  FROM members
+), deq AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> mn + floor((x - mn) / scale + 0.5) * scale) AS dv
+  FROM params
+), short AS (
+  SELECT vec_id, v FROM (
+    SELECT d.vec_id, d.v,
+           list_dot_product(d.dv, q.v)
+             / (sqrt(list_dot_product(d.dv, d.dv)) * sqrt(list_dot_product(q.v, q.v))) AS qsim
+    FROM deq d CROSS JOIN qv q
+    QUALIFY row_number() OVER (ORDER BY qsim DESC, d.vec_id ASC) <= {shortlist})
+), exact AS (
+  SELECT s.vec_id,
+         list_dot_product(s.v, q.v)
+           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.v, q.v))) AS sim
+  FROM short s CROSS JOIN qv q
+)
+SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+FROM exact ORDER BY sim DESC, vec_id ASC LIMIT {topk}"""
+    )
+
+
+@register("vector_ivf_sq8_rerank", oracle=_ivf_sq8_oracle())
+def vector_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN read path with BOTH compression rungs
+    composed: trained IVF partition probe (scan 1/nlist of the
+    corpus — a partition column at scale) → SQ8 quantized cosine over
+    the cell's CODES (1 byte/dim scanned) → exact full-precision
+    rerank of the 16 survivors (only 16 full vectors ever load). The
+    oracle replays training, probe, quantization, shortlist, and
+    rerank end-to-end — five independently-oracled layers in one
+    flow."""
+    from graphragdatapipeline_spark.registry import dround
+
+    e = read_table(spark, sf_dir, "embeddings")
+    assigned, cents = vs.kmeans_cells(e, k=4, iters=3)
+    q = _query_vec(spark, sf_dir)
+
+    def sqdist(c: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(q, c):
+            acc += (a - b) * (a - b)  # same left fold as engine/oracle
+        return acc
+
+    qcell = min(range(len(cents)), key=lambda ci: (sqdist(cents[ci]), ci))
+    members = assigned.filter(F.col("cell") == qcell).select("vec_id")
+    cand = e.join(members, "vec_id").filter(F.col("vec_id") != 0)
+    short_ids = vs.sq8_topk(vs.sq8_encode(cand), q, k=16).select("vec_id")
+    out = vs.cosine_topk(cand.join(short_ids, "vec_id"), q, k=5)
+    return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))

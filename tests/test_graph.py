@@ -556,3 +556,63 @@ def test_resolve_entities_empty(spark):
     out = resolve_entities(recs, "rid", "name", "blk")
     assert out.count() == 0
     assert out.columns == ["rid", "canonical_id", "cluster_size", "canonical_name"]
+
+
+def test_cooccurrence_planted_association(spark):
+    """Terms that ALWAYS appear together get top PMI; a corpus-wide
+    term pairs with everything at PMI ≈ ln(1) = 0 — the discrimination
+    PMI exists for. Guardrail: a mega-doc above max_doc_terms
+    contributes no pairs, but keeps its doc/term frequencies."""
+    from graphragdatapipeline_spark.graph.build import cooccurrence_graph
+
+    docs = [(i, "everywhere alpha beta") for i in range(4)]
+    docs += [(10 + i, "everywhere gamma") for i in range(4)]
+    mega = (99, " ".join(f"t{j}" for j in range(30)) + " everywhere")
+    df = spark.createDataFrame(docs + [mega], "doc_id long, text string")
+    out = {
+        (r.src, r.dst): (r.cooccur, r.pmi)
+        for r in cooccurrence_graph(df, min_count=2, max_doc_terms=10).collect()
+    }
+    # alpha+beta co-occur in all 4 of their docs: PMI = ln(9*4/(4*4)) > 0
+    import math
+    assert out[("alpha", "beta")][0] == 4
+    assert abs(out[("alpha", "beta")][1] - math.log(9 * 4 / 16)) < 1e-9
+    # 'everywhere' appears in ALL 9 docs; with alpha in 4: PMI = ln(9*4/(9*4)) = 0
+    assert abs(out[("alpha", "everywhere")][1]) < 1e-9
+    # mega-doc terms never form pairs (t0..t29 dropped pre-join)
+    assert not any("t0" in e for e in out)
+
+
+def test_cooccurrence_incremental_matches_batch(spark):
+    """Two sequential ingests merged through the count index ≡ one
+    batch build — including PMI, which is recomputed from merged
+    counts (counts are additive; PMI is not)."""
+    from graphragdatapipeline_spark.graph.build import (
+        cooccurrence_graph,
+        cooccurrence_index_delta,
+        merge_count_index,
+        pmi_from_index,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "red cat blue"), (2, "red cat"), (3, "blue dog")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "red cat blue dog"), (5, "cat dog")],
+        "doc_id long, text string",
+    )
+    e1, t1, n1 = cooccurrence_index_delta(b1)
+    e2, t2, n2 = cooccurrence_index_delta(b2)
+    edges = merge_count_index(e1, e2, ["src", "dst"])
+    tf = merge_count_index(t1, t2, ["term"])
+    n = merge_count_index(n1, n2, [])
+    inc = {
+        (r.src, r.dst): (r.cooccur, round(r.pmi, 9))
+        for r in pmi_from_index(edges, tf, n, min_count=2).collect()
+    }
+    batch = {
+        (r.src, r.dst): (r.cooccur, round(r.pmi, 9))
+        for r in cooccurrence_graph(b1.unionByName(b2), min_count=2).collect()
+    }
+    assert inc == batch and len(batch) > 0

@@ -386,3 +386,40 @@ def test_sq8_topk_recall_vs_exact(spark, sf_dir):
     exact = {r.vec_id for r in vs.cosine_topk(emb, q, k=8).collect()}
     sq8 = {r.vec_id for r in vs.sq8_topk(vs.sq8_encode(emb), q, k=8).collect()}
     assert len(exact & sq8) >= 6
+
+
+def test_ivf_sq8_full_shortlist_matches_ivf_probe(spark, sf_dir):
+    """With the shortlist opened to the whole cell, the SQ8 stage
+    cannot drop the true top-k — the rerank must reproduce the exact
+    in-cell probe result (quantization only reorders the SHORTLIST
+    boundary, never the exact-rescored survivors)."""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.registry import REGISTRY
+    from graphragdatapipeline_spark.vector import similarity as vs
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "embeddings")
+    assigned, cents = vs.kmeans_cells(e, k=4, iters=3)
+    row = e.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row.embedding]
+
+    def sqd(c):
+        acc = 0.0
+        for a, b in zip(q, c):
+            acc += (a - b) * (a - b)
+        return acc
+
+    qcell = min(range(len(cents)), key=lambda ci: (sqd(cents[ci]), ci))
+    members = assigned.filter(F.col("cell") == qcell).select("vec_id")
+    cand = e.join(members, "vec_id").filter(F.col("vec_id") != 0)
+    n_cell = cand.count()
+    short = vs.sq8_topk(vs.sq8_encode(cand), q, k=n_cell).select("vec_id")
+    reranked = [
+        r.vec_id
+        for r in vs.cosine_topk(cand.join(short, "vec_id"), q, k=5).collect()
+    ]
+    probe = [
+        r.vec_id
+        for r in REGISTRY["vector_ivf_probe_trained"].fn(spark, sf_dir).collect()
+    ]
+    assert reranked == probe
