@@ -521,3 +521,70 @@ def test_unescape_html_entities_requires_semicolon():
     assert unescape_html_entities("a &amp; b &#39;c&#39;") == "a & b 'c'"
     assert unescape_html_entities("&notanentity; x") == "&notanentity; x"
     assert unescape_html_entities(None) is None
+
+
+@given(
+    texts=st.lists(
+        st.lists(words, min_size=1, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+@SET
+def test_containment_pairs_match_reference(spark, texts):
+    """containment(src→dst) == |S(src)∩S(dst)| / |S(src)| against a
+    pure-Python shingle reference, all directed pairs, any unicode."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    def shingles(t):
+        ws = [w for w in re.split(r"\s+", t.lower()) if w]
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    ref = {}
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    for i in sets:
+        for j in sets:
+            if i == j:
+                continue
+            inter = len(sets[i] & sets[j])
+            if inter and inter / len(sets[i]) >= 0.25:
+                ref[(i, j)] = inter / len(sets[i])
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sh = dd.shingle_table(df, "doc_id", "text", k=3)
+    got = {
+        (r.src, r.dst): r.containment
+        for r in dd.containment_pairs(sh, "doc_id", threshold=0.25).collect()
+    }
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-12
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_sq8_codes_match_reference(spark, vec):
+    """SQ8 encode against a pure-Python reference: codes in 0..255,
+    reconstruction within scale/2, degenerate constant vectors exact."""
+    import math
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    df = spark.createDataFrame([(1, [float(x) for x in vec])],
+                               "vec_id long, embedding array<double>")
+    r = vs.sq8_encode(df).first()
+    mn, mx = min(vec), max(vec)
+    scale = (mx - mn) / 255.0 if mx > mn else 1.0
+    assert abs(r.scale - scale) < 1e-15 and abs(r.mn - mn) < 1e-15
+    for c, x in zip(r.codes, vec):
+        assert c == int(math.floor((x - mn) / scale + 0.5))
+        assert 0 <= c <= 255
+        assert abs((mn + c * scale) - x) <= scale / 2 + 1e-9
