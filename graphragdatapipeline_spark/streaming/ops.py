@@ -351,3 +351,59 @@ def windowed_percentile(
             "p_value",
         )
     )
+
+
+def cooccurrence_index_sink(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_terms: int | None = None,
+):
+    """Streaming text→graph maintenance: each micro-batch of documents
+    lands its ADDITIVE co-occurrence count deltas
+    (graph.build.cooccurrence_index_delta — edge co-counts, term doc
+    frequencies, doc count) as epoch partitions under
+    `index_dir/{edges,tf,ndocs}/epoch=N`; PMI is computed on read from
+    the summed counts (pmi_from_index), never stored. Exactly-once by
+    the same epoch-overwrite + commit-marker scheme as the dedup
+    sinks — and strictly simpler: counts are additive, so the batch
+    never reads the accumulated index at all; a foreachBatch retry
+    recomputes the identical delta from its replayed source slice and
+    idempotently overwrites its own epoch directories before the
+    marker lands. Read through read_cooccurrence_index for the
+    consistent (committed-epochs-only) view."""
+    from graphragdatapipeline_spark.graph.build import cooccurrence_index_delta
+
+    commits_dir = index_dir + "/_commits"
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        edges, tf, n = cooccurrence_index_delta(
+            df, id_col, text_col, max_doc_terms=max_doc_terms
+        )
+        edges.write.mode("overwrite").parquet(f"{index_dir}/edges/epoch={epoch_id}")
+        tf.write.mode("overwrite").parquet(f"{index_dir}/tf/epoch={epoch_id}")
+        n.write.mode("overwrite").parquet(f"{index_dir}/ndocs/epoch={epoch_id}")
+        _mark_committed(spark, commits_dir, epoch_id)
+
+    return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
+
+
+def read_cooccurrence_index(spark, index_dir: str):
+    """Merged (edges, tf, n_docs) over COMMITTED epochs — the
+    consistent read half of cooccurrence_index_sink; returns None
+    before the first commit. Feed the result to
+    graph.build.pmi_from_index for scored edges."""
+    commits_dir = index_dir + "/_commits"
+    edges = read_committed_epochs(spark, f"{index_dir}/edges", commits_dir)
+    tf = read_committed_epochs(spark, f"{index_dir}/tf", commits_dir)
+    n = read_committed_epochs(spark, f"{index_dir}/ndocs", commits_dir)
+    if edges is None:
+        return None
+    return (
+        edges.groupBy("src", "dst").agg(F.sum("cooccur").alias("cooccur")),
+        tf.groupBy("term").agg(F.sum("df").alias("df")),
+        n.agg(F.sum("n").alias("n")),
+    )

@@ -668,3 +668,54 @@ def test_incremental_neardup_sink_retry_converges_exactly_once(spark, tmp_path):
     assert so.committed_epochs(spark, corpus_dir + "/_commits") == [0]
     corpus = so.read_committed_epochs(spark, corpus_dir, corpus_dir + "/_commits")
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 2]
+
+
+def test_cooccurrence_index_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming co-occurrence maintenance over two micro-batches must
+    reproduce the one-shot batch graph EXACTLY (counts are additive;
+    PMI recomputed on read) — and an uncommitted epoch directory must
+    be invisible to the consistent reader."""
+    import time
+
+    from graphragdatapipeline_spark.graph.build import (
+        cooccurrence_graph,
+        pmi_from_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) / 2
+    slices = [d.filter(F.col("doc_id") <= cut), d.filter(F.col("doc_id") > cut)]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir = str(tmp_path / "coidx")
+    q = so.cooccurrence_index_sink(
+        stream, index_dir, str(tmp_path / "ckpt"), max_doc_terms=64
+    )
+    q.awaitTermination(180)
+
+    edges, tf, n = so.read_cooccurrence_index(spark, index_dir)
+    got = {
+        (r.src, r.dst): (r.cooccur, round(r.pmi, 9))
+        for r in pmi_from_index(edges, tf, n, min_count=5).collect()
+    }
+    want = {
+        (r.src, r.dst): (r.cooccur, round(r.pmi, 9))
+        for r in cooccurrence_graph(d, min_count=5, max_doc_terms=64).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # an uncommitted epoch (no marker) must not change the read view
+    extra = spark.createDataFrame([("x", "y", 999)], "src string, dst string, cooccur long")
+    extra.write.mode("overwrite").parquet(f"{index_dir}/edges/epoch=99")
+    edges2, _, _ = so.read_cooccurrence_index(spark, index_dir)
+    assert edges2.filter(F.col("cooccur") == 999).count() == 0
