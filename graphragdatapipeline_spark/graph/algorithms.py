@@ -207,6 +207,14 @@ def label_propagation(
             .groupBy("src", "dst")
             .agg(F.sum("_w").alias("_w"))
         )
+    # Materialize once at input partitioning, then right-size the
+    # per-round shuffle width to the symmetrized edge count (the
+    # connected_components sizing rule): contracted/filtered graphs can
+    # be orders of magnitude below defaultParallelism, where full-width
+    # rounds are pure fixed-cost latency, and AQE cannot re-plan across
+    # checkpointed iterations.
+    sym = sym.localCheckpoint(eager=True)
+    par = max(2, min(par, sym.count() // 100_000 + 1))
     sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
@@ -464,6 +472,11 @@ def louvain_move(
             .groupBy("src", "dst")
             .agg(F.sum("_w").alias("_w"))
         )
+    # Same edge-count-sized round width as detect_communities /
+    # connected_components — the ladder's contracted levels are tiny,
+    # and move rounds there were dominated by fixed per-round costs.
+    sym = sym.localCheckpoint(eager=True)
+    par = max(2, min(par, sym.count() // 100_000 + 1))
     sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("_w").alias("_k"))
     ids = sym.select(F.col("src").alias("id")).distinct()
