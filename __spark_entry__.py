@@ -42,9 +42,11 @@ _FORCE_REVERIFY: set[str] = {
     # bucket representative-keep rule (oracle mirrors both) — the r7
     # unguarded green is stale
     "dedup_corpus_verified",
-    # round 8: vector_lsh_buckets re-registered on the map-side
-    # lsh_signature_col path (same values, new plan shape)
-    "vector_lsh_buckets",
+    # NOT listed: vector_lsh_buckets — re-registered r8 on the
+    # map-side lsh_signature_col path, but the output is BIT-COMPATIBLE
+    # with the old path (equivalence pinned in pytest), so its r6 green
+    # hash remains valid value evidence; the freed window slot goes to
+    # the r5 rotation cohort instead.
 }
 
 
