@@ -33,6 +33,7 @@ def candidate_pairs(
     max_block: int | None = None,
     band_col: str | None = None,
     band_gap: int = 0,
+    prefix_col: str | None = None,
 ) -> DataFrame:
     """(a, b) candidate pairs (a < b) from an equi-self-join on the
     blocking key, with every non-key column of both sides preserved
@@ -46,7 +47,19 @@ def candidate_pairs(
     This shrinks candidate volume from Σ|block|² to
     (2·gap+1)·Σ|cell|² — the sorted-neighborhood trick as an equi
     join, which is what survives at 100 TB where the similarity
-    filter would otherwise evaluate on every in-block pair."""
+    filter would otherwise evaluate on every in-block pair.
+
+    ``prefix_col`` names an array<string> column of PREFIX-FILTER
+    tokens (AllPairs/PPJoin, Xiao et al., WWW'08): both sides explode
+    it into the join key, so two records meet only when they share a
+    prefix token. With prefixes built for a Jaccard threshold t
+    (see :func:`jaccard_prefix_col`), the filter is RECALL-PRESERVING
+    — every pair with Jaccard ≥ t shares its df-smallest common token
+    in both prefixes — so downstream match output is bit-identical
+    while Σ|cell|² drops by the vocabulary's selectivity. Pairs that
+    collide on several shared prefix tokens are deduplicated here
+    (on the pair ids; payload columns are functionally determined by
+    the ids, so the kept row is value-deterministic)."""
     if max_block is not None:
         keep = (
             records.groupBy(block_col)
@@ -58,17 +71,70 @@ def candidate_pairs(
     cols = [c for c in records.columns if c != block_col]
     a = records.select(block_col, *[F.col(c).alias(f"a_{c}") for c in cols])
     b = records.select(block_col, *[F.col(c).alias(f"b_{c}") for c in cols])
-    if band_col is None:
-        return a.join(b, block_col).filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
-    offsets = F.array(*[F.lit(o) for o in range(-band_gap, band_gap + 1)])
-    a = a.withColumn(
-        "_band", F.explode(F.transform(offsets, lambda o: F.col(f"a_{band_col}") + o))
-    )
-    b = b.withColumn("_band", F.col(f"b_{band_col}"))
-    return (
-        a.join(b, [block_col, "_band"])
+    keys = [block_col]
+    if band_col is not None:
+        offsets = F.array(*[F.lit(o) for o in range(-band_gap, band_gap + 1)])
+        a = a.withColumn(
+            "_band",
+            F.explode(F.transform(offsets, lambda o: F.col(f"a_{band_col}") + o)),
+        )
+        b = b.withColumn("_band", F.col(f"b_{band_col}"))
+        keys.append("_band")
+    if prefix_col is not None:
+        a = a.withColumn("_ptok", F.explode(F.col(f"a_{prefix_col}")))
+        b = b.withColumn("_ptok", F.explode(F.col(f"b_{prefix_col}")))
+        keys.append("_ptok")
+    out = (
+        a.join(b, keys)
         .filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
-        .drop("_band")
+        .drop("_band", "_ptok")
+    )
+    if prefix_col is not None:
+        out = out.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
+    return out
+
+
+def jaccard_prefix_col(
+    records: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold_micro: int,
+) -> DataFrame:
+    """Attach ``_prefix``: each record's first |ts| − ⌈t·|ts|⌉ + 1
+    tokens under the global (document-frequency asc, token asc) order
+    — the AllPairs/PPJoin prefix for Jaccard threshold t (micro-int
+    ``threshold_micro`` = t·10⁶, the same exact arithmetic the match
+    rule uses). Records with an EMPTY token set get the sentinel
+    prefix [""] (real tokens are never empty strings), because under
+    the micro-int rule 0 ≥ t·0 two empty sets DO match — dropping
+    them from pairing would change output.
+
+    Cost shape at 100 TB: one token-keyed count (vocabulary-sized
+    output), one re-aggregation keyed by record id — both linear
+    one-pass shuffles, traded against a quadratic candidate-volume
+    cut in the blocked self-join downstream."""
+    toks = records.select(F.col(id_col).alias("_pid"), F.explode(tokens_col).alias("_tok"))
+    dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        toks.join(dfreq, "_tok")
+        .groupBy("_pid")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_o"))
+        .withColumn(
+            "_p",
+            F.expr(
+                f"CAST(size(_o) - (size(_o) * {threshold_micro} + 999999)"
+                " DIV 1000000 + 1 AS INT)"
+            ),
+        )
+        .select(
+            "_pid",
+            F.expr("transform(slice(_o, 1, _p), x -> x._tok)").alias("_prefix"),
+        )
+    )
+    return (
+        records.join(ordered, records[id_col] == ordered["_pid"], "left")
+        .drop("_pid")
+        .withColumn("_prefix", F.coalesce("_prefix", F.array(F.lit(""))))
     )
 
 
@@ -81,6 +147,7 @@ def resolve_entities(
     name_jaccard: float = 0.5,
     max_size_gap: int = 1,
     max_block: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Resolve records to canonical entities → (id, canonical_id,
     cluster_size, canonical_name).
@@ -93,7 +160,15 @@ def resolve_entities(
     A~C may fail the rule — the survivorship semantics every MDM
     system uses); canonical_id is the min member id and
     canonical_name that member's name, so every variant maps to one
-    stable survivor record."""
+    stable survivor record.
+
+    ``prefix_filter`` (default on) adds the recall-preserving
+    AllPairs/PPJoin token prefix to the candidate join key: output is
+    bit-identical (every qualifying pair still meets, pinned by a
+    Hypothesis equivalence property), but in-cell candidate density
+    scales with token selectivity instead of raw cell population —
+    the knob that keeps blocked ER sub-quadratic when the corpus
+    grows under a FIXED blocking cardinality."""
     from graphragdatapipeline_spark.operators.dedup import dup_cluster_assignments
 
     toks = records.withColumn(
@@ -102,13 +177,21 @@ def resolve_entities(
             F.filter(F.split(F.lower(F.col(name_col)), r"\s+"), lambda t: t != "")
         ),
     )
+    narrowed = toks.select(id_col, block_col, "_ts", *([size_col] if size_col else []))
+    prefix_col = None
+    if prefix_filter:
+        narrowed = jaccard_prefix_col(
+            narrowed, id_col, "_ts", int(name_jaccard * 1_000_000)
+        )
+        prefix_col = "_prefix"
     pairs = candidate_pairs(
-        toks.select(id_col, block_col, "_ts", *([size_col] if size_col else [])),
+        narrowed,
         id_col,
         block_col,
         max_block=max_block,
         band_col=size_col,
         band_gap=max_size_gap,
+        prefix_col=prefix_col,
     )
     inter = F.size(F.array_intersect(F.col("a__ts"), F.col("b__ts")))
     union = F.size(F.array_union(F.col("a__ts"), F.col("b__ts")))

@@ -1033,7 +1033,15 @@ def graph_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     |p_size gap| ≤ 1, transitive closure over the match pairs (Hash-Min
     components on the PAIR graph), canonical survivor = min member id,
     its name carried as canonical_name. The oracle replays blocking →
-    rule → recursive min-label walk → survivor join end-to-end."""
+    rule → recursive min-label walk → survivor join end-to-end.
+
+    Candidate generation runs with the RECALL-PRESERVING AllPairs/
+    PPJoin token-prefix filter (default since round 8): the join key
+    gains the record's df-rarest name tokens, cutting in-cell pair
+    density by the vocabulary's selectivity while provably keeping
+    every Jaccard ≥ 0.5 pair (Hypothesis-pinned equivalence) — which
+    is why this oracle needs no mirror clause: the filtered plan's
+    OUTPUT is bit-identical to the plain blocked join it replays."""
     from graphragdatapipeline_spark.graph.entities import resolve_entities
 
     part = read_table(spark, sf_dir, "part").select(

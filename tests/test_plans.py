@@ -455,3 +455,42 @@ def test_containment_single_pass_self_join(spark, sf_dir):
         if "LeftSemi" not in m.group(0)
     ]
     assert len(shingle_joins) == 1, plan
+
+
+def test_pq_adc_scan_is_mapside_topk(spark, sf_dir):
+    """The PQ ADC read path must be ONE scan under TakeOrdered — the
+    per-row cost is m array lookups on driver-computed distance
+    tables, and no Exchange may appear (at 100 TB the scan reads
+    m-byte codes; a shuffle or global sort here would move the whole
+    corpus). Codebook training runs eagerly before this plan exists,
+    so the plan IS the read path."""
+    plan = _plan(spark, "vector_pq_adc_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_dsir_scoring_join_broadcasts_model(spark, sf_dir):
+    """DSIR's B-row cell model must BROADCAST into the corpus-sized
+    feature stream; a sort-merge join would shuffle every hashed
+    feature occurrence by cell id. The only allowed corpus-sized
+    Exchange is the per-doc aggregation."""
+    plan = _plan(spark, "curation_dsir_weights", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cooccurrence_pair_join_is_doc_keyed_equi(spark, sf_dir):
+    """Term-pair generation must stay a doc-keyed equi self-join of
+    the (checkpointed) exploded term table — a dropped doc key would
+    pair every term with every term. The ONE BroadcastNestedLoopJoin
+    allowed is the scalar cross join attaching the 1-row corpus count
+    N for PMI; the pair join itself must be hash-keyed on the doc id."""
+    plan = _plan(spark, "graph_text_cooccurrence", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row N join
+    # the term table is localCheckpointed (ExistingRDD), and the pair
+    # join consumes it through a doc-keyed equi hash join
+    assert "Scan ExistingRDD" in plan
+    assert "Join [_d" in plan.replace("BroadcastHashJoin [_d", "Join [_d").replace(
+        "SortMergeJoin [_d", "Join [_d"
+    )

@@ -588,3 +588,37 @@ def test_sq8_codes_match_reference(spark, vec):
         assert c == int(math.floor((x - mn) / scale + 0.5))
         assert 0 <= c <= 255
         assert abs((mn + c * scale) - x) <= scale / 2 + 1e-9
+
+
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), max_size=5),
+            st.sampled_from(["B1", "B2"]),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    t=st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+)
+@SET
+def test_entity_resolution_prefix_filter_is_recall_preserving(spark, recs, t):
+    """AllPairs/PPJoin prefix filtering must be invisible in the
+    output: resolve_entities(prefix_filter=True) == (False) row for
+    row, across thresholds (ceil-prefix-length arithmetic), duplicate
+    names (df ties), and EMPTY token sets (two empty names satisfy
+    0 ≥ t·0 and must still pair via the sentinel prefix)."""
+    from graphragdatapipeline_spark.graph.entities import resolve_entities
+
+    rows = [
+        (i, " ".join(ws), blk, sz) for i, (ws, blk, sz) in enumerate(recs)
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, blk string, sz int")
+    kw = dict(
+        id_col="rid", name_col="name", block_col="blk",
+        size_col="sz", name_jaccard=t, max_size_gap=1,
+    )
+    off = sorted(map(tuple, resolve_entities(df, prefix_filter=False, **kw).collect()))
+    on = sorted(map(tuple, resolve_entities(df, prefix_filter=True, **kw).collect()))
+    assert on == off
