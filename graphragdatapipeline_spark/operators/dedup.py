@@ -294,23 +294,52 @@ def jaccard_pairs(
 
     Without candidates: self-join on shingle (inverted-index join —
     only docs sharing a shingle ever meet, never a cross join). With
-    candidates (e.g. LSH output): verification joins only those pairs.
+    candidates (e.g. LSH output): the common-shingle count is computed
+    by a CANDIDATE-KEYED join — pairs × a-side shingles, matched
+    against the b side on (b, shingle) — so verification cost is
+    Σ_cands |S(a)|, linear in the candidate set. The earlier shape
+    (full shingle self-join, THEN a semi join on the candidates)
+    produced the same rows but paid Σ posting² first — measured fatal
+    at 100× fixture density, where replication inflates every posting
+    list 100× and the pre-filter pair volume 10,000× (OOM at sf10;
+    candidate-keyed verify completes — see SCALE.md). Shingles are
+    distinct per doc (word_shingles → array_distinct), so the count is
+    |S(a)∩S(b)| in both shapes — output bit-identical, pinned by
+    test_jaccard_candidate_verify_matches_full_join.
     The shingle table is consumed THREE times (both join sides + the
     per-doc sizes); the lazy checkpoint computes the explode once
     (measured sf0.1 with LSH candidates: 2.58 s → 2.13 s)."""
     if reuse_shingles:
         shingles = shingles.localCheckpoint(eager=False)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.select(F.col(id_col).alias("a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["a", "b"], "left_semi")
+        pa = shingles.select(F.col(id_col).alias("a"), "shingle")
+        pb = shingles.select(F.col(id_col).alias("b"), "shingle")
+        # The (b, shingle) join is corpus-sized on BOTH sides; its
+        # shuffle output is also highly compressible (repeated shingle
+        # strings), so AQE's compressed-size estimate can fall under
+        # the broadcast threshold while the in-memory HashedRelation
+        # is GBs — observed as a driver OOM at sf10. The merge hint
+        # pins it to a sort-merge join, which is the only shape that
+        # survives any corpus size.
+        common = (
+            candidates.select("a", "b")
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+            .join(pa, "a")
+            .join(pb.hint("merge"), ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = shingles.select(F.col(id_col).alias("a"), "shingle")
+        b = shingles.select(F.col(id_col).alias("b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     return (

@@ -365,3 +365,36 @@ def test_containment_empty(spark):
     out = dd.containment_pairs(sh, "doc_id", threshold=0.5)
     assert out.count() == 0
     assert out.columns == ["src", "dst", "containment"]
+
+
+def test_jaccard_candidate_verify_matches_full_join(spark, sf_dir):
+    """The candidate-keyed verification join (pairs × a-shingles
+    matched on (b, shingle)) must emit EXACTLY the rows of the full
+    inverted-index self-join filtered to the candidate set — the shape
+    swap is a pure plan change (linear in candidates instead of
+    Σ posting², which OOMed at 100× fixture density), never a value
+    change. Run on the real documents fixture through the registered
+    LSH chain, plus a candidate set that includes a no-common-shingle
+    pair (must be absent from both) and an a>b pair (dropped by the
+    a<b contract in both)."""
+    from graphragdatapipeline_spark.io import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures_rowwise(d, "doc_id", "text", k=3, num_hashes=16)
+    bands = dd.lsh_bands(sig, "doc_id", 16, 4)
+    cands = dd.lsh_candidate_pairs(bands, "doc_id", max_bucket=8)
+    ids = [r.doc_id for r in d.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    extra = spark.createDataFrame(
+        [(ids[0] * 1000 + 7, ids[1] * 1000 + 9), (ids[1], ids[0])], ["a", "b"]
+    )
+    cands = cands.unionByName(extra)
+    sh = dd.shingle_table(d, "doc_id", "text", k=3)
+
+    got = dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
+
+    full = dd.jaccard_pairs(sh, "doc_id", threshold=0.2)
+    want = full.join(cands.select("a", "b").distinct(), ["a", "b"], "left_semi")
+
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
