@@ -494,3 +494,20 @@ def test_cooccurrence_pair_join_is_doc_keyed_equi(spark, sf_dir):
     assert "Join [_d" in plan.replace("BroadcastHashJoin [_d", "Join [_d").replace(
         "SortMergeJoin [_d", "Join [_d"
     )
+
+
+def test_jaccard_verify_join_is_merge_not_broadcast(spark, sf_dir):
+    """The candidate-keyed verification's (b, shingle) join is
+    corpus-sized on both sides AND its shuffle output compresses ~10×
+    (repeated shingle strings), so AQE's compressed-size estimate can
+    slip under the broadcast threshold while the in-memory relation is
+    GBs — observed as a driver OOM at the 100× fixture. The merge hint
+    pins it to SortMergeJoin; this test pins the hint. The shingle-
+    keyed join must appear as SMJ and never as a broadcast build."""
+    plan = _plan(spark, "dedup_corpus_verified", sf_dir)
+    smj_keys = [f.split("]", 1)[0] for f in plan.split("SortMergeJoin [")[1:]]
+    assert any("shingle" in k for k in smj_keys), plan
+    # no broadcast is ever keyed on the shingle column
+    for frag in plan.split("BroadcastHashJoin")[1:]:
+        keys = frag.split("]", 1)[0]
+        assert "shingle" not in keys, plan
