@@ -622,3 +622,38 @@ def test_entity_resolution_prefix_filter_is_recall_preserving(spark, recs, t):
     off = sorted(map(tuple, resolve_entities(df, prefix_filter=False, **kw).collect()))
     on = sorted(map(tuple, resolve_entities(df, prefix_filter=True, **kw).collect()))
     assert on == off
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff"]), max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    pair_seed=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), max_size=12
+    ),
+    t=st.sampled_from([0.0, 0.25, 0.6]),
+)
+@SET
+def test_jaccard_candidate_keyed_equals_filtered_full_join(spark, docs, pair_seed, t):
+    """The candidate-keyed verification join must equal the full
+    inverted-index self-join filtered to the candidates, for ANY
+    candidate set: duplicated pairs, a>b pairs (dropped by the a<b
+    contract), pairs naming absent ids, sub-k-token docs (whole-string
+    shingle), and candidate sets that are empty."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    d = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    sh = dd.shingle_table(d, "doc_id", "text", k=3)
+    cands = spark.createDataFrame(
+        [(a, b) for a, b in pair_seed] or [(99, 98)], "a long, b long"
+    )
+    got = dd.jaccard_pairs(sh, "doc_id", threshold=t, candidates=cands)
+    full = dd.jaccard_pairs(sh, "doc_id", threshold=t)
+    want = full.join(
+        cands.filter(F.col("a") < F.col("b")).distinct(), ["a", "b"], "left_semi"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
