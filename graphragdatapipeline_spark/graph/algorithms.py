@@ -19,6 +19,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint's storage blocks NOW.
+
+    ``DataFrame.unpersist()`` is a no-op for checkpoints (their blocks
+    belong to an internal RDD the CacheManager doesn't track), and
+    ContextCleaner GC is too lazy for tight iterative loops at scale —
+    measured executor OOM on a 2×10⁸-row ER pair graph from superseded
+    per-round label tables that were awaiting collection. Reaches the
+    LogicalRDD's backing RDD id and unpersists it directly;
+    best-effort (a non-checkpoint plan is left untouched)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            sc = df.sparkSession.sparkContext
+            sc._jsc.sc().unpersistRDD(plan.rdd().id(), False)
+    except Exception:  # pragma: no cover — py4j internals shifted
+        pass
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """G9 — true degree per vertex (out + in), one pass.
 
@@ -92,22 +111,41 @@ def connected_components(
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    # Checkpoint memory discipline (learned at the 100× fixture, where
+    # the symmetrized ER pair graph is ~2×10⁸ rows): every superseded
+    # loop checkpoint is UNPERSISTED as soon as its successor is
+    # materialized — otherwise the pre-repartition edge copy plus one
+    # label table per round accumulate in the unified pool and the
+    # executor heap dies mid-loop. The edge table (the big, loop-
+    # invariant operand) additionally pins MEMORY_AND_DISK explicitly:
+    # blocks the pool can't hold overflow to local disk instead of
+    # competing with the per-round join's execution memory.
+    from pyspark.storagelevel import StorageLevel
+
+    sym0 = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     # Right-size the iterative loop's partitioning to the PAIR graph:
     # the per-round joins run O(log d) times, and on a small component
     # graph (dedup/ER pair sets are orders of magnitude below the
     # corpus) default shuffle width is pure fixed-cost latency. AQE
     # can't help — each round is a separate checkpointed job.
-    n_edges = sym.count()
-    default_parts = sym.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n_edges = sym0.count()
+    default_parts = sym0.sparkSession.conf.get("spark.sql.shuffle.partitions")
     parts = max(2, min(int(default_parts), n_edges // 100_000 + 1))
-    sym = sym.repartition(parts, "dst").localCheckpoint(eager=True)
+    sym = sym0.repartition(parts, "dst").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    _free_checkpoint(sym0)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels  # the round's checkpointed frame, freed next round
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -146,6 +184,8 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         changed = updated.agg(F.sum("_changed")).first()[0] or 0
+        _free_checkpoint(prev_ckpt)  # superseded round — release its blocks
+        prev_ckpt = updated
         labels = updated.drop("_changed")
         if changed == 0:
             return labels

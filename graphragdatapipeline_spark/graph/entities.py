@@ -57,9 +57,17 @@ def candidate_pairs(
     — every pair with Jaccard ≥ t shares its df-smallest common token
     in both prefixes — so downstream match output is bit-identical
     while Σ|cell|² drops by the vocabulary's selectivity. Pairs that
-    collide on several shared prefix tokens are deduplicated here
-    (on the pair ids; payload columns are functionally determined by
-    the ids, so the kept row is value-deterministic)."""
+    collide on several shared prefix tokens are deduplicated here on
+    the BARE id pair, and only then are payload columns re-attached
+    by two id-keyed joins (merge-hinted: the record table is
+    corpus-sized and its compressed shuffle bytes must never bait AQE
+    into a broadcast — the jaccard_pairs lesson). The earlier shape
+    carried both sides' token+prefix arrays through the collision
+    dropDuplicates, making the dedup hash state payload-sized —
+    measured OOM at the 100× fixture (clone density 100 ⇒ ~10⁸
+    payload-heavy pair rows); id pairs are 16 bytes each and the
+    payload joins are linear. Output is identical: payloads are
+    functionally determined by the ids."""
     if max_block is not None:
         keep = (
             records.groupBy(block_col)
@@ -69,8 +77,19 @@ def candidate_pairs(
         )
         records = records.join(keep, block_col, "left_semi")
     cols = [c for c in records.columns if c != block_col]
-    a = records.select(block_col, *[F.col(c).alias(f"a_{c}") for c in cols])
-    b = records.select(block_col, *[F.col(c).alias(f"b_{c}") for c in cols])
+    # Pair generation runs SLIM when the prefix filter multiplies key
+    # collisions: only the id + join-key columns enter the self-join.
+    join_cols = (
+        cols
+        if prefix_col is None
+        else [
+            c
+            for c in (id_col, band_col, prefix_col)
+            if c is not None and c in records.columns
+        ]
+    )
+    a = records.select(block_col, *[F.col(c).alias(f"a_{c}") for c in join_cols])
+    b = records.select(block_col, *[F.col(c).alias(f"b_{c}") for c in join_cols])
     keys = [block_col]
     if band_col is not None:
         offsets = F.array(*[F.lit(o) for o in range(-band_gap, band_gap + 1)])
@@ -89,9 +108,16 @@ def candidate_pairs(
         .filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
         .drop("_band", "_ptok")
     )
-    if prefix_col is not None:
-        out = out.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
-    return out
+    if prefix_col is None:
+        return out
+    pair_ids = out.select(f"a_{id_col}", f"b_{id_col}").dropDuplicates()
+    a_full = records.select(block_col, *[F.col(c).alias(f"a_{c}") for c in cols])
+    b_full = records.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    return (
+        pair_ids.join(a_full.hint("merge"), f"a_{id_col}")
+        .join(b_full.hint("merge"), f"b_{id_col}")
+        .select(block_col, *[f"a_{c}" for c in cols], *[f"b_{c}" for c in cols])
+    )
 
 
 def jaccard_prefix_col(
