@@ -79,10 +79,16 @@ def transitive_closure(
             .select(F.col("l.node").alias("node"), F.col("r.anc").alias("anc"))
         )
         new_closure = closure.unionByName(hop).distinct()
-        if (i + 1) % checkpoint_every == 0:
+        checkpointed = (i + 1) % checkpoint_every == 0
+        if checkpointed:
             new_closure = new_closure.localCheckpoint(eager=True)
         new_count = new_closure.count()
         old_count = closure.count()
+        if checkpointed:
+            # The closure table GROWS every round; superseded rounds'
+            # checkpoint blocks must be released, not left for GC
+            # (see _free_checkpoint — the components-loop lesson).
+            _free_checkpoint(closure)
         closure = new_closure
         if new_count == old_count:
             break
