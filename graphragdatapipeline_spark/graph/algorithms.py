@@ -259,9 +259,10 @@ def label_propagation(
     # be orders of magnitude below defaultParallelism, where full-width
     # rounds are pure fixed-cost latency, and AQE cannot re-plan across
     # checkpointed iterations.
-    sym = sym.localCheckpoint(eager=True)
-    par = max(2, min(par, sym.count() // 100_000 + 1))
-    sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
+    sym0 = sym.localCheckpoint(eager=True)
+    par = max(2, min(par, sym0.count() // 100_000 + 1))
+    sym = sym0.repartition(par, "dst").localCheckpoint(eager=True)
+    _free_checkpoint(sym0)
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id")).distinct()
@@ -298,7 +299,7 @@ def label_propagation(
                 "community", F.struct(F.col("votes"), F.bitwise_not(F.col("community")))
             ).alias("new_community")
         )
-        labels = (
+        new_labels = (
             labels.join(winner, "id", "left")
             .select(
                 "id", F.coalesce("new_community", F.col("community")).alias("community")
@@ -306,6 +307,10 @@ def label_propagation(
             .coalesce(par)
             .localCheckpoint(eager=True)
         )
+        _free_checkpoint(labels)  # superseded round (vertex-sized, but
+        # at 100 TB vertex tables are billions of rows — same
+        # accumulate-until-OOM hazard the components loop measured)
+        labels = new_labels
     return labels
 
 
@@ -521,9 +526,10 @@ def louvain_move(
     # Same edge-count-sized round width as detect_communities /
     # connected_components — the ladder's contracted levels are tiny,
     # and move rounds there were dominated by fixed per-round costs.
-    sym = sym.localCheckpoint(eager=True)
-    par = max(2, min(par, sym.count() // 100_000 + 1))
-    sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
+    sym0 = sym.localCheckpoint(eager=True)
+    par = max(2, min(par, sym0.count() // 100_000 + 1))
+    sym = sym0.repartition(par, "dst").localCheckpoint(eager=True)
+    _free_checkpoint(sym0)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("_w").alias("_k"))
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
@@ -620,7 +626,7 @@ def louvain_move(
         )
         # parity gate: only one hash-class moves per round
         gate = (F.abs(F.hash(F.col("id"))) % 2) == F.lit(r % 2)
-        memb = (
+        new_memb = (
             moved.select(
                 "id",
                 F.when(
@@ -633,6 +639,8 @@ def louvain_move(
             .repartition(par, "id")
             .localCheckpoint(eager=True)
         )
+        _free_checkpoint(memb)  # superseded round's membership blocks
+        memb = new_memb
     # canonical labels: the minimum member vertex id
     canon = memb.groupBy("community").agg(F.min("id").alias("_label"))
     return memb.join(canon, "community").select(
@@ -707,7 +715,7 @@ def louvain_multilevel(
         g.count()  # materialize WITH stats (see detect_communities_louvain)
         sup = louvain_move(g, gamma, rounds, weight_col="weight")
         n = sup.select("community").distinct().count()
-        mapping = (
+        new_mapping = (
             mapping.withColumnRenamed("community", "_lvl")
             .join(
                 sup.select(
@@ -718,6 +726,8 @@ def louvain_multilevel(
             .select("id", "community")
             .localCheckpoint(eager=True)
         )
+        _free_checkpoint(mapping)  # superseded level composition
+        mapping = new_mapping
         cur_edges, cur_w, level_memb = g, "weight", sup
         if n >= prev_n * (1.0 - min_shrink):
             break
@@ -918,7 +928,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("received"))
         )
-        ranks = (
+        new_ranks = (
             verts.join(received, verts.id == received.dst, "left")
             .select(
                 "id",
@@ -930,6 +940,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        _free_checkpoint(ranks)  # no-op on the derived initial frame
+        ranks = new_ranks
     return ranks
 
 
@@ -959,7 +971,9 @@ def bfs_distances(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        _free_checkpoint(visited)  # superseded (and growing) round
+        visited = new_visited
         frontier = nxt
     return visited
 
@@ -1180,6 +1194,7 @@ def kcore(edges: DataFrame, k: int, max_iter: int | None = None) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         n_next = nxt.count()
+        _free_checkpoint(alive)  # superseded peel round
         alive = nxt
         if n_next == n_edges:  # fixpoint: nobody fell below k
             break
