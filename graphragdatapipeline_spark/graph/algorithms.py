@@ -72,6 +72,12 @@ def transitive_closure(
     count, is the latency driver."""
     closure = edges.select(F.col("src").alias("node"), F.col("dst").alias("anc")).distinct()
     closure = closure.localCheckpoint(eager=True)
+    # The frame to free must be the last CHECKPOINTED one, not the loop
+    # variable: with checkpoint_every > 1 `closure` is a lazy
+    # union/distinct over the previous checkpoint on off rounds, so
+    # _free_checkpoint(closure) would be a silent no-op (not a
+    # LogicalRDD) and the superseded checkpoint would leak until GC.
+    prev_ckpt = closure
     for i in range(max_iter):
         hop = (
             closure.alias("l")
@@ -88,7 +94,8 @@ def transitive_closure(
             # The closure table GROWS every round; superseded rounds'
             # checkpoint blocks must be released, not left for GC
             # (see _free_checkpoint — the components-loop lesson).
-            _free_checkpoint(closure)
+            _free_checkpoint(prev_ckpt)
+            prev_ckpt = new_closure
         closure = new_closure
         if new_count == old_count:
             break
@@ -970,9 +977,16 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            _free_checkpoint(nxt)
             break
         new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         _free_checkpoint(visited)  # superseded (and growing) round
+        if frontier is not visited:
+            # The per-depth frontier checkpoints are superseded too —
+            # without this, one frontier-sized checkpoint per level
+            # accumulates (round 1's frontier IS `visited`, already
+            # freed above, hence the identity guard).
+            _free_checkpoint(frontier)
         visited = new_visited
         frontier = nxt
     return visited

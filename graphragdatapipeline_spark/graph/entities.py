@@ -191,7 +191,10 @@ def resolve_entities(
     ``prefix_filter`` (default on) adds the recall-preserving
     AllPairs/PPJoin token prefix to the candidate join key: output is
     bit-identical (every qualifying pair still meets, pinned by a
-    Hypothesis equivalence property), but in-cell candidate density
+    Hypothesis equivalence property; auto-bypassed when
+    int(name_jaccard·10⁶) == 0, where the match rule accepts even
+    token-disjoint pairs and no prefix is recall-preserving), but
+    in-cell candidate density
     scales with token selectivity instead of raw cell population —
     the knob that keeps blocked ER sub-quadratic when the corpus
     grows under a FIXED blocking cardinality."""
@@ -205,10 +208,14 @@ def resolve_entities(
     )
     narrowed = toks.select(id_col, block_col, "_ts", *([size_col] if size_col else []))
     prefix_col = None
-    if prefix_filter:
-        narrowed = jaccard_prefix_col(
-            narrowed, id_col, "_ts", int(name_jaccard * 1_000_000)
-        )
+    threshold_micro = int(name_jaccard * 1_000_000)
+    # At threshold_micro == 0 the match rule |∩|·10⁶ ≥ 0·|∪| accepts
+    # EVERY in-block pair, including token-disjoint ones — but disjoint
+    # pairs share no token, so no prefix scheme can make them meet. The
+    # prefix filter is only recall-preserving for t > 0; below that it
+    # must be bypassed (the degenerate block self-join IS the answer).
+    if prefix_filter and threshold_micro > 0:
+        narrowed = jaccard_prefix_col(narrowed, id_col, "_ts", threshold_micro)
         prefix_col = "_prefix"
     pairs = candidate_pairs(
         narrowed,

@@ -600,15 +600,17 @@ def test_sq8_codes_match_reference(spark, vec):
         min_size=1,
         max_size=8,
     ),
-    t=st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+    t=st.sampled_from([0.0, 1e-7, 0.25, 0.5, 0.75, 1.0]),
 )
 @SET
 def test_entity_resolution_prefix_filter_is_recall_preserving(spark, recs, t):
     """AllPairs/PPJoin prefix filtering must be invisible in the
     output: resolve_entities(prefix_filter=True) == (False) row for
     row, across thresholds (ceil-prefix-length arithmetic), duplicate
-    names (df ties), and EMPTY token sets (two empty names satisfy
-    0 ≥ t·0 and must still pair via the sentinel prefix)."""
+    names (df ties), EMPTY token sets (two empty names satisfy
+    0 ≥ t·0 and must still pair via the sentinel prefix), and the
+    t≈0 degenerate thresholds (micro-int 0 accepts token-DISJOINT
+    pairs, which no prefix can make meet — the filter must bypass)."""
     from graphragdatapipeline_spark.graph.entities import resolve_entities
 
     rows = [
