@@ -38,15 +38,18 @@ from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
 # row — treat as unverified (they re-enter the window ahead of
 # still-green entries, right after the never-green ones).
 _FORCE_REVERIFY: set[str] = {
-    # round 8: now registered with the max_bucket=8 guardrail + mega-
-    # bucket representative-keep rule (oracle mirrors both) — the r7
-    # unguarded green is stale
-    "dedup_corpus_verified",
+    # (empty round 9) dedup_corpus_verified was force-reverified in r8
+    # and re-greened under its new guardrail semantics — leaving it
+    # here would burn a window slot every round. Round-9 changes are
+    # all rotation-NEUTRAL: the prefix-filter t≈0 bypass
+    # (graph/entities.py) only affects thresholds below 1e-6 (no
+    # registered query uses one; bit-equivalence at the registered
+    # threshold is Hypothesis-pinned), and the checkpoint-release fixes
+    # (graph/algorithms.py) change memory lifecycle, not values.
     # NOT listed: vector_lsh_buckets — re-registered r8 on the
     # map-side lsh_signature_col path, but the output is BIT-COMPATIBLE
     # with the old path (equivalence pinned in pytest), so its r6 green
-    # hash remains valid value evidence; the freed window slot goes to
-    # the r5 rotation cohort instead.
+    # hash remains valid value evidence.
 }
 
 

@@ -309,3 +309,263 @@ def graphrag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "community", "member_count", "relevance", "n_tokens",
         "cum_tokens", "position",
     )
+
+
+def _graphrag_e2e_oracle() -> str:
+    """Full SQL replay of the composed GraphRAG pipeline: ER walk
+    (recursive min-label closure) → canonical co-purchase graph →
+    unrolled seeded-LPA CTEs (shared _lpa_sql builder) → community
+    report rollup → keyword scoring → token-budget pack."""
+    from graphragdatapipeline_spark.registries.graph_queries import _lpa_sql
+
+    parts = [
+        # ---- stage 1: entity resolution (same replay as the
+        # graph_entity_resolution oracle: blocking on p_brand, integer
+        # Jaccard >= 0.5 + size gap <= 1, recursive min-label closure)
+        r"""recs AS (
+  SELECT p_partkey, p_brand, p_size,
+         list_distinct(list_filter(string_split_regex(lower(p_name), '\s+'),
+                                   x -> x <> '')) AS ts
+  FROM part)""",
+        """matched AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM recs a JOIN recs b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE len(list_intersect(a.ts, b.ts)) * 1000000
+          >= 500000 * len(list_distinct(list_concat(a.ts, b.ts)))
+    AND abs(a.p_size - b.p_size) <= 1)""",
+        "uedges AS (SELECT a AS src, b AS dst FROM matched UNION SELECT b, a FROM matched)",
+        """walk(id, label) AS (
+  SELECT src, src FROM uedges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN uedges e ON e.src = w.id)""",
+        "comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)",
+        """allc AS (
+  SELECT p.p_partkey, coalesce(c.cluster_id, p.p_partkey) AS canonical_id
+  FROM part p LEFT JOIN comp c ON p.p_partkey = c.id)""",
+        """csize AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM allc GROUP BY canonical_id)""",
+        """canon AS (
+  SELECT s.canonical_id, cn.p_name AS canonical_name, cn.p_brand AS brand,
+         s.cluster_size
+  FROM csize s JOIN part cn ON cn.p_partkey = s.canonical_id)""",
+        # ---- stage 2: co-purchase graph on CANONICAL ids (order =
+        # basket; 64-entity mega-basket cap; min co-occurrence 2)
+        """baskets AS (SELECT DISTINCT l.l_orderkey AS ord, a.canonical_id AS ent
+  FROM lineitem l JOIN allc a ON l.l_partkey = a.p_partkey)""",
+        "kept AS (SELECT ord FROM baskets GROUP BY ord HAVING count(*) <= 64)",
+        "bk AS (SELECT b.ord, b.ent FROM baskets b JOIN kept USING (ord))",
+        """ce AS (SELECT a.ent AS src, b.ent AS dst, count(*) AS cooccur
+  FROM bk a JOIN bk b USING (ord) WHERE a.ent < b.ent
+  GROUP BY 1, 2 HAVING count(*) >= 2)""",
+    ]
+    # ---- stage 3: seeded LPA, 3 supersteps, all canonical entities
+    # labeled (isolated ones keep their seeded init = singletons)
+    final = _lpa_sql(
+        parts, "z", "ce", 3, 42, ids_extra="SELECT canonical_id AS id FROM canon"
+    )
+    parts += [
+        # ---- stage 4: community reports
+        f"""members AS (SELECT l.community, c.canonical_id, c.canonical_name,
+         c.brand, c.cluster_size
+  FROM {final} l JOIN canon c ON l.id = c.canonical_id)""",
+        "brandc AS (SELECT community, brand, count(*) AS cnt FROM members GROUP BY 1, 2)",
+        """brand_ranked AS (SELECT community, brand,
+   row_number() OVER (PARTITION BY community ORDER BY cnt DESC, brand ASC) AS rn
+  FROM brandc)""",
+        """top_brands AS (SELECT community, string_agg(brand, ',' ORDER BY rn) AS top_brands
+  FROM brand_ranked WHERE rn <= 2 GROUP BY community)""",
+        """rep_ranked AS (SELECT community, canonical_name,
+   row_number() OVER (PARTITION BY community
+                      ORDER BY cluster_size DESC, canonical_id ASC) AS rn
+  FROM members)""",
+        """reps AS (SELECT community, string_agg(canonical_name, ', ' ORDER BY rn)
+          AS representatives
+  FROM rep_ranked WHERE rn <= 3 GROUP BY community)""",
+        """base AS (SELECT community, CAST(count(*) AS BIGINT) AS member_count,
+   CAST(sum(cluster_size) AS BIGINT) AS mention_count FROM members GROUP BY community)""",
+        """report AS (SELECT b.community, b.member_count, b.mention_count,
+         t.top_brands, r.representatives
+  FROM base b JOIN top_brands t USING (community) JOIN reps r USING (community))""",
+        # ---- stage 5: global search (keyword relevance over the
+        # representative part names)
+        """scored AS (SELECT *,
+   CAST((CASE WHEN representatives LIKE '%green%' THEN 1 ELSE 0 END)
+      + (CASE WHEN representatives LIKE '%blue%' THEN 1 ELSE 0 END)
+      + (CASE WHEN representatives LIKE '%ivory%' THEN 1 ELSE 0 END) AS BIGINT)
+     AS relevance
+  FROM report)""",
+        """ranked AS (SELECT community, member_count, mention_count, relevance,
+   relevance * 1000000 + mention_count AS score,
+   printf('Community %d: %d entities (%d mentions; brands %s). Key parts: %s.',
+          community, member_count, mention_count, top_brands, representatives)
+     AS context_block
+  FROM scored WHERE relevance > 0)""",
+        # ---- stage 6: token-budgeted context pack
+        """pack AS (SELECT *,
+   CAST(len(list_filter(string_split(context_block, ' '), x -> x <> '')) AS BIGINT)
+     AS n_tokens
+  FROM ranked)""",
+        """cum AS (SELECT community, member_count, mention_count, relevance, n_tokens,
+   context_block,
+   CAST(sum(n_tokens) OVER (ORDER BY score DESC, community ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+   CAST(row_number() OVER (ORDER BY score DESC, community ASC) AS INT) AS position
+  FROM pack)""",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + "\nSELECT community, member_count, mention_count, relevance, n_tokens,"
+        " cum_tokens, position, context_block FROM cum WHERE cum_tokens <= 400"
+    )
+
+
+@register("graphrag_end_to_end", oracle=_graphrag_e2e_oracle())
+def graphrag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED GraphRAG pipeline in one declarative plan — every
+    stage individually oracled elsewhere, chained here to prove the
+    schema contracts compose (the reference's full indexing+retrieval
+    path: extract/merge entities → graph → detect_communities.py:
+    177-333 → generate_community_summaries.py:86-144 → global search):
+
+      1. entity resolution over the part catalog (blocked, PPJoin
+         prefix-filtered, transitive closure, min-id survivor);
+      2. graph build — co-purchase edges between CANONICAL entities
+         (order = basket, 64-entity mega-basket cap bounds pair volume
+         at C(64,2)/order, co-occurrence >= 2 noise floor);
+      3. community detection — seeded deterministic LPA (3 supersteps;
+         the value-replayable rung of the G3 ladder: the md5-seeded
+         init makes every label — and so every downstream report row —
+         bit-identical in DuckDB; detect_communities_louvain slots in
+         on the same (id, community) contract when labels need not be
+         SQL-replayed);
+      4. community reports — member/mention counts, top-2 brands,
+         top-3 representative canonical names;
+      5. global search — keyword relevance over representatives,
+         all-integer score = relevance·10⁶ + mentions;
+      6. context pack — whitespace token counts, cumulative budget 400.
+
+    Scale shape: stages 1–3 touch corpus-sized data only through
+    blocked/capped equi-joins and the once-partitioned LPA loop;
+    stages 4–6 run on |communities| rows (the single-partition pack
+    window is report-sized BY CONTRACT, as in graphrag_context_pack).
+    """
+    from pyspark.sql import Window
+
+    from graphragdatapipeline_spark.graph import algorithms as ga
+    from graphragdatapipeline_spark.graph.entities import resolve_entities
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    ents = resolve_entities(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_col="p_brand",
+        size_col="p_size",
+        name_jaccard=0.5,
+        max_size_gap=1,
+    )
+    canon = (
+        ents.filter(F.col("p_partkey") == F.col("canonical_id"))
+        .join(part.select("p_partkey", F.col("p_brand").alias("brand")), "p_partkey")
+        .select("canonical_id", "canonical_name", "brand", "cluster_size")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.join(
+            ents.select(F.col("p_partkey").alias("l_partkey"), "canonical_id"),
+            "l_partkey",
+        )
+        .select(F.col("l_orderkey").alias("ord"), F.col("canonical_id").alias("ent"))
+        .distinct()
+    )
+    kept = (
+        baskets.groupBy("ord")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 64)
+        .select("ord")
+    )
+    bk = baskets.join(kept, "ord", "left_semi")
+    a = bk.select("ord", F.col("ent").alias("src"))
+    b = bk.select("ord", F.col("ent").alias("dst"))
+    edges = (
+        a.join(b, "ord")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cooccur"))
+        .filter(F.col("cooccur") >= 2)
+    )
+    comm = ga.label_propagation(
+        edges.select("src", "dst"),
+        vertices=canon.select(F.col("canonical_id").alias("id")),
+        max_iter=3,
+        seed=42,
+    )
+    members = comm.join(canon, comm.id == canon.canonical_id).select(
+        "community", "canonical_id", "canonical_name", "brand", "cluster_size"
+    )
+    from graphragdatapipeline_spark.operators import relational as _rel
+
+    top_brands = _rel.top_n_frequency(members, "community", "brand", n=2).select(
+        "community", F.array_join("top_brand", ",").alias("top_brands")
+    )
+    reps = (
+        _rel.top_k_per_group(
+            members, ["community"], [F.desc("cluster_size"), F.asc("canonical_id")], k=3
+        )
+        .groupBy("community")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "canonical_name"))),
+                    lambda s: s["canonical_name"],
+                ),
+                ", ",
+            ).alias("representatives")
+        )
+    )
+    base = members.groupBy("community").agg(
+        F.count(F.lit(1)).alias("member_count"),
+        F.sum("cluster_size").alias("mention_count"),
+    )
+    report = base.join(top_brands, "community").join(reps, "community")
+    relevance = sum(
+        F.when(F.col("representatives").contains(t), 1).otherwise(0)
+        for t in ("green", "blue", "ivory")
+    ).cast("long")
+    ranked = (
+        report.withColumn("relevance", relevance)
+        .filter(F.col("relevance") > 0)
+        .withColumn(
+            "score", F.col("relevance") * F.lit(1_000_000) + F.col("mention_count")
+        )
+        .withColumn(
+            "context_block",
+            F.format_string(
+                "Community %d: %d entities (%d mentions; brands %s). Key parts: %s.",
+                F.col("community"),
+                F.col("member_count"),
+                F.col("mention_count"),
+                F.col("top_brands"),
+                F.col("representatives"),
+            ),
+        )
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.col("context_block"), " "), lambda t: t != "")
+    ).cast("long")
+    w = Window.orderBy(F.desc("score"), F.asc("community"))
+    cum = (
+        ranked.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("position", F.row_number().over(w).cast("int"))
+    )
+    return cum.filter(F.col("cum_tokens") <= 400).select(
+        "community", "member_count", "mention_count", "relevance",
+        "n_tokens", "cum_tokens", "position", "context_block",
+    )

@@ -104,26 +104,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(wave, "blob_id")
 
 
-@register(
-    "multimodal_resize",
-    oracle="""
-SELECT concat('doc-', doc_id) AS blob_id,
-       CAST(length(text) AS BIGINT) AS orig_bytes,
-       CAST(least(length(text), 256) AS BIGINT) AS resized_bytes,
-       md5(substring(text, 1, 256)) AS resized_hash
-FROM documents
-""",
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize/downsample plumbing: blob table → mapInPandas byte-clip
-    (the PIL/ffmpeg plug-point) → resized payload hashes. The oracle
-    pins the clipped sizes and hashes (documents are ASCII, so char
-    substring == byte slice on the SQL side)."""
-    from graphragdatapipeline_spark.multimodal.blob import resize_media
-
-    d = read_table(spark, sf_dir, "documents")
-    resized = resize_media(blob_table_from_documents(d), target_bytes=256)
-    return resized.select("blob_id", "orig_bytes", "resized_bytes", "resized_hash")
+# RETIRED round 9 (rotation budget): `multimodal_resize` — the byte-clip
+# plumbing variant of the resize path. Its real-codec twin
+# `multimodal_png_resize` (bit-exact box-filter resample through the
+# stdlib PNG codec) remains registered and covers the same mapInPandas
+# plumbing plus the codec itself; the byte-clip operator `resize_media`
+# stays tested in pytest (tests/test_multimodal.py). The freed slot went
+# to `graphrag_end_to_end` — a composed six-stage pipeline query is
+# strictly more evidence than a plumbing variant beside its codec twin.
 
 
 @register(

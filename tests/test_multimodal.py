@@ -195,3 +195,32 @@ def test_video_frame_stats_matches_closed_form(spark):
             r = by_key[(f"doc-{k}", f)]
             assert (r.width, r.height, r.fps, r.pixel_sum) == (w, h, 10, expect)
     assert len(rows) == sum(2 + k % 4 for k in range(12))
+
+
+def test_resize_media_byte_clip_contract(spark):
+    """resize_media (the PIL/ffmpeg plug-point, retired from the query
+    registry in round 9 in favor of the composed graphrag_end_to_end
+    entry) keeps its byte-clip contract: orig/resized byte counts,
+    md5 of the clipped payload, and the payload itself clipped — for
+    payloads below, at, and above target_bytes."""
+    import hashlib
+
+    from graphragdatapipeline_spark.multimodal.blob import (
+        blob_table_from_documents,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 10), (2, "y" * 256), (3, "z" * 999)],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.blob_id: r for r in resize_media(
+        blob_table_from_documents(docs), target_bytes=256).collect()}
+    assert len(rows) == 3
+    for doc_id, text in [(1, "x" * 10), (2, "y" * 256), (3, "z" * 999)]:
+        r = rows[f"doc-{doc_id}"]
+        clipped = text.encode()[:256]
+        assert r.orig_bytes == len(text)
+        assert r.resized_bytes == len(clipped)
+        assert r.resized_hash == hashlib.md5(clipped).hexdigest()
+        assert bytes(r.payload) == clipped
