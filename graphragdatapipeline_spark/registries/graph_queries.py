@@ -996,11 +996,14 @@ WITH RECURSIVE recs AS (
          list_distinct(list_filter(string_split_regex(lower(p_name), '\\s+'),
                                    x -> x <> '')) AS ts
   FROM part
+), kept_blocks AS (
+  SELECT p_brand FROM part GROUP BY p_brand HAVING count(*) <= 2048
 ), matched AS (
   SELECT a.p_partkey AS a, b.p_partkey AS b
   FROM recs a JOIN recs b
     ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-  WHERE len(list_intersect(a.ts, b.ts)) * 1000000
+  WHERE a.p_brand IN (SELECT p_brand FROM kept_blocks)
+    AND len(list_intersect(a.ts, b.ts)) * 1000000
           >= 500000 * len(list_distinct(list_concat(a.ts, b.ts)))
     AND abs(a.p_size - b.p_size) <= 1
 ), uedges AS (
@@ -1039,9 +1042,25 @@ def graph_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin token-prefix filter (default since round 8): the join key
     gains the record's df-rarest name tokens, cutting in-cell pair
     density by the vocabulary's selectivity while provably keeping
-    every Jaccard ≥ 0.5 pair (Hypothesis-pinned equivalence) — which
-    is why this oracle needs no mirror clause: the filtered plan's
-    OUTPUT is bit-identical to the plain blocked join it replays."""
+    every Jaccard ≥ 0.5 pair (Hypothesis-pinned equivalence) — that
+    part of the plan needs no oracle mirror because its OUTPUT is
+    bit-identical to the plain blocked join it replays.
+
+    ``max_block=2048`` is the registered mega-block guardrail (round
+    9, mirrored in the oracle's kept_blocks clause — the same
+    registered-default philosophy as the dedup layer's max_bucket/
+    max_posting): a blocking key owning thousands of records is a
+    data-quality triage case, not a pairwise-scoring problem —
+    members of a dropped block stay in the output as singletons.
+    Found by the 10×-zipf skew fixture: one mega-brand holding 20% of
+    a 200k-part catalog ran the uncapped query past 15 minutes (vs
+    20.7 s on the uniform fixture — the prefix filter cannot save a
+    tiny-vocabulary mega-block where every token is common); with the
+    guardrail the skewed run completes in normal time (SCALE.md skew
+    table). `key_skew_profile` is the measurement operator that
+    catches such keys BEFORE they reach pair generation. No-op at
+    sf0.01 (largest p_brand block ≈ 80 rows), so registered values
+    are unchanged."""
     from graphragdatapipeline_spark.graph.entities import resolve_entities
 
     part = read_table(spark, sf_dir, "part").select(
@@ -1055,6 +1074,7 @@ def graph_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_col="p_size",
         name_jaccard=0.5,
         max_size_gap=1,
+        max_block=2048,
     )
 
 

@@ -11,8 +11,26 @@ broadcast; inflating them would distort the join shapes the bench is
 meant to measure. The embeddings query vector (vec_id = 0) exists
 only in replica 0, keeping k-NN queries well-defined.
 
-Usage: python scripts/make_scale_fixture.py [SRC_SF_DIR] [DST_DIR] [FACTOR]
-Defaults: /root/testdata/sf0.1 → /tmp/sf1.0 × 10.
+Usage: python scripts/make_scale_fixture.py [SRC_SF_DIR] [DST_DIR] [FACTOR] [MODE]
+Defaults: /root/testdata/sf0.1 → /tmp/sf1.0 × 10, MODE=uniform.
+
+MODE=zipf adds scale-GROWING hot-key skew on top of the replication —
+the hazard class uniform replication cannot produce (with disjoint
+key shifts every key's frequency inflates by the same factor, so AQE
+skew splits and the mega-key guardrails never trigger harder at 10×
+than at 1×). The zipf transforms keep hot keys GLOBAL across replicas,
+so a hot key's row count grows linearly with FACTOR:
+
+- events.user_id: 50% of rows remap (deterministically, by event_id
+  hash) onto 32 global hot users with zipf(s=1) frequencies — the
+  hottest user owns ~6% of ALL events at any scale. Stresses
+  join_skew_salted, rolling-distinct, funnel/session state.
+- part.p_brand: 20% of parts remap to one global mega-brand — the ER
+  blocking key's Σ|block|² explodes unless max_block binds.
+- documents.text: 5% of docs become one of 4 global ~64-word templates
+  plus a per-doc unique token — shared shingles/minhash bands grow
+  posting lists and LSH buckets with scale, the max_posting/max_bucket
+  guardrail stress (near-dups, not exact dups, thanks to the token).
 """
 
 from __future__ import annotations
@@ -55,10 +73,77 @@ KEY_DOMAIN = {
 }
 
 
+_MASS = 1_000_000
+_ZIPF_HOT = 32
+
+
+def _zipf_thresholds(n: int = _ZIPF_HOT, mass: int = _MASS) -> list[int]:
+    """Cumulative inverse-CDF thresholds for zipf(s=1) over ranks
+    1..n, scaled to integer mass (rank = 1 + #thresholds <= draw)."""
+    h = sum(1.0 / r for r in range(1, n + 1))
+    cum, out = 0.0, []
+    for r in range(1, n + 1):
+        cum += (1.0 / r) / h
+        out.append(int(cum * mass))
+    out[-1] = mass  # close the CDF against float rounding
+    return out
+
+
+def _hash_frac(col: str, seed: int):
+    """Deterministic uniform draw in [0, _MASS) per row — xxhash64 of a
+    stable id column, no RNG, reproducible across runs."""
+    return F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(_MASS))
+
+
+def _zipf_rank(col: str, seed: int):
+    thr = F.array(*[F.lit(t) for t in _zipf_thresholds()])
+    v = _hash_frac(col, seed)
+    return F.lit(1) + F.size(F.filter(thr, lambda t: t <= v))
+
+
+# ~64-word hot templates (deterministic words, distinct per template so
+# cross-template pairs are NOT near-dups; within a template every doc
+# shares all shingles except the unique-token tail)
+_TEMPLATES = [
+    " ".join(f"tpl{t}word{w % 16}" for w in range(64)) for t in range(4)
+]
+
+
+def _apply_zipf_skew(table: str, rep):
+    """Post-shift skew transforms (MODE=zipf). Hot values are global
+    constants — never key-shifted — so their frequency grows with the
+    replication factor."""
+    if table == "events":
+        hot = _hash_frac("event_id", 9173) < int(0.5 * _MASS)
+        rank = _zipf_rank("event_id", 4211)
+        return rep.withColumn(
+            "user_id", F.when(hot, rank.cast("long")).otherwise(F.col("user_id"))
+        )
+    if table == "part":
+        hot = _hash_frac("p_partkey", 7477) < int(0.2 * _MASS)
+        return rep.withColumn(
+            "p_brand", F.when(hot, F.lit("Brand#HOT")).otherwise(F.col("p_brand"))
+        )
+    if table == "documents":
+        hot = _hash_frac("doc_id", 5551) < int(0.05 * _MASS)
+        tmpl = F.element_at(
+            F.array(*[F.lit(t) for t in _TEMPLATES]),
+            (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(5562)), F.lit(4)) + 1).cast("int"),
+        )
+        hot_text = F.concat(tmpl, F.lit(" uniq"), F.conv(F.col("doc_id").cast("string"), 10, 16))
+        return rep.withColumn(
+            "text", F.when(hot, hot_text).otherwise(F.col("text"))
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    return rep
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "uniform"
+    if mode not in ("uniform", "zipf"):
+        raise SystemExit(f"unknown MODE {mode!r} (uniform|zipf)")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session(
         "scale-fixture", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
@@ -88,6 +173,8 @@ def main() -> None:
             for c in cols:
                 base = bases[KEY_DOMAIN.get(c, c)]
                 rep = rep.withColumn(c, (F.col(c) + i * base).cast(df.schema[c].dataType))
+            if mode == "zipf":
+                rep = _apply_zipf_skew(table, rep)
             parts.append(rep)
         whole = parts[0]
         for p in parts[1:]:
