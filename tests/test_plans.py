@@ -511,3 +511,59 @@ def test_jaccard_verify_join_is_merge_not_broadcast(spark, sf_dir):
     for frag in plan.split("BroadcastHashJoin")[1:]:
         keys = frag.split("]", 1)[0]
         assert "shingle" not in keys, plan
+
+
+def test_aqe_splits_skewed_join_with_force_flag(spark):
+    """AQE's skew-join split is the runtime half of the skew story
+    (salted_join is the compile-time half). Two facts pinned here,
+    both learned from the zipf fixture work:
+
+    1. With thresholds scaled to the data, AQE splits the skewed
+       partition of a SortMergeJoin — `skew=true` lands in the final
+       adaptive plan and the skewed side's AQEShuffleRead says so.
+    2. The split does NOT happen by default when the join output feeds
+       another shuffle (the common analytic shape: join → agg): Spark
+       declines to break the partitioning unless
+       `spark.sql.adaptive.forceOptimizeSkewedJoin` is on. At 100 TB
+       that conf — or pre-salting via key_skew_profile/salted_join —
+       is what actually engages skew handling in real pipelines, and
+       this test fails loudly if an upgrade changes that contract.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, 0)
+            .otherwise(F.col("id") % 100 + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        [row] = j.collect()
+        # values survive the split (same sum as the unsplit plan)
+        expect = sum(
+            v + 2 * (0 if v < 150_000 else v % 100 + 1) for v in range(200_000)
+        )
+        assert row.s == expect
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
