@@ -719,3 +719,66 @@ def test_cooccurrence_index_sink_equals_batch(spark, sf_dir, tmp_path):
     extra.write.mode("overwrite").parquet(f"{index_dir}/edges/epoch=99")
     edges2, _, _ = so.read_cooccurrence_index(spark, index_dir)
     assert edges2.filter(F.col("cooccur") == 999).count() == 0
+
+
+def test_interval_join_bucketization_is_exact(spark):
+    """The (user, time-bucket) equi rewrite inside
+    click_purchase_attribution must be invisible in the output: every
+    qualifying pair meets exactly once (purchase bucket ∈ the click's
+    two exploded buckets), none is dropped at window boundaries
+    (sub-second click times whose second-floored bucket math must
+    still cover the purchase), none duplicates. Compared row-for-row
+    against the plain interval join on a fixture dense with boundary
+    cases: pairs exactly at the horizon edge, sub-second offsets,
+    purchases before clicks, cross-user pairs, and a hot user."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hot user 1: clicks/purchases every 7 / 11 minutes with .5s offsets
+    for m in range(0, 600, 7):
+        rows.append((eid, 1, "click", base + dt.timedelta(minutes=m, milliseconds=500))); eid += 1
+    for m in range(0, 600, 11):
+        rows.append((eid, 1, "purchase", base + dt.timedelta(minutes=m, milliseconds=499))); eid += 1
+    # boundary pairs: purchase exactly at click+60min (excluded), +59:59.999
+    rows.append((eid, 2, "click", base)); eid += 1
+    rows.append((eid, 2, "purchase", base + dt.timedelta(minutes=60))); eid += 1
+    rows.append((eid, 2, "purchase", base + dt.timedelta(minutes=59, seconds=59, milliseconds=999))); eid += 1
+    rows.append((eid, 2, "purchase", base - dt.timedelta(milliseconds=1))); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).withColumn("value", F.lit(1.0))
+    clicks = df.filter(F.col("event_type") == "click")
+    purchases = df.filter(F.col("event_type") == "purchase")
+
+    from graphragdatapipeline_spark.streaming import ops as so
+
+    bucketized = sorted(
+        map(tuple, so.click_purchase_attribution(clicks, purchases, 60).collect())
+    )
+    plain = sorted(
+        map(
+            tuple,
+            clicks.alias("c")
+            .join(
+                purchases.alias("p"),
+                (F.col("c.user_id") == F.col("p.user_id"))
+                & (F.col("c.ts") <= F.col("p.ts"))
+                & (F.col("p.ts") < F.col("c.ts") + F.expr("INTERVAL 60 MINUTES")),
+            )
+            .select(
+                F.col("c.user_id"),
+                F.col("c.event_id").alias("click_id"),
+                F.col("p.event_id").alias("purchase_id"),
+                (F.unix_timestamp("p.ts") - F.unix_timestamp("c.ts")).alias(
+                    "lag_seconds"
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert bucketized == plain
+    assert len(bucketized) > 100  # non-vacuous: the hot user pairs densely
