@@ -659,3 +659,59 @@ def test_jaccard_candidate_keyed_equals_filtered_full_join(spark, docs, pair_see
         cands.filter(F.col("a") < F.col("b")).distinct(), ["a", "b"], "left_semi"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zipf_fixture_transforms_deterministic_and_shaped(spark):
+    """The zipf skew transforms behind the SCALE.md skew tables must be
+    (a) deterministic — same input, same output, no RNG — and (b)
+    shaped as documented: ~50% of events on 32 hot users with rank-1
+    the most frequent, ~20% of parts on Brand#HOT, ~5% of docs on
+    template texts with a per-doc unique token (near-dups, not exact)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "make_scale_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "make_scale_fixture.py"),
+    )
+    msf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(msf)
+
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"), (F.col("id") + 1_000_000).alias("user_id")
+    )
+    a = msf._apply_zipf_skew("events", ev).collect()
+    b = msf._apply_zipf_skew("events", ev).collect()
+    assert sorted(a) == sorted(b)  # deterministic
+    hot = [r.user_id for r in a if r.user_id <= msf._ZIPF_HOT]
+    frac = len(hot) / n
+    assert 0.45 < frac < 0.55, frac
+    from collections import Counter
+
+    counts = Counter(hot)
+    # zipf(s=1): rank 1 strictly heaviest, monotone-ish down the ranks
+    assert counts[1] == max(counts.values())
+    assert counts[1] > 1.5 * counts[4] > 0
+
+    parts = spark.range(n).select(
+        F.col("id").alias("p_partkey"), F.lit("Brand#X").alias("p_brand")
+    )
+    pb = msf._apply_zipf_skew("part", parts).groupBy("p_brand").count().collect()
+    hot_n = {r.p_brand: r["count"] for r in pb}.get("Brand#HOT", 0)
+    assert 0.17 < hot_n / n < 0.23, hot_n
+
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("original text "), F.col("id").cast("string")).alias("text"),
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    d = msf._apply_zipf_skew("documents", docs).collect()
+    hot_docs = [r for r in d if r.text.startswith("tpl")]
+    assert 0.03 < len(hot_docs) / 2_000 < 0.07, len(hot_docs)
+    # near-dups, not exact: unique token makes every hot text distinct
+    assert len({r.text for r in hot_docs}) == len(hot_docs)
+    # n_chars restamped to match the new text
+    assert all(r.n_chars == len(r.text) for r in d)
