@@ -49,13 +49,39 @@ def degrees(edges: DataFrame) -> DataFrame:
     return both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
 
 
-def two_hop(edges: DataFrame, rel1: str | None = None, rel2: str | None = None) -> DataFrame:
+def two_hop(
+    edges: DataFrame,
+    rel1: str | None = None,
+    rel2: str | None = None,
+    max_mid_wedges: int | None = None,
+) -> DataFrame:
     """G10/J9 — 2-hop motif (a)-[e1]->(b)-[e2]->(c) as a self-join
-    (reference Cypher at ingest_graph_db.py:366-377)."""
+    (reference Cypher at ingest_graph_db.py:366-377).
+
+    ``max_mid_wedges`` is the hub guardrail (same family as
+    triangle_count's max_forward_degree and the dedup caps): the join
+    fans out in_deg(b)·out_deg(b) rows per MIDDLE vertex, so one
+    celebrity vertex can dominate the whole job at 100 TB. With the
+    cap, middle vertices whose wedge product exceeds it are dropped
+    before the join — their motifs are undercounted (the standard
+    hub-sampling trade; cluster-level handling replaces pairwise
+    enumeration), and total wedge volume is bounded by
+    |mids| · cap. Default None = exact (the registered query's
+    semantics are unchanged)."""
     e1 = edges if rel1 is None else edges.filter(F.col("rel_type") == rel1)
     e2 = edges if rel2 is None else edges.filter(F.col("rel_type") == rel2)
     a = e1.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     b = e2.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    if max_mid_wedges is not None:
+        fan_in = a.groupBy("b").agg(F.count(F.lit(1)).alias("_fi"))
+        fan_out = b.groupBy("b").agg(F.count(F.lit(1)).alias("_fo"))
+        keep = (
+            fan_in.join(fan_out, "b")
+            .filter(F.col("_fi") * F.col("_fo") <= max_mid_wedges)
+            .select("b")
+        )
+        a = a.join(keep, "b", "left_semi")
+        b = b.join(keep, "b", "left_semi")
     return a.join(b, "b").select("a", "b", "c")
 
 

@@ -616,3 +616,28 @@ def test_cooccurrence_incremental_matches_batch(spark):
         for r in cooccurrence_graph(b1.unionByName(b2), min_count=2).collect()
     }
     assert inc == batch and len(batch) > 0
+
+
+def test_two_hop_mid_wedge_guardrail(spark):
+    """two_hop(max_mid_wedges=...) drops exactly the middle vertices
+    whose in x out wedge product exceeds the cap — hub motifs are
+    undercounted BY the cap's contract, everything else is bit-equal
+    to the exact join; default None stays exact."""
+    from graphragdatapipeline_spark.graph import algorithms as ga
+
+    edges = []
+    # hub vertex 100: 5 in, 5 out -> 25 wedges
+    for i in range(5):
+        edges.append((i, 100))
+        edges.append((100, 200 + i))
+    # modest vertex 101: 2 in, 2 out -> 4 wedges
+    for i in range(2):
+        edges.append((50 + i, 101))
+        edges.append((101, 300 + i))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {(r.a, r.b, r.c) for r in ga.two_hop(df).collect()}
+    assert len(exact) == 25 + 4
+    capped = {(r.a, r.b, r.c) for r in ga.two_hop(df, max_mid_wedges=4).collect()}
+    assert capped == {t for t in exact if t[1] == 101}
+    uncapped = {(r.a, r.b, r.c) for r in ga.two_hop(df, max_mid_wedges=25).collect()}
+    assert uncapped == exact
