@@ -638,3 +638,185 @@ def minhash_dedup_incremental(
         clean.select(id_col), id_col, "left_semi"
     )
     return clean, band_delta
+
+
+def positioned_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """(tokens, shingles) pair for span-level exact-substring work.
+
+    tokens:   (id, _w original-case token array, n_tokens) — the
+              payload frame, touched once at the end for text
+              reconstruction.
+    shingles: (id, pos, pos_end, shingle) — SLIM positional word
+              k-grams (1-based, inclusive), lowercased for matching.
+              Docs shorter than k tokens collapse to one whole-doc
+              shingle spanning [1, n] (the convention shingle_table
+              already uses); an empty doc yields the '' shingle with
+              the empty span [1, 0].
+
+    The split is deliberate: positional shingle rows fan out ~n per
+    doc, so carrying the token-array payload through them would
+    replicate the corpus n× across the df-count shuffle — the exact
+    payload-fanout class the r8 scale audit killed in pair
+    generation. Stats and coverage flow id-keyed and re-attach to the
+    payload once."""
+    from graphragdatapipeline_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    tokens = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+        ).alias("_w"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("_lw"),
+    ).withColumn("n_tokens", F.size("_lw"))
+    n = F.col("n_tokens")
+    lw = F.col("_lw")
+    shingles = tokens.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        (i + (k - 1)).alias("pos_end"),
+                        F.concat_ws(
+                            " ", *[F.element_at(lw, i + j) for j in range(k)]
+                        ).alias("shingle"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("pos"),
+                        n.alias("pos_end"),
+                        F.array_join(lw, " ").alias("shingle"),
+                    )
+                )
+            )
+        ).alias("_s"),
+    ).select(id_col, "_s.pos", "_s.pos_end", "_s.shingle")
+    return tokens.drop("_lw"), shingles
+
+
+def shingle_df_delta(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Incremental substring-dedup maintenance, the index-building
+    half → (shingle, nd): distinct-document counts of positional word
+    k-grams for ONE ingest batch. The persisted corpus index is the
+    groupBy-sum of all appended deltas — per ingest you shingle only
+    the BATCH, never rescan the lake (the lm_token_index_delta shape
+    applied to span dedup; accumulation is exact because each doc
+    arrives in exactly one batch, so per-batch distinct doc counts are
+    additive). Merge rule: union with the stored index and
+    groupBy(shingle).sum(nd)."""
+    _, sh = positioned_shingles(df, id_col, text_col, k)
+    return sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("nd"))
+
+
+def remove_spans_against_index(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Span removal for a document batch scored against a PERSISTED
+    shingle-df index (shingle, nd) — the scoring half of incremental
+    substring dedup. With index = the merged accumulation over all
+    ingested batches this reproduces the one-shot
+    remove_duplicated_spans exactly (pinned in pytest); with an
+    EXTERNAL reference index it doubles as span-level decontamination
+    (cut any span the reference corpus contains: min_df=1). Batch
+    shingles absent from the index count nd=0 (left join — n_shingles
+    must still count them).
+
+    Scale shape: identical to remove_duplicated_spans below, except
+    the df-count groupBy is replaced by a join against the stored
+    index — per ingest the cost is the batch's shingle volume, not the
+    corpus's.
+    """
+    tokens, sh = positioned_shingles(df, id_col, text_col, k)
+    joined = sh.join(index, "shingle", "left")
+    is_dup = F.coalesce(F.col("nd"), F.lit(0)) >= min_df
+    # ONE aggregation pass produces both the duprate stats and the
+    # covered-position set (span lists collected per doc, expanded and
+    # de-duplicated with array functions post-agg) — a separate
+    # stats/coverage split gives the sh⋈index subtree two consumers
+    # and Catalyst recomputes the whole shingle pipeline per branch
+    # (observed: 4 extra document scans + duplicate index shuffles).
+    per = (
+        joined.groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shingles"),
+            F.countDistinct(F.when(is_dup, F.col("shingle"))).alias(
+                "n_shared"
+            ),
+            F.collect_list(
+                F.when(
+                    is_dup & (F.col("pos") <= F.col("pos_end")),
+                    F.sequence("pos", "pos_end"),
+                )
+            ).alias("_spans"),
+        )
+        .withColumn("_cov", F.array_distinct(F.flatten("_spans")))
+        .drop("_spans")
+    )
+    out = tokens.join(per, id_col)
+    keep = F.filter(
+        F.col("_w"),
+        lambda t, i: ~F.array_contains(F.col("_cov"), i + F.lit(1)),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.col("n_shared"),
+        (F.col("n_shared") / F.col("n_shingles")).alias("dup_rate"),
+        (2 * F.col("n_shared") >= F.col("n_shingles")).alias("flag_dup"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("_cov").cast("long").alias("n_removed"),
+        F.array_join(keep, " ").alias("cleaned_text"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication with REMOVAL (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): every
+    token covered by a word k-gram that occurs in >= min_df distinct
+    documents is cut, and the document is reconstructed from the
+    surviving tokens (single-space joined — reconstruction normalizes
+    whitespace for every doc, so unchanged docs are byte-stable too).
+    This is the operation the duprate metric only measures: it excises
+    boilerplate headers, licence blocks and quoted passages that
+    whole-doc dedup (MinHash et al) cannot touch because the host
+    documents are otherwise distinct.
+
+    Output per doc: n_shingles / n_shared / dup_rate / flag_dup (the
+    exact substring-duprate contract, superset-compatible with the
+    retired dedup_substring_duprate query), n_tokens, n_removed, and
+    cleaned_text.
+
+    Scale shape — linear end to end, no pair materialization:
+    one positional-shingle explode (map-side), one df count per
+    shingle (map-side partial agg), one join back on shingle (one row
+    per occurrence regardless of df — a df=10^9 boilerplate shingle
+    fans out nothing), a <= k× explode of duplicated spans into
+    covered positions, and two id-keyed aggregations that re-attach to
+    the token payload once. Per-doc state (covered-position set) is
+    bounded by document length, which chunking bounds upstream."""
+    return remove_spans_against_index(
+        df, shingle_df_delta(df, id_col, text_col, k), id_col, text_col, k, min_df
+    )

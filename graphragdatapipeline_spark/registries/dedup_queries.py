@@ -477,57 +477,88 @@ def dedup_keep_best_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_substring_duprate",
-    oracle=f"""
-WITH {_SHINGLES_CTE},
-cnt AS (
-  SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle
-), per AS (
-  SELECT s.doc_id,
-         count(*) AS n_shingles,
-         CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
-  FROM sh s JOIN cnt c USING (shingle)
-  GROUP BY s.doc_id
+    "dedup_substring_removal",
+    oracle=r"""
+WITH toksr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lw
+  FROM documents
+), base AS (
+  SELECT doc_id, w, lw, len(lw) AS n FROM toksr
+), psh AS (
+  SELECT doc_id, n,
+         CASE WHEN n < 3 THEN 1 ELSE i END AS pos,
+         CASE WHEN n < 3 THEN n ELSE i + 2 END AS pos_end,
+         CASE WHEN n < 3 THEN coalesce(array_to_string(lw, ' '), '')
+              ELSE concat_ws(' ', lw[i], lw[i+1], lw[i+2]) END AS shingle
+  FROM base, unnest(generate_series(1, greatest(n - 2, 1))) AS t(i)
+), cnt AS (
+  SELECT shingle, count(DISTINCT doc_id) AS nd FROM psh GROUP BY shingle
+), j AS (
+  SELECT s.doc_id, s.pos, s.pos_end, s.shingle, c.nd
+  FROM psh s JOIN cnt c USING (shingle)
+), stats AS (
+  SELECT doc_id,
+         count(DISTINCT shingle) AS n_shingles,
+         count(DISTINCT CASE WHEN nd > 1 THEN shingle END) AS n_shared
+  FROM j GROUP BY doc_id
+), cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM j, unnest(generate_series(pos, pos_end)) AS u(p)
+  WHERE nd > 1 AND pos <= pos_end
+), covn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id
+), allpos AS (
+  SELECT b.doc_id, t.i AS pos, b.w[t.i] AS tok
+  FROM base b, unnest(generate_series(1, b.n)) AS t(i)
+), kept AS (
+  SELECT a.doc_id, a.pos, a.tok FROM allpos a
+  LEFT JOIN cov c ON c.doc_id = a.doc_id AND c.p = a.pos
+  WHERE c.doc_id IS NULL
+), clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
 )
-SELECT doc_id, n_shingles, n_shared,
-       floor(n_shared * 1.0 / n_shingles * 1000000 + 0.5) / 1000000 AS dup_rate,
-       (2 * n_shared >= n_shingles) AS flag_dup
-FROM per
+SELECT b.doc_id,
+       s.n_shingles, s.n_shared,
+       floor(s.n_shared * 1.0 / s.n_shingles * 1000000 + 0.5) / 1000000 AS dup_rate,
+       (2 * s.n_shared >= s.n_shingles) AS flag_dup,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       coalesce(cn.n_removed, 0) AS n_removed,
+       coalesce(cl.cleaned_text, '') AS cleaned_text
+FROM base b
+JOIN stats s USING (doc_id)
+LEFT JOIN covn cn USING (doc_id)
+LEFT JOIN clean cl USING (doc_id)
 """,
 )
-def dedup_substring_duprate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplication rate per document (the Lee et al.
-    2022 'Deduplicating Training Data' metric, doc-granular): the
-    fraction of a document's distinct word 3-grams that also occur in
-    at least one OTHER document, plus a curation flag at the 50% mark.
-    Unlike MinHash (whole-doc similarity) this catches PARTIAL overlap
-    — boilerplate headers, quoted passages, licence blocks — which is
-    the dominant contamination mode in web-scale corpora.
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with span REMOVAL (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'):
+    every token covered by a word 3-gram occurring in >1 distinct
+    document is excised and the doc is reconstructed from surviving
+    tokens (single-space joined; reconstruction whitespace-normalizes
+    every doc, so untouched docs hash stably too). Catches the
+    PARTIAL-overlap contamination whole-doc dedup cannot — boilerplate
+    headers, licence blocks, quoted passages — and, unlike the retired
+    duprate metric it strictly supersedes (n_shingles / n_shared /
+    dup_rate / flag_dup are the same contract, distinct-shingle
+    granularity), it produces the cleaned corpus itself.
 
-    Scale shape: one shingle explode (map-side), one count per shingle
-    (the inverted index the Jaccard path already builds), one join
-    back on shingle, one per-doc agg — all hash-partitioned on
-    shingle/doc_id, no self-join and no pair materialization at all,
-    so cost is linear in total shingle volume even when every doc
-    overlaps every other. The flag comparison is integer arithmetic
-    (2*shared >= total), immune to float-boundary drift."""
+    Reference parity: the reference has no substring-level dedup; this
+    is north-star LLM-pipeline surface (BASELINE.json dedup family).
+
+    Scale shape — linear, no pair materialization: positional-shingle
+    explode (map-side), df count per shingle, join back on shingle
+    (one row per OCCURRENCE — a df=10^9 boilerplate shingle fans out
+    nothing), <= k× span→position explode, two id-keyed aggs
+    re-attached to the token payload once (slim rows through every
+    shuffle; the token arrays never cross one). Oracle replays the
+    identical pipeline: same split/lower tokenization, same whole-doc
+    shingle for sub-k docs, same position algebra."""
     from graphragdatapipeline_spark.registry import dround
 
     d = read_table(spark, sf_dir, "documents")
-    sh = dd.shingle_table(d, "doc_id", "text", k=3)
-    cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
-    per = (
-        sh.join(cnt, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
-        )
-    )
-    return per.select(
-        "doc_id",
-        "n_shingles",
-        "n_shared",
-        dround(F.col("n_shared") / F.col("n_shingles"), 6).alias("dup_rate"),
-        (2 * F.col("n_shared") >= F.col("n_shingles")).alias("flag_dup"),
-    )
+    out = dd.remove_duplicated_spans(d, "doc_id", "text", k=3, min_df=2)
+    return out.withColumn("dup_rate", dround(F.col("dup_rate"), 6))

@@ -151,3 +151,125 @@ def test_keep_best_by_quality_prefers_fluent_member(spark, sf_dir):
     )
     kept = {r.doc_id for r in ranked.collect()}
     assert kept == {2, 7}  # doc 2 beats min-id doc 1 on fluency
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """Hand-computed span removal: shared 5-token tail covered by its
+    3-grams is cut from both hosts; the unique doc is untouched
+    (modulo whitespace normalization); identical short docs vanish;
+    sub-k unique docs keep their whole-doc shingle and survive."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma delta shared tail one two three"),
+            (2, "omega Shared tail one two three unique ending here"),
+            (3, "totally  different\ttext with no overlap at all"),
+            (4, "tiny doc"),
+            (5, "same small text"),
+            (6, "same small text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.remove_duplicated_spans(docs, "doc_id", "text").collect()
+    }
+    # shared tail "shared tail one two three" (case-insensitive match,
+    # original case kept elsewhere) is excised from both hosts
+    assert out[1].cleaned_text == "Alpha beta gamma delta"
+    assert out[2].cleaned_text == "omega unique ending here"
+    assert out[1].n_removed == 5 and out[2].n_removed == 5
+    # unique doc: untouched tokens, whitespace normalized
+    assert out[3].cleaned_text == "totally different text with no overlap at all"
+    assert out[3].n_removed == 0 and not out[3].flag_dup
+    # sub-k unique doc: whole-doc shingle, no other doc has it
+    assert out[4].cleaned_text == "tiny doc"
+    assert out[4].n_shingles == 1 and out[4].n_shared == 0
+    # exact short duplicates: fully covered, removed entirely
+    assert out[5].cleaned_text == "" and out[6].cleaned_text == ""
+    assert out[5].n_removed == 3 and out[5].flag_dup
+
+
+def test_remove_duplicated_spans_subsequence_and_counts(spark):
+    """Invariants on fixture data: cleaned tokens are an ordered
+    subsequence of the original tokens, n_removed + len(cleaned) ==
+    n_tokens, and a doc with zero shared shingles round-trips."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    out = dd.remove_duplicated_spans(d, "doc_id", "text").join(
+        d, "doc_id"
+    )
+    for r in out.collect():
+        orig = [t for t in r.text.split() if t]
+        kept = [t for t in r.cleaned_text.split() if t]
+        assert r.n_tokens == len(orig)
+        assert r.n_removed + len(kept) == r.n_tokens
+        # ordered-subsequence check
+        it = iter(orig)
+        assert all(any(o == k for o in it) for k in kept), r.doc_id
+
+
+def test_remove_spans_incremental_equals_one_shot(spark):
+    """Two-batch ingest (delta-merged shingle-df index, each batch
+    scored against the MERGED index) must equal the one-shot removal
+    over the union — the accumulation-exactness contract of
+    shingle_df_delta."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    rows = [
+        (1, "Alpha beta gamma delta shared tail one two three"),
+        (2, "omega Shared tail one two three unique ending here"),
+        (3, "totally different text with no overlap at all"),
+        (4, "same small text"),
+    ]
+    rows2 = [
+        (5, "same small text"),
+        (6, "prefix words then shared tail one two three trailing bit"),
+    ]
+    b1 = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    b2 = spark.createDataFrame(rows2, "doc_id LONG, text STRING")
+    merged = (
+        dd.shingle_df_delta(b1, "doc_id", "text")
+        .unionByName(dd.shingle_df_delta(b2, "doc_id", "text"))
+        .groupBy("shingle")
+        .agg(F.sum("nd").alias("nd"))
+    )
+    incremental = dd.remove_spans_against_index(
+        b1, merged, "doc_id", "text"
+    ).unionByName(dd.remove_spans_against_index(b2, merged, "doc_id", "text"))
+    one_shot = dd.remove_duplicated_spans(b1.unionByName(b2), "doc_id", "text")
+    got = {tuple(r) for r in incremental.collect()}
+    want = {tuple(r) for r in one_shot.collect()}
+    assert got == want
+    # the cross-batch duplicate pair (4, 5) must actually be cut
+    by_id = {r.doc_id: r for r in one_shot.collect()}
+    assert by_id[4].cleaned_text == "" and by_id[5].cleaned_text == ""
+
+
+def test_remove_spans_external_reference_decontamination(spark):
+    """min_df=1 against an EXTERNAL index is span-level
+    decontamination: any span the reference corpus contains is cut,
+    everything else survives — including shingles absent from the
+    index (nd=0 via the left join)."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    reference = spark.createDataFrame(
+        [(900, "the quick brown fox jumps")], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [(1, "intro words here the quick brown fox jumps and more text")],
+        "doc_id LONG, text STRING",
+    )
+    idx = dd.shingle_df_delta(reference, "doc_id", "text")
+    out = dd.remove_spans_against_index(
+        batch, idx, "doc_id", "text", min_df=1
+    ).collect()[0]
+    assert out.cleaned_text == "intro words here and more text"
+    assert out.n_removed == 5
