@@ -431,3 +431,49 @@ def read_cooccurrence_index(spark, index_dir: str):
         tf.groupBy("term").agg(F.sum("df").alias("df")),
         n.agg(F.sum("n").alias("n")),
     )
+
+
+def substring_index_sink(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Streaming exact-substring index maintenance: each micro-batch
+    of documents lands its ADDITIVE shingle-df delta
+    (operators.dedup.shingle_df_delta — per-batch distinct-doc word
+    k-gram counts) as an epoch partition under `index_dir/epoch=N`.
+    Span removal / decontamination is computed on read by scoring any
+    document set against the summed index
+    (operators.dedup.remove_spans_against_index); the cleaned text is
+    never stored, so late-arriving duplicates retroactively affect
+    re-scores without rewriting history. Counts are additive, so —
+    like cooccurrence_index_sink and unlike the dedup corpus sinks —
+    the batch never reads the accumulated index: a foreachBatch retry
+    recomputes the identical delta from its replayed source slice and
+    idempotently overwrites its own epoch directory before the commit
+    marker lands."""
+    from graphragdatapipeline_spark.operators.dedup import shingle_df_delta
+
+    commits_dir = index_dir + "/_commits"
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        delta = shingle_df_delta(df, id_col, text_col, k)
+        delta.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+        _mark_committed(spark, commits_dir, epoch_id)
+
+    return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
+
+
+def read_substring_index(spark, index_dir: str):
+    """Merged (shingle, nd) over COMMITTED epochs — the consistent
+    read half of substring_index_sink; returns None before the first
+    commit. Feed the result to remove_spans_against_index."""
+    commits_dir = index_dir + "/_commits"
+    idx = read_committed_epochs(spark, index_dir, commits_dir)
+    if idx is None:
+        return None
+    return idx.groupBy("shingle").agg(F.sum("nd").alias("nd"))

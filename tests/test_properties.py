@@ -715,3 +715,69 @@ def test_zipf_fixture_transforms_deterministic_and_shaped(spark):
     assert len({r.text for r in hot_docs}) == len(hot_docs)
     # n_chars restamped to match the new text
     assert all(r.n_chars == len(r.text) for r in d)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc Ab XY z".split()), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_remove_duplicated_spans_matches_reference(spark, docs):
+    """Span removal == a pure-Python replay: k-gram positions,
+    cross-document df on LOWERCASED grams, covered-position union,
+    original-case reconstruction. The 6-word alphabet forces heavy
+    cross-doc collisions, sub-k docs, empty docs and case-folded
+    matches."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    k = 3
+    toks = {i + 1: d for i, d in enumerate(docs)}
+    low = {i: [t.lower() for t in d] for i, d in toks.items()}
+
+    def grams(d):
+        if len(d) < k:
+            return [(1, len(d), " ".join(d))]
+        return [(i + 1, i + k, " ".join(d[i : i + k])) for i in range(len(d) - k + 1)]
+
+    df_count: dict[str, set[int]] = {}
+    for i, d in low.items():
+        for _, _, g in grams(d):
+            df_count.setdefault(g, set()).add(i)
+
+    want = {}
+    for i, d in low.items():
+        gs = grams(d)
+        distinct = {g for _, _, g in gs}
+        shared = {g for g in distinct if len(df_count[g]) >= 2}
+        cov = set()
+        for a, b, g in gs:
+            if len(df_count[g]) >= 2 and a <= b:
+                cov.update(range(a, b + 1))
+        kept = [t for p, t in enumerate(toks[i], 1) if p not in cov]
+        want[i] = (
+            len(distinct),
+            len(shared),
+            2 * len(shared) >= len(distinct),
+            len(toks[i]),
+            len(cov),
+            " ".join(kept),
+        )
+
+    sdf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in toks.items()], "doc_id LONG, text STRING"
+    )
+    got = {
+        r.doc_id: (
+            r.n_shingles,
+            r.n_shared,
+            r.flag_dup,
+            r.n_tokens,
+            r.n_removed,
+            r.cleaned_text,
+        )
+        for r in dd.remove_duplicated_spans(sdf, "doc_id", "text", k=k).collect()
+    }
+    assert got == want

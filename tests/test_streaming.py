@@ -782,3 +782,51 @@ def test_interval_join_bucketization_is_exact(spark):
     )
     assert bucketized == plain
     assert len(bucketized) > 100  # non-vacuous: the hot user pairs densely
+
+
+def test_substring_index_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming shingle-df maintenance over two micro-batches must
+    make remove_spans_against_index reproduce the one-shot
+    remove_duplicated_spans EXACTLY (df counts are additive; cleaned
+    text computed on read) — and an uncommitted epoch must stay
+    invisible to the consistent reader."""
+    import time
+
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) / 2
+    slices = [d.filter(F.col("doc_id") <= cut), d.filter(F.col("doc_id") > cut)]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir = str(tmp_path / "shidx")
+    q = so.substring_index_sink(stream, index_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    idx = so.read_substring_index(spark, index_dir)
+    got = {
+        tuple(r)
+        for r in dd.remove_spans_against_index(d, idx, "doc_id", "text").collect()
+    }
+    want = {
+        tuple(r) for r in dd.remove_duplicated_spans(d, "doc_id", "text").collect()
+    }
+    assert got == want and len(want) > 0
+    # something must actually be duplicated at fixture scale
+    assert any(r[6] > 0 for r in want)  # n_removed column
+
+    # an uncommitted epoch (no marker) must not change the read view
+    extra = spark.createDataFrame([("poison poison poison", 999)], "shingle string, nd long")
+    extra.write.mode("overwrite").parquet(f"{index_dir}/epoch=99")
+    idx2 = so.read_substring_index(spark, index_dir)
+    assert idx2.filter(F.col("shingle") == "poison poison poison").count() == 0
