@@ -538,3 +538,150 @@ def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
         d.select("doc_id", "lang"), group_col="lang", id_col="doc_id",
         alpha=0.7, target=250,
     ).select("doc_id", "lang")
+
+
+def _e2e_oracle() -> str:
+    """Composed six-stage curation pipeline oracle: exact dedup →
+    verified near-dup corpus (the dedup_corpus_verified CTEs, sourced
+    from the exact-dedup survivors) → Gopher quality gate (the
+    curation_quality_filter statement as a subquery) → benchmark
+    decontamination (bench shingled from the ORIGINAL corpus — eval
+    membership is not affected by pipeline stages) → hash split →
+    offset packing. Every fragment is textually the already-green
+    per-stage oracle, re-sourced; only the stage wiring is new."""
+    from graphragdatapipeline_spark.registries.dedup_queries import (
+        MAX_BUCKET,
+        _verified_flow_ctes,
+    )
+
+    neardup = _verified_flow_ctes(0.2, MAX_BUCKET).replace(
+        "FROM documents", "FROM d1"
+    )
+    qf_stmt = _QF_ORACLE.replace("FROM documents", "FROM d2")
+    return rf"""
+WITH exact_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id
+           ) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), d1 AS (
+  SELECT d.* FROM documents d JOIN exact_keep USING (doc_id)
+), {neardup}, mega_drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands_all b
+  JOIN (
+    SELECT band_idx, band_hash, min(doc_id) AS rep
+    FROM bands_all GROUP BY 1, 2 HAVING count(*) > {MAX_BUCKET}
+  ) m USING (band_idx, band_hash)
+  WHERE b.doc_id <> m.rep
+), d2 AS (
+  SELECT d.* FROM d1 d
+  WHERE NOT EXISTS (SELECT 1 FROM verified v WHERE v.b = d.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM mega_drops md WHERE md.doc_id = d.doc_id)
+), qf AS (
+  SELECT doc_id, n_tokens FROM (
+    {qf_stmt}
+  ) WHERE keep
+), d3 AS (
+  SELECT d.*, q.n_tokens FROM d2 d JOIN qf q USING (doc_id)
+), btoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents WHERE doc_id % 97 = 0
+), bench AS (
+  SELECT DISTINCT unnest(list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, len(w) - 2),
+              i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END)) AS shingle
+  FROM btoks
+), shared AS (
+  SELECT s.doc_id, count(DISTINCT s.shingle) AS shared_shingles
+  FROM sh s
+  JOIN d3 t ON t.doc_id = s.doc_id
+  JOIN bench b USING (shingle)
+  GROUP BY 1
+), d4 AS (
+  SELECT d.* FROM d3 d LEFT JOIN shared x USING (doc_id)
+  WHERE coalesce(x.shared_shingles, 0) < 2
+), d5 AS (
+  SELECT d.*,
+         CASE WHEN {_BUCKET_SQL} < 1000 THEN 'test' ELSE 'train' END AS split
+  FROM d4 d
+)
+SELECT doc_id, lang, split, n_tokens,
+       CAST(floor((sum(n_chars) OVER w - n_chars) / 4000.0) AS BIGINT) AS seq_index,
+       CAST((sum(n_chars) OVER w - n_chars) % 4000 AS BIGINT) AS seq_offset
+FROM d5
+WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("curation_end_to_end", oracle=_e2e_oracle())
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data mirror of graphrag_end_to_end: the full curation
+    pipeline as ONE composed query over the documents fixture — exact
+    dedup (min-id per fingerprint) → verified near-dup corpus (capped
+    LSH candidates → exact-Jaccard verify → larger-id drop +
+    mega-bucket representative-keep, the dedup_corpus_verified
+    registered defaults) → Gopher quality gate → benchmark
+    decontamination (every 97th ORIGINAL doc as the eval stand-in —
+    eval membership must not depend on pipeline survival) → 10% hash
+    test split → 4000-char offset packing per language shard. Output:
+    one row per surviving doc with its split and training-sequence
+    coordinates. Each stage is independently green; this pins the
+    COMPOSITION — schema contracts and survivor-set plumbing across
+    stage boundaries — which per-stage oracles cannot. The oracle
+    splices the per-stage oracle texts (verified-flow CTEs, quality
+    statement, decontamination shape) re-sourced onto each stage's
+    survivor set.
+
+    Scale shape: the union of its stages' shapes — nothing new
+    crosses a shuffle beyond what the stages already shuffle, the
+    token payload rides only the id-keyed survivor joins, and the
+    final packing window is one shuffle on the language shard key."""
+    from graphragdatapipeline_spark.operators import dedup as dd
+    from graphragdatapipeline_spark.registries.dedup_queries import (
+        BANDS,
+        MAX_BUCKET,
+        NUM_HASHES,
+    )
+    from graphragdatapipeline_spark.session import ensure_parallelism
+
+    d = read_table(spark, sf_dir, "documents")
+    d1 = dd.exact_dedup(d, "doc_id", "text")
+    sig = dd.minhash_signatures_rowwise(
+        ensure_parallelism(d1), "doc_id", "text", k=3, num_hashes=NUM_HASHES
+    )
+    bands = dd.lsh_bands(sig, "doc_id", NUM_HASHES, BANDS).localCheckpoint(
+        eager=False
+    )
+    cands = dd.lsh_candidate_pairs(bands, "doc_id", max_bucket=MAX_BUCKET)
+    mega = dd.lsh_mega_bucket_drops(bands, "doc_id", MAX_BUCKET)
+    sh = dd.shingle_table(d1, "doc_id", "text", k=3)
+    pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
+    d2 = dd.dedup_corpus(d1, pairs.select("a", "b"), "doc_id").join(
+        mega, "doc_id", "left_anti"
+    )
+    qf = cu.quality_filter(d2, "doc_id", "text")
+    d3 = d2.join(
+        qf.filter(F.col("keep")).select("doc_id", "n_tokens"), "doc_id"
+    )
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    dec = cu.decontaminate(
+        d3, bench, id_col="doc_id", text_col="text", k=3, min_shared=2
+    )
+    d4 = d3.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    d5 = cu.train_test_split(d4, "doc_id", test_rate=0.1)
+    packed = cu.pack_into_sequences(
+        d5, shard_col="lang", order_cols=["doc_id"], token_col="n_chars",
+        budget=4000,
+    )
+    return packed.select(
+        "doc_id", "lang", "split", "n_tokens", "seq_index", "seq_offset"
+    )

@@ -7,10 +7,7 @@ from pyspark.sql import functions as F
 
 from graphragdatapipeline_spark import checks as ck
 from graphragdatapipeline_spark.io import read_table
-from graphragdatapipeline_spark.multimodal.blob import (
-    blob_features,
-    blob_table_from_documents,
-)
+from graphragdatapipeline_spark.multimodal.blob import blob_table_from_documents
 from graphragdatapipeline_spark.registry import register
 
 
@@ -62,46 +59,19 @@ def quality_check_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gates.select("check_name", "passed")
 
 
-@register(
-    "multimodal_features",
-    oracle="""
-WITH codes AS (
-  SELECT doc_id, length(text) AS n,
-         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
-  FROM documents
-)
-SELECT concat('doc-', d.doc_id) AS blob_id,
-       'text/plain' AS media_type,
-       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-       md5(d.text) AS content_hash,
-       CAST(c.n AS BIGINT) AS n_samples,
-       floor((list_sum(c.cs) / c.n) * 1000000 + 0.5) / 1000000 AS mean_amp,
-       floor(sqrt(list_sum(list_transform(c.cs, x -> x * x)) / c.n) * 1000000 + 0.5) / 1000000 AS rms_amp
-FROM documents d JOIN codes c USING (doc_id)
-""",
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end, both kernels in one profile:
-    documents → binary blob table → mapInPandas feature extraction
-    (deterministic stub codec; byte counts + content hashes prove the
-    binary round-trip is faithful) joined with the audio-stats kernel
-    (payload bytes → mean/RMS amplitude; integer-exact sums, so the
-    SQL twin over ASCII codes matches exactly)."""
-    from graphragdatapipeline_spark.multimodal.blob import waveform_stats
-    from graphragdatapipeline_spark.registry import dround
-
-    d = read_table(spark, sf_dir, "documents")
-    blobs = blob_table_from_documents(d)
-    feats = blob_features(blobs, feature_dim=8).select(
-        "blob_id", "media_type", "n_bytes", "content_hash"
-    )
-    wave = waveform_stats(blobs).select(
-        "blob_id",
-        "n_samples",
-        dround(F.col("mean_amp"), 6).alias("mean_amp"),
-        dround(F.col("rms_amp"), 6).alias("rms_amp"),
-    )
-    return feats.join(wave, "blob_id")
+# RETIRED round 10 (rotation budget, same rule as the r9
+# `multimodal_resize` swap): `multimodal_features` — the stub-codec
+# plumbing profile (blob round-trip byte counts / content hashes +
+# waveform mean/RMS). Its mapInPandas plumbing and the waveform-stats
+# arithmetic are covered by the REAL-codec twins that stay registered
+# (`multimodal_wav_decode` drives waveform_stats through a genuine WAV
+# parse; `multimodal_png_decode`/`multimodal_png_resize`/
+# `multimodal_avi_frames` cover the batch kernel surface), and both
+# kernels gained a dedicated pytest
+# (tests/test_multimodal.py::test_blob_features_and_waveform_kernels).
+# The freed slot went to `curation_end_to_end` — the composed
+# six-stage curation pipeline is strictly more evidence than a
+# stub-plumbing profile beside its codec twins.
 
 
 # RETIRED round 9 (rotation budget): `multimodal_resize` — the byte-clip

@@ -224,3 +224,41 @@ def test_resize_media_byte_clip_contract(spark):
         assert r.resized_bytes == len(clipped)
         assert r.resized_hash == hashlib.md5(clipped).hexdigest()
         assert bytes(r.payload) == clipped
+
+
+def test_blob_features_and_waveform_kernels(spark):
+    """Dedicated coverage for the two stub-codec mapInPandas kernels
+    whose registry profile (multimodal_features) was retired in r10:
+    blob round-trip fidelity (byte count + content hash) and
+    waveform stats (payload bytes as 8-bit samples → mean/RMS with
+    integer-exact sums), both hand-computed."""
+    import hashlib
+    import math
+
+    from graphragdatapipeline_spark.multimodal.blob import (
+        blob_features,
+        blob_table_from_documents,
+        waveform_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "Hello, world!"), (3, "x")],
+        "doc_id LONG, text STRING",
+    )
+    blobs = blob_table_from_documents(docs)
+
+    feats = {r.blob_id: r for r in blob_features(blobs, feature_dim=4).collect()}
+    texts = {1: "abc", 2: "Hello, world!", 3: "x"}
+    for i, t in texts.items():
+        r = feats[f"doc-{i}"]
+        assert r.n_bytes == len(t.encode())
+        assert r.content_hash == hashlib.md5(t.encode()).hexdigest()
+        assert len(r.features) == 4
+
+    wave = {r.blob_id: r for r in waveform_stats(blobs).collect()}
+    for i, t in texts.items():
+        bs = t.encode()
+        r = wave[f"doc-{i}"]
+        assert r.n_samples == len(bs)
+        assert abs(r.mean_amp - sum(bs) / len(bs)) < 1e-9
+        assert abs(r.rms_amp - math.sqrt(sum(b * b for b in bs) / len(bs))) < 1e-9
