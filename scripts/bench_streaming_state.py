@@ -17,7 +17,8 @@ streaming is state-store growth, and this puts numbers on it.
    epoch-partitioned parquet index, not the state store, by design).
 
 Usage: python scripts/bench_streaming_state.py [SF10_DIR] [MAX_FILES]
-Defaults: /tmp/sf10 10. Prints one JSON line per run.
+       [SECTION: all|join|docs]
+Defaults: /tmp/sf10 10 all. Prints one JSON line per run.
 """
 
 from __future__ import annotations
@@ -61,6 +62,7 @@ def _dir_bytes(d: str) -> int:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
     mfpt = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    section = sys.argv[3] if len(sys.argv) > 3 else "all"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session(
         "stream-state", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
@@ -73,7 +75,7 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
     # ---- 1. stream-stream join state vs watermark width
-    for wm in ("10 minutes", "1 hour", "6 hours"):
+    for wm in ("10 minutes", "1 hour", "6 hours") if section in ("all", "join") else ():
         tag = wm.replace(" ", "")
         ckpt = f"{work}/ss_{tag}/ckpt"
 
@@ -146,12 +148,26 @@ def main() -> None:
                 f"{work}/neardup/ckpt",
             ),
         ),
+        (
+            "substring_index_sink",
+            lambda: so.substring_index_sink(
+                doc_src(),
+                f"{work}/substr/index",
+                f"{work}/substr/ckpt",
+            ),
+        ),
     ):
+        if section not in ("all", "docs"):
+            break
         t0 = time.perf_counter()
         q = launch()
         q.awaitTermination()
         wall = time.perf_counter() - t0
-        idx_dir = f"{work}/cooc/index" if "cooc" in name else f"{work}/neardup"
+        idx_dir = {
+            "cooccurrence_index_sink": f"{work}/cooc/index",
+            "incremental_neardup_sink": f"{work}/neardup",
+            "substring_index_sink": f"{work}/substr/index",
+        }[name]
         rec = {
             "pipeline": name,
             "wall_sec": round(wall, 2),
