@@ -567,3 +567,30 @@ def test_aqe_splits_skewed_join_with_force_flag(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_substring_removal_single_pass_plan(spark, sf_dir):
+    """The stats+coverage aggregation of dedup_substring_removal is ONE
+    pass: a split stats/coverage plan gave the shingle subtree two
+    consumers and Catalyst re-derived the whole pipeline per branch
+    (observed: 5 document scans / 16 exchanges before the rewrite, 3 /
+    9 after). Pin the collapsed shape so a refactor cannot silently
+    reintroduce the recomputation — and pin that the token-array
+    payload column never rides a shuffle (slim positional rows only;
+    the payload re-attaches once by id)."""
+    plan = _plan(spark, "dedup_substring_removal", sf_dir)
+    assert plan.count("FileScan") <= 3
+    assert plan.count("Exchange") <= 9
+    # no Exchange row may carry the materialized token arrays (_w):
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "_w#" not in line, line
+
+
+def test_curation_e2e_bench_side_broadcasts(spark, sf_dir):
+    """In the composed curation pipeline the decontamination join must
+    broadcast the benchmark shingle side (it is eval-set sized, never
+    corpus sized) — the property that keeps stage 4 map-side at
+    100 TB."""
+    plan = _plan(spark, "curation_end_to_end", sf_dir)
+    assert "BroadcastHashJoin" in plan

@@ -781,3 +781,41 @@ def test_remove_duplicated_spans_matches_reference(spark, docs):
         for r in dd.remove_duplicated_spans(sdf, "doc_id", "text", k=k).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc Ab XY z".split()), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    ),
+    cut=st.integers(0, 7),
+)
+@SET
+def test_substring_incremental_equals_one_shot_any_split(spark, docs, cut):
+    """For ANY two-batch split of a corpus, scoring each batch against
+    the merged shingle-df index must equal the one-shot removal over
+    the union — the additivity contract of shingle_df_delta, fuzzed
+    over batch boundaries (empty batches included)."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    rows = [(i + 1, " ".join(d)) for i, d in enumerate(docs)]
+    cut = min(cut, len(rows))
+    schema = "doc_id LONG, text STRING"
+    full = spark.createDataFrame(rows, schema)
+    b1 = spark.createDataFrame(rows[:cut], schema)
+    b2 = spark.createDataFrame(rows[cut:], schema)
+    merged = (
+        dd.shingle_df_delta(b1, "doc_id", "text")
+        .unionByName(dd.shingle_df_delta(b2, "doc_id", "text"))
+        .groupBy("shingle")
+        .agg(F.sum("nd").alias("nd"))
+    )
+    incr = dd.remove_spans_against_index(
+        b1, merged, "doc_id", "text"
+    ).unionByName(dd.remove_spans_against_index(b2, merged, "doc_id", "text"))
+    want = {tuple(r) for r in dd.remove_duplicated_spans(full, "doc_id", "text").collect()}
+    got = {tuple(r) for r in incr.collect()}
+    assert got == want
