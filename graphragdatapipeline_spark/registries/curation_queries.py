@@ -556,7 +556,7 @@ def _e2e_oracle() -> str:
     membership is not affected by pipeline stages) → hash split →
     offset packing. Every fragment is textually the already-green
     per-stage oracle, re-sourced; only the stage wiring is new."""
-    from graphragdatapipeline_spark.registries.dedup_queries import (
+    from graphragdatapipeline_spark.registries.dedup_oracles import (
         MAX_BUCKET,
         _verified_flow_ctes,
     )
@@ -651,7 +651,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     token payload rides only the id-keyed survivor joins, and the
     final packing window is one shuffle on the language shard key."""
     from graphragdatapipeline_spark.operators import dedup as dd
-    from graphragdatapipeline_spark.registries.dedup_queries import (
+    from graphragdatapipeline_spark.registries.dedup_oracles import (
         BANDS,
         MAX_BUCKET,
         NUM_HASHES,

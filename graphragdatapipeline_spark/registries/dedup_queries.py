@@ -11,68 +11,16 @@ from pyspark.sql import functions as F
 from graphragdatapipeline_spark.io import read_table
 from graphragdatapipeline_spark.operators import dedup as dd
 from graphragdatapipeline_spark.registry import register
-from graphragdatapipeline_spark.session import ensure_parallelism
-
-NUM_HASHES = 16
-BANDS = 4
-_ROWS = NUM_HASHES // BANDS
-
-_SHINGLES_CTE = r"""
-toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
-  FROM documents
-), sh AS (
-  SELECT doc_id, unnest(list_distinct(
-    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         ELSE list_transform(generate_series(1, len(w) - 2),
-              i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END)) AS shingle
-  FROM toks
-)"""
-
-
-def _minhash_oracle(max_bucket: int | None = None) -> str:
-    n_salts = (NUM_HASHES + 3) // 4
-    md5_cols = ", ".join(
-        f"md5(concat('{g}|', shingle)) AS m{g}" for g in range(n_salts)
-    )
-    sig_cols = ",\n         ".join(
-        f"min(substr(m{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}"
-        for i in range(NUM_HASHES)
-    )
-    band_selects = []
-    for b in range(BANDS):
-        cols = ", ".join(f"h{b * _ROWS + r}" for r in range(_ROWS))
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig"
-        )
-    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
-    # The production guardrail mirrored in SQL: buckets above the cap
-    # are excluded from pairwise candidate generation (a mega-bucket is
-    # a duplicate CLUSTER, not a pair-scoring problem).
-    bucket_filter = (
-        ""
-        if max_bucket is None
-        else f"""QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= {max_bucket}"""
-    )
-    return f"""
-WITH {_SHINGLES_CTE},
-hashed AS (
-  SELECT doc_id, {md5_cols} FROM sh
-), sig AS (
-  SELECT doc_id,
-         {sig_cols}
-  FROM hashed GROUP BY doc_id
-), bands_all AS (
-  {bands_sql}
-), bands AS (
-  SELECT * FROM bands_all
-  {bucket_filter}
+from graphragdatapipeline_spark.registries.dedup_oracles import (  # noqa: F401
+    BANDS,
+    MAX_BUCKET,
+    NUM_HASHES,
+    _ROWS,
+    _SHINGLES_CTE,
+    _minhash_oracle,
+    _verified_flow_ctes,
 )
-SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-FROM bands a JOIN bands b USING (band_idx, band_hash)
-WHERE a.doc_id < b.doc_id
-"""
-
+from graphragdatapipeline_spark.session import ensure_parallelism
 
 def _simhash_oracle(bits: int = 16) -> str:
     nib = (
@@ -243,37 +191,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=16)
 
 
-def _verified_flow_ctes(
-    threshold: float = 0.2, max_bucket: int | None = None
-) -> str:
-    """Shared CTE body for the production near-dup flow, through the
-    `verified` pair set: minhash chain → (bucket-capped) candidate
-    pairs → exact-Jaccard verification. Reused by the cleaned-corpus,
-    cluster-assignment and keep-best oracles so all three gates verify
-    the IDENTICAL pipeline."""
-    base = _minhash_oracle(max_bucket=max_bucket).strip()
-    body = base[len("WITH "):]
-    head, final_select = body.rsplit("SELECT DISTINCT", 1)
-    return f"""{head.rstrip().rstrip(",")},
-cands AS (
-  SELECT DISTINCT {final_select}
-), sizes AS (
-  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-), common AS (
-  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS common
-  FROM sh s1 JOIN sh s2 USING (shingle)
-  WHERE s1.doc_id < s2.doc_id
-  GROUP BY 1, 2
-), verified AS (
-  SELECT c.a, c.b
-  FROM common c
-  JOIN cands k ON c.a = k.a AND c.b = k.b
-  JOIN sizes sa ON c.a = sa.doc_id
-  JOIN sizes sb ON c.b = sb.doc_id
-  WHERE c.common / (sa.sz + sb.sz - c.common) >= {threshold}
-)"""
-
-
 def _dedup_corpus_verified_oracle(
     threshold: float = 0.2, max_bucket: int | None = None
 ) -> str:
@@ -301,14 +218,6 @@ SELECT d.doc_id, d.lang FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM verified v WHERE v.b = d.doc_id)
   AND NOT EXISTS (SELECT 1 FROM mega_drops md WHERE md.doc_id = d.doc_id)
 """
-
-
-# Registered guardrail for the corpus-verified flow: honest-scale band
-# buckets top out at 3–4 members (sf0.01 max 3 / sf0.1 max 4, p99.9 = 3
-# at both), so >8 docs agreeing on a FULL band is a duplicate cluster,
-# not a pair-scoring problem. Same philosophy as graph_triangle_count's
-# max_forward_degree=160 default; the oracle mirrors the cap exactly.
-MAX_BUCKET = 8
 
 
 @register(

@@ -98,3 +98,29 @@ def test_cli_list_query_skew_compact(spark, sf_dir, tmp_path, capsys):
     dst = os.path.join(str(tmp_path), "cli_dst")
     assert main(["compact", src, dst, "--target-mb", "64"]) == 0
     assert len(spark.read.parquet(dst).inputFiles()) == 1
+
+
+def test_registry_submodules_import_directly():
+    """Regression for the r10 circular-import hazard: importing a
+    registries submodule DIRECTLY (before the registry package) used
+    to crash — registry._load_submodules ran at import time,
+    curation_queries' composed-pipeline oracle pulled shared fragments
+    out of the still-partially-initialized dedup_queries module. The
+    fragments now live in the leaf module dedup_oracles; every
+    submodule must be importable first, in a fresh interpreter."""
+    import subprocess
+    import sys as _sys
+
+    for mod in (
+        "graphragdatapipeline_spark.registries.dedup_queries",
+        "graphragdatapipeline_spark.registries.curation_queries",
+        "graphragdatapipeline_spark.registries.dedup_oracles",
+    ):
+        r = subprocess.run(
+            [_sys.executable, "-c", f"import {mod}"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert r.returncode == 0, f"{mod}: {r.stderr[-500:]}"
