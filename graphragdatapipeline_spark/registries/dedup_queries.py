@@ -22,6 +22,7 @@ from graphragdatapipeline_spark.registries.dedup_oracles import (  # noqa: F401
 )
 from graphragdatapipeline_spark.session import ensure_parallelism
 
+
 def _simhash_oracle(bits: int = 16) -> str:
     nib = (
         "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
