@@ -500,3 +500,136 @@ def decontaminate(
             ),
         )
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    iters: int = 25,
+    lr: float = 1.0,
+) -> DataFrame:
+    """TRAINED quality gate: logistic regression over the Gopher
+    features, fit by full-batch gradient descent with the k-means
+    quantization discipline (vector_kmeans_train precedent) so the
+    whole training loop is value-oracle-able — the fastText-style rung
+    production pipelines add on top of rule gates. The label is the
+    rule gate's own keep flag (distillation: the model generalizes the
+    hard thresholds into one continuous score, so borderline docs get
+    a rankable quality instead of a cliff).
+
+    Features: x1 = n_tokens/100, x2 = mean word length, x3 = stopword
+    ratio (the exact quality_filter arithmetic, 6-dp quantized), each
+    CENTERED on its corpus mean (means from exact integer micro-unit
+    sums + one quantized division — centering is what lets plain GD
+    converge against a dominant bias term; measured: uncentered
+    features leave the weights fighting the base rate for dozens of
+    rounds). Per iteration every per-row gradient term
+    (sigmoid(w·x) − y)·x_j is quantized to int64 micro-units and
+    SUMMED EXACTLY (order-independent), then each weight takes one
+    double update re-quantized to 6 dp — so Spark's driver-side
+    weights and an unrolled DuckDB CTE replay are bit-identical,
+    sigmoid's exp agreeing across libms well past the 6-dp quantum
+    (the ln precedent of the BM25/LM oracles). lr must be binary-exact
+    (default 1.0).
+
+    Output: the full quality_filter contract (id, n_tokens, keep,
+    fail_reasons) PLUS clf_score (6-dp sigmoid) and clf_keep — the
+    above-corpus-mean flag, decided by the integer cross-comparison
+    score_micro · n ≥ Σ score_micro (the lm_quality_scores
+    below_corpus_mean convention: no float aggregation can perturb
+    the boundary).
+
+    Scale shape: one means aggregate + `iters` corpus aggregations
+    over a lazily-checkpointed narrow feature frame (features + label
+    computed once — the measured branch-reuse rule); per iteration the
+    driver receives FIVE numbers (4 gradient sums + n, the
+    bounded-collect contract of the k-means family). Integer sums are
+    exact while n·max|x|·10⁶ stays under 2⁶³ — rescale features for
+    corpora beyond ~10¹² rows."""
+    import math
+
+    from graphragdatapipeline_spark.registry import dround
+    from graphragdatapipeline_spark.text.analysis import quality_features
+
+    def dround6_py(x: float) -> float:
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    def micro(c: Column) -> Column:
+        return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+    gate = quality_filter(df, id_col, text_col)
+    raw = df.select(F.col(id_col), *quality_features(F.col(text_col)))
+    feats = (
+        raw.select(
+            F.col(id_col),
+            (F.col("n_tokens") / F.lit(100.0)).alias("_r1"),
+            dround(F.col("mean_word_len"), 6).alias("_r2"),
+            dround(F.col("stopword_ratio"), 6).alias("_r3"),
+        )
+        .join(
+            gate.select(
+                F.col(id_col),
+                F.col("n_tokens"),
+                F.col("keep"),
+                F.col("fail_reasons"),
+                F.col("keep").cast("int").cast("double").alias("_y"),
+            ),
+            id_col,
+        )
+        .localCheckpoint(eager=False)
+    )
+    mrow = feats.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(micro(F.col(f"_r{j}"))).alias(f"_s{j}") for j in (1, 2, 3)],
+    ).first()
+    n = mrow["_n"]
+    mu = {
+        j: dround6_py(mrow[f"_s{j}"] / (n * 1_000_000.0)) for j in (1, 2, 3)
+    }
+    feats = feats.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("keep"),
+        F.col("fail_reasons"),
+        F.col("_y"),
+        *[(F.col(f"_r{j}") - F.lit(mu[j])).alias(f"_x{j}") for j in (1, 2, 3)],
+    ).localCheckpoint(eager=False)
+
+    def z_expr(w: list[float]):
+        return (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("_x1")
+            + F.lit(w[2]) * F.col("_x2")
+            + F.lit(w[3]) * F.col("_x3")
+        )
+
+    def sig_expr(w: list[float]):
+        return dround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr(w))), 6)
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    xcols = [F.lit(1.0), F.col("_x1"), F.col("_x2"), F.col("_x3")]
+    for _ in range(iters):
+        s = sig_expr(w)
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(micro((s - F.col("_y")) * xc)).alias(f"_g{j}")
+            for j, xc in enumerate(xcols)
+        ]
+        row = feats.agg(*aggs).first()
+        w = [
+            dround6_py(w[j] - lr * row[f"_g{j}"] / (row["_n"] * 1_000_000.0))
+            for j in range(4)
+        ]
+
+    scored = feats.withColumn("_sm", micro(sig_expr(w)))
+    total = scored.agg(
+        F.sum("_sm").alias("_tot"), F.count(F.lit(1)).alias("_cnt")
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("keep"),
+        F.col("fail_reasons"),
+        (F.col("_sm") / 1_000_000.0).alias("clf_score"),
+        (F.col("_sm") * F.col("_cnt") >= F.col("_tot")).alias("clf_keep"),
+    )

@@ -305,13 +305,154 @@ FROM r
 """
 
 
-@register("curation_quality_filter", oracle=_QF_ORACLE)
-def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite Gopher-style quality gate with per-rule audit trail
-    (see curation.quality_filter). Map-side only; the three rules each
-    drop a non-trivial minority of the fixture corpus."""
+def _clf_oracle(iters: int = 25, lr: float = 1.0) -> str:
+    """Unrolled SQL replay of curation.quality_classifier's full-batch
+    quantized gradient descent: features centered on exact-integer
+    corpus means, per-iteration sigmoid 6-dp quantized, every per-row
+    gradient term floored to int64 micro-units and summed exactly
+    (order-independent), each weight one double update re-quantized to
+    6 dp, and the final keep flag an integer cross-comparison against
+    the corpus-mean score — so the CTE chain reproduces the engine's
+    driver-side weights and flags bit-for-bit (the vector_kmeans_train
+    oracle discipline applied to logistic regression). lr must be
+    binary-exact."""
+    assert lr in (0.5, 1.0, 2.0), "lr literal must be binary-exact"
+
+    def dr(e: str) -> str:
+        return f"floor(({e}) * 1000000 + 0.5) / 1000000"
+
+    def sig(w: str) -> str:
+        z = f"{w}.w0 + {w}.w1 * x1 + {w}.w2 * x2 + {w}.w3 * x3"
+        return dr(f"1.0 / (1.0 + exp(-({z})))")
+
+    xs = ["1.0", "x1", "x2", "x3"]
+    head = (
+        r"""
+WITH f AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+      AS n_tokens,
+    length(regexp_replace(text, '\s', '', 'g')) /
+      greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '')), 1) AS mean_word_len,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> list_contains(['the','a','and','of','to','in','is'], x))) /
+      greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '')), 1) AS stopword_ratio
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens, mean_word_len, stopword_ratio,
+         list_filter([
+           CASE WHEN n_tokens < 30 THEN 'too_short' END,
+           CASE WHEN mean_word_len > 5.0 THEN 'long_words' END,
+           CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END
+         ], x -> x IS NOT NULL) AS failed
+  FROM f
+), feats0 AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         len(failed) = 0 AS keep,
+         COALESCE(array_to_string(failed, ','), '') AS fail_reasons,
+         n_tokens / 100.0 AS r1,
+         """
+        + dr("mean_word_len")
+        + """ AS r2,
+         """
+        + dr("stopword_ratio")
+        + """ AS r3,
+         CASE WHEN len(failed) = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM r
+), m AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(r1 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(floor(r2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+         CAST(sum(CAST(floor(r3 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s3
+  FROM feats0
+), feats AS MATERIALIZED (
+  SELECT f0.doc_id, f0.n_tokens, f0.keep, f0.fail_reasons, f0.y,
+         f0.r1 - ("""
+        + dr("m.s1 / (m.n * 1000000.0)")
+        + """) AS x1,
+         f0.r2 - ("""
+        + dr("m.s2 / (m.n * 1000000.0)")
+        + """) AS x2,
+         f0.r3 - ("""
+        + dr("m.s3 / (m.n * 1000000.0)")
+        + """) AS x3
+  FROM feats0 f0 CROSS JOIN m
+), w0c AS MATERIALIZED (
+  SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3
+)"""
+    )
+    parts = [head]
+    for t in range(1, iters + 1):
+        gs = ",\n         ".join(
+            "CAST(sum(CAST(floor((s - y) * "
+            + x
+            + f" * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        ws = ",\n         ".join(
+            dr(f"w{t-1}c.w{j} - {lr} * it{t}.g{j} / (it{t}.n * 1000000.0)")
+            + f" AS w{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f""", it{t} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {gs}
+  FROM (SELECT y, x1, x2, x3, {sig(f'w{t-1}c')} AS s
+        FROM feats CROSS JOIN w{t-1}c)
+), w{t}c AS MATERIALIZED (
+  SELECT {ws}
+  FROM w{t-1}c CROSS JOIN it{t}
+)"""
+        )
+    parts.append(
+        f""", scored AS MATERIALIZED (
+  SELECT feats.*,
+         CAST(floor(({sig(f'w{iters}c')}) * 1000000.0 + 0.5) AS BIGINT) AS sm
+  FROM feats CROSS JOIN w{iters}c
+), tot AS MATERIALIZED (
+  SELECT CAST(sum(sm) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS c
+  FROM scored
+)
+SELECT doc_id, n_tokens, keep, fail_reasons,
+       sm / 1000000.0 AS clf_score,
+       sm * c >= t AS clf_keep
+FROM scored CROSS JOIN tot"""
+    )
+    return "".join(parts)
+
+
+# RETIRED round 10 (rotation budget): `curation_quality_filter` — its
+# ENTIRE contract (n_tokens / keep / fail_reasons at doc granularity)
+# is a strict subset of `curation_quality_classifier` below, which
+# re-emits those columns bit-identically and adds the trained score,
+# so the swap loses zero evidence (the dedup_substring_duprate →
+# dedup_substring_removal rule). The quality_filter OPERATOR stays —
+# it is a stage of curation_end_to_end and keeps its oracle text
+# (_QF_ORACLE) spliced there, plus tests/test_curation.py coverage.
+
+
+@register("curation_quality_classifier", oracle=_clf_oracle())
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality gate (the fastText-style rung above rule
+    gates): logistic regression over corpus-mean-centered Gopher
+    features, fit by 25-iteration full-batch gradient descent
+    distilled from the rule
+    gate's own keep flag — borderline docs get a rankable continuous
+    score instead of a threshold cliff. The k-means quantization
+    discipline (integer-quantized gradient terms, exact sums, 6-dp
+    weight updates) makes the whole TRAINING LOOP value-oracled: the
+    DuckDB CTE chain replays every weight bit-for-bit. Output strictly
+    supersedes the retired curation_quality_filter (same n_tokens /
+    keep / fail_reasons) plus clf_score and the above-corpus-mean
+    clf_keep (integer cross-compare — the lm below_corpus_mean
+    convention; non-vacuous on the fixture, unlike a 0.5 cut against
+    an unseparated base rate)."""
     d = read_table(spark, sf_dir, "documents")
-    return cu.quality_filter(d, "doc_id", "text")
+    return cu.quality_classifier(d, "doc_id", "text", iters=25, lr=1.0)
 
 
 @register(

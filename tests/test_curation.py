@@ -454,3 +454,55 @@ def test_temperature_sample_upsamples_tail_group(spark):
     assert len(big) / 100 < 1.0
     rerun = cu.temperature_sample(df, "lang", "doc_id", alpha=0.5, target=50)
     assert sorted(r.doc_id for r in rerun.collect()) == sorted(r.doc_id for r in out)
+
+
+def test_quality_classifier_learns_and_supersets_gate(spark):
+    """The trained gate must (a) re-emit the quality_filter contract
+    bit-identically, (b) learn a real ranking on a separable corpus:
+    every rule-dropped doc scores strictly below every rule-kept doc,
+    and the above-corpus-mean flag separates them."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.operators import curation as cu
+
+    good = (
+        "the cat sat on the mat and the dog lay in the sun by the door "
+        "and a bird sang of the morning to the town in a calm clear way"
+    )
+    rows = [(i, good + f" extra word number {i}") for i in range(1, 9)]
+    # short, stopword-free, long-word garbage — fails every rule
+    rows += [(100 + i, f"zzzzqqqqwwww{i} xxxxyyyyzzzz{i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    out = cu.quality_classifier(docs, "doc_id", "text", iters=25, lr=1.0)
+    gate = {r.doc_id: r for r in cu.quality_filter(docs, "doc_id", "text").collect()}
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == set(gate)
+    for i, g in gate.items():
+        assert got[i].n_tokens == g.n_tokens
+        assert got[i].keep == g.keep
+        assert got[i].fail_reasons == g.fail_reasons
+    kept_scores = [r.clf_score for r in got.values() if r.keep]
+    drop_scores = [r.clf_score for r in got.values() if not r.keep]
+    assert drop_scores and kept_scores
+    assert max(drop_scores) < min(kept_scores)
+    assert all(r.clf_keep for r in got.values() if r.keep)
+    assert not any(r.clf_keep for r in got.values() if not r.keep)
+
+
+def test_quality_classifier_deterministic_weights(spark):
+    """Two independent runs must produce byte-identical scores — the
+    quantized-GD loop is a pure function of the corpus (exact integer
+    gradient sums, no float aggregation order-dependence)."""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators import curation as cu
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.doc_id: r.clf_score for r in cu.quality_classifier(d, "doc_id", "text").collect()}
+    b = {
+        r.doc_id: r.clf_score
+        for r in cu.quality_classifier(
+            d.repartition(7), "doc_id", "text"
+        ).collect()
+    }
+    assert a == b
