@@ -584,6 +584,18 @@ def quality_classifier(
         *[F.sum(micro(F.col(f"_r{j}"))).alias(f"_s{j}") for j in (1, 2, 3)],
     ).first()
     n = mrow["_n"]
+    if n == 0:
+        # Empty corpus: nothing to train on — schemaed-empty out, never
+        # throw (the house empty-input contract; the mean/gradient
+        # divisions below would be /0).
+        return feats.select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("keep"),
+            F.col("fail_reasons"),
+            F.lit(0.0).alias("clf_score"),
+            F.lit(False).alias("clf_keep"),
+        )
     mu = {
         j: dround6_py(mrow[f"_s{j}"] / (n * 1_000_000.0)) for j in (1, 2, 3)
     }

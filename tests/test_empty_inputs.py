@@ -300,3 +300,35 @@ def test_pq_rerank_shortlist_larger_than_corpus(spark):
     rows = vs.pq_rerank_topk(df, books, [1.0, 0.0, 0.0, 1.0], k=8, shortlist=64).collect()
     # corpus smaller than shortlist and k: every row survives, exact order
     assert [r.vec_id for r in rows] == [1, 2]
+
+
+def test_substring_removal_empty_and_singleton(spark):
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    empty = _empty(spark, "doc_id BIGINT, text STRING")
+    out = dd.remove_duplicated_spans(empty, "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_shingles", "n_shared", "dup_rate", "flag_dup",
+        "n_tokens", "n_removed", "cleaned_text",
+    ]
+    # singleton corpus: nothing cross-document, text round-trips
+    one = spark.createDataFrame([(1, "only doc in the corpus")], "doc_id BIGINT, text STRING")
+    r = dd.remove_duplicated_spans(one, "doc_id", "text").collect()[0]
+    assert r.n_removed == 0 and r.cleaned_text == "only doc in the corpus"
+    # scoring against an EMPTY index: everything survives
+    idx = dd.shingle_df_delta(empty, "doc_id", "text")
+    r2 = dd.remove_spans_against_index(one, idx, "doc_id", "text").collect()[0]
+    assert r2.cleaned_text == "only doc in the corpus"
+
+
+def test_quality_classifier_empty_corpus(spark):
+    from graphragdatapipeline_spark.operators import curation as cu
+
+    out = cu.quality_classifier(
+        _empty(spark, "doc_id BIGINT, text STRING"), "doc_id", "text"
+    )
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_tokens", "keep", "fail_reasons", "clf_score", "clf_keep",
+    ]
