@@ -159,10 +159,21 @@ def test_tfidf_broadcasts_df_table_and_group_limits(spark, sf_dir):
 def test_map_side_curation_ops_have_no_shuffle(spark, sf_dir):
     """PII redaction and the quality gate are pure map expressions —
     any Exchange in their plans is a regression. The stratified sample
-    may only exchange for the broadcast of the threshold table."""
+    may only exchange for the broadcast of the threshold table. (The
+    gate rides the quality_filter OPERATOR now that its registry slot
+    belongs to the trained classifier, which aggregates by design.)"""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators.curation import quality_filter
+
+    gate_plan = (
+        quality_filter(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in gate_plan
     for name in (
         "curation_pii_redaction",
-        "curation_quality_filter",
         "curation_mixture_shuffle",
     ):
         plan = _plan(spark, name, sf_dir)
