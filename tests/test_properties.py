@@ -819,3 +819,69 @@ def test_substring_incremental_equals_one_shot_any_split(spark, docs, cut):
     want = {tuple(r) for r in dd.remove_duplicated_spans(full, "doc_id", "text").collect()}
     got = {tuple(r) for r in incr.collect()}
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("the a of to cat zzqx wwky vvjz".split()),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@SET
+def test_quality_classifier_matches_python_replica(spark, docs):
+    """The quantized-GD training loop == an independent pure-Python
+    replay: same features, same integer micro-unit gradient sums, same
+    weight updates. Scores must agree within one 1e-6 quantum (the
+    only legitimate slack: JVM Math.exp vs CPython libm exp in the
+    last ulp at a floor boundary); rule-gate columns must be exact."""
+    import math
+
+    from graphragdatapipeline_spark.operators import curation as cu
+
+    STOP = {"the", "a", "and", "of", "to", "in", "is"}
+    rows = [(i + 1, " ".join(d)) for i, d in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: r
+        for r in cu.quality_classifier(sdf, "doc_id", "text", iters=5, lr=1.0).collect()
+    }
+
+    def dr6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    def micro(x):
+        return math.floor(x * 1_000_000.0 + 0.5)
+
+    feats, ys = {}, {}
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        n = len(toks)
+        nosp = len("".join(text.split()))
+        mwl = nosp / max(n, 1)
+        swr = sum(1 for t in toks if t in STOP) / max(n, 1)
+        keep = not (n < 30 or mwl > 5.0 or swr < 0.02)
+        feats[i] = [n / 100.0, dr6(mwl), dr6(swr)]
+        ys[i] = 1.0 if keep else 0.0
+    ids = sorted(feats)
+    nn = len(ids)
+    mu = [dr6(sum(micro(feats[i][j]) for i in ids) / (nn * 1_000_000.0)) for j in range(3)]
+    x = {i: [1.0] + [feats[i][j] - mu[j] for j in range(3)] for i in ids}
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(5):
+        g = [0, 0, 0, 0]
+        for i in ids:
+            z = w[0] + w[1] * x[i][1] + w[2] * x[i][2] + w[3] * x[i][3]
+            s = dr6(1.0 / (1.0 + math.exp(-z)))
+            for j in range(4):
+                g[j] += micro((s - ys[i]) * x[i][j])
+        w = [dr6(w[j] - 1.0 * g[j] / (nn * 1_000_000.0)) for j in range(4)]
+    for i in ids:
+        z = w[0] + w[1] * x[i][1] + w[2] * x[i][2] + w[3] * x[i][3]
+        want = micro(dr6(1.0 / (1.0 + math.exp(-z)))) / 1_000_000.0
+        assert abs(got[i].clf_score - want) <= 1.5e-6, (i, got[i].clf_score, want)
+        assert got[i].keep == (ys[i] == 1.0)
