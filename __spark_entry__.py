@@ -38,18 +38,19 @@ from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
 # row — treat as unverified (they re-enter the window ahead of
 # still-green entries, right after the never-green ones).
 _FORCE_REVERIFY: set[str] = {
-    # (empty round 9) dedup_corpus_verified was force-reverified in r8
-    # and re-greened under its new guardrail semantics — leaving it
-    # here would burn a window slot every round. Round-9 changes are
-    # all rotation-NEUTRAL: the prefix-filter t≈0 bypass
-    # (graph/entities.py) only affects thresholds below 1e-6 (no
-    # registered query uses one; bit-equivalence at the registered
-    # threshold is Hypothesis-pinned), and the checkpoint-release fixes
-    # (graph/algorithms.py) change memory lifecycle, not values.
-    # NOT listed: vector_lsh_buckets — re-registered r8 on the
-    # map-side lsh_signature_col path, but the output is BIT-COMPATIBLE
-    # with the old path (equivalence pinned in pytest), so its r6 green
-    # hash remains valid value evidence.
+    # Round 11: semantics changed, r10 hashes are stale for these.
+    # PQ knobs promoted to the r10 codebook-sweep evidence (codebook
+    # k=4→16, rerank shortlist 32→128) — new ADC ordering, new hash.
+    "vector_pq_adc_topk",
+    "vector_pq_rerank_topk",
+    # Re-composed to the production 7-stage order: substring span
+    # removal + trained-classifier gate spliced in; output adds
+    # clf_score and packs on cleaned length — new rows, new hash.
+    "curation_end_to_end",
+    # NOT listed (historical note): dedup_corpus_verified was
+    # force-reverified in r8 and re-greened; vector_lsh_buckets' r8
+    # re-registration was bit-compatible (pinned in pytest), so its
+    # r6 green hash remained valid value evidence.
 }
 
 

@@ -544,9 +544,13 @@ def quality_classifier(
     over a lazily-checkpointed narrow feature frame (features + label
     computed once — the measured branch-reuse rule); per iteration the
     driver receives FIVE numbers (4 gradient sums + n, the
-    bounded-collect contract of the k-means family). Integer sums are
-    exact while n·max|x|·10⁶ stays under 2⁶³ — rescale features for
-    corpora beyond ~10¹² rows."""
+    bounded-collect contract of the k-means family). Exactness bound:
+    the int64 gradient SUM is exact while n·max|x|·10⁶ stays under
+    2⁶³, but the driver-side update converts that sum to a double
+    (lr·g), so bit-exactness across engines additionally needs the
+    sum under 2⁵³ — at unit-scale centered features that is ~4·10⁹
+    rows; rescale features (or keep the update in integer space)
+    beyond that."""
     import math
 
     from graphragdatapipeline_spark.registry import dround

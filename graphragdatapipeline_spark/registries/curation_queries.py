@@ -276,7 +276,11 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QF_ORACLE = r"""
+def _qf_oracle(src: str = "documents") -> str:
+    """Gopher rule-gate oracle over table/CTE `src` — source is a
+    parameter so the composed-pipeline oracle can re-source it without
+    post-hoc string replacement (round-10 advice)."""
+    return rf"""
 WITH f AS (
   SELECT doc_id,
     len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
@@ -288,7 +292,7 @@ WITH f AS (
         x -> list_contains(['the','a','and','of','to','in','is'], x))) /
       greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
                                x -> x <> '')), 1) AS stopword_ratio
-  FROM documents
+  FROM {src}
 ), r AS (
   SELECT doc_id, n_tokens,
          list_filter([
@@ -305,7 +309,12 @@ FROM r
 """
 
 
-def _clf_oracle(iters: int = 25, lr: float = 1.0) -> str:
+_QF_ORACLE = _qf_oracle()
+
+
+def _clf_oracle(
+    iters: int = 25, lr: float = 1.0, src: str = "documents"
+) -> str:
     """Unrolled SQL replay of curation.quality_classifier's full-batch
     quantized gradient descent: features centered on exact-integer
     corpus means, per-iteration sigmoid 6-dp quantized, every per-row
@@ -339,7 +348,9 @@ WITH f AS (
         x -> list_contains(['the','a','and','of','to','in','is'], x))) /
       greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
                                x -> x <> '')), 1) AS stopword_ratio
-  FROM documents
+  FROM """
+        + src
+        + r"""
 ), r AS (
   SELECT doc_id, n_tokens, mean_word_len, stopword_ratio,
          list_filter([
@@ -689,23 +700,31 @@ def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _e2e_oracle() -> str:
-    """Composed six-stage curation pipeline oracle: exact dedup →
-    verified near-dup corpus (the dedup_corpus_verified CTEs, sourced
-    from the exact-dedup survivors) → Gopher quality gate (the
-    curation_quality_filter statement as a subquery) → benchmark
-    decontamination (bench shingled from the ORIGINAL corpus — eval
-    membership is not affected by pipeline stages) → hash split →
-    offset packing. Every fragment is textually the already-green
-    per-stage oracle, re-sourced; only the stage wiring is new."""
+    """Composed SEVEN-stage curation pipeline oracle — the production
+    RefinedWeb/Dolma order: exact dedup → verified near-dup corpus
+    (the dedup_corpus_verified CTEs, sourced from the exact-dedup
+    survivors) → exact-substring span REMOVAL (the
+    dedup_substring_removal statement re-sourced onto the near-dup
+    survivors; downstream stages see the CLEANED text) → TRAINED
+    quality gate (the full 25-iteration curation_quality_classifier
+    replay, corpus means and weights computed over the cleaned
+    survivor corpus, gating on the above-corpus-mean clf_keep) →
+    benchmark decontamination (bench shingled from the ORIGINAL
+    corpus — eval membership is not affected by pipeline stages;
+    training-side shingles from the CLEANED text we'd actually ship)
+    → hash split → offset packing by cleaned-char budget. Every
+    fragment is the already-green per-stage oracle builder called
+    with src=<survivor CTE> (no post-hoc string replacement — the
+    round-10 advice); only the stage wiring is new."""
     from graphragdatapipeline_spark.registries.dedup_oracles import (
         MAX_BUCKET,
+        _substring_oracle,
         _verified_flow_ctes,
     )
 
-    neardup = _verified_flow_ctes(0.2, MAX_BUCKET).replace(
-        "FROM documents", "FROM d1"
-    )
-    qf_stmt = _QF_ORACLE.replace("FROM documents", "FROM d2")
+    neardup = _verified_flow_ctes(0.2, MAX_BUCKET, src="d1")
+    sub_stmt = _substring_oracle(src="d2")
+    clf_stmt = _clf_oracle(25, 1.0, src="d3")
     return rf"""
 WITH exact_keep AS (
   SELECT doc_id FROM (
@@ -730,12 +749,17 @@ WITH exact_keep AS (
   SELECT d.* FROM d1 d
   WHERE NOT EXISTS (SELECT 1 FROM verified v WHERE v.b = d.doc_id)
     AND NOT EXISTS (SELECT 1 FROM mega_drops md WHERE md.doc_id = d.doc_id)
-), qf AS (
-  SELECT doc_id, n_tokens FROM (
-    {qf_stmt}
-  ) WHERE keep
+), subq AS (
+  {sub_stmt}
 ), d3 AS (
-  SELECT d.*, q.n_tokens FROM d2 d JOIN qf q USING (doc_id)
+  SELECT d.doc_id, d.lang, s.cleaned_text AS text
+  FROM d2 d JOIN subq s USING (doc_id)
+), clfq AS (
+  {clf_stmt}
+), d4 AS (
+  SELECT d.doc_id, d.lang, d.text, c.n_tokens, c.clf_score
+  FROM d3 d JOIN clfq c USING (doc_id)
+  WHERE c.clf_keep
 ), btoks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
@@ -746,24 +770,33 @@ WITH exact_keep AS (
          ELSE list_transform(generate_series(1, len(w) - 2),
               i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END)) AS shingle
   FROM btoks
+), dtoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM d4
+), dsh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, len(w) - 2),
+              i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END)) AS shingle
+  FROM dtoks
 ), shared AS (
   SELECT s.doc_id, count(DISTINCT s.shingle) AS shared_shingles
-  FROM sh s
-  JOIN d3 t ON t.doc_id = s.doc_id
+  FROM dsh s
   JOIN bench b USING (shingle)
   GROUP BY 1
-), d4 AS (
-  SELECT d.* FROM d3 d LEFT JOIN shared x USING (doc_id)
-  WHERE coalesce(x.shared_shingles, 0) < 2
 ), d5 AS (
+  SELECT d.* FROM d4 d LEFT JOIN shared x USING (doc_id)
+  WHERE coalesce(x.shared_shingles, 0) < 2
+), d6 AS (
   SELECT d.*,
          CASE WHEN {_BUCKET_SQL} < 1000 THEN 'test' ELSE 'train' END AS split
-  FROM d4 d
+  FROM d5 d
 )
-SELECT doc_id, lang, split, n_tokens,
-       CAST(floor((sum(n_chars) OVER w - n_chars) / 4000.0) AS BIGINT) AS seq_index,
-       CAST((sum(n_chars) OVER w - n_chars) % 4000 AS BIGINT) AS seq_offset
-FROM d5
+SELECT doc_id, lang, split, n_tokens, clf_score,
+       CAST(floor((sum(length(text)) OVER w - length(text)) / 4000.0) AS BIGINT) AS seq_index,
+       CAST((sum(length(text)) OVER w - length(text)) % 4000 AS BIGINT) AS seq_offset
+FROM d6
 WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 """
 
@@ -771,26 +804,38 @@ WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 @register("curation_end_to_end", oracle=_e2e_oracle())
 def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-data mirror of graphrag_end_to_end: the full curation
-    pipeline as ONE composed query over the documents fixture — exact
-    dedup (min-id per fingerprint) → verified near-dup corpus (capped
-    LSH candidates → exact-Jaccard verify → larger-id drop +
-    mega-bucket representative-keep, the dedup_corpus_verified
-    registered defaults) → Gopher quality gate → benchmark
-    decontamination (every 97th ORIGINAL doc as the eval stand-in —
-    eval membership must not depend on pipeline survival) → 10% hash
-    test split → 4000-char offset packing per language shard. Output:
-    one row per surviving doc with its split and training-sequence
-    coordinates. Each stage is independently green; this pins the
-    COMPOSITION — schema contracts and survivor-set plumbing across
-    stage boundaries — which per-stage oracles cannot. The oracle
-    splices the per-stage oracle texts (verified-flow CTEs, quality
-    statement, decontamination shape) re-sourced onto each stage's
-    survivor set.
+    pipeline as ONE composed query over the documents fixture, in the
+    production RefinedWeb/Dolma stage order — exact dedup (min-id per
+    fingerprint) → verified near-dup corpus (capped LSH candidates →
+    exact-Jaccard verify → larger-id drop + mega-bucket
+    representative-keep, the dedup_corpus_verified registered
+    defaults) → exact-substring span REMOVAL (Lee et al. 2022;
+    every downstream stage operates on the CLEANED text) → TRAINED
+    quality gate (the 25-iteration curation_quality_classifier fit on
+    the cleaned survivor corpus; gate = above-corpus-mean clf_keep,
+    the relative top-half cut production classifiers make, not the
+    rule cliff) → benchmark decontamination (every 97th ORIGINAL doc
+    as the eval stand-in — eval membership must not depend on
+    pipeline survival; training-side shingles from the cleaned text
+    we'd actually ship) → 10% hash test split → 4000-char offset
+    packing per language shard, budgeted on CLEANED length. Output:
+    one row per surviving doc with its split, trained score, and
+    training-sequence coordinates. Each stage is independently green;
+    this pins the COMPOSITION — schema contracts and survivor-set
+    plumbing across stage boundaries — which per-stage oracles
+    cannot. The oracle calls the per-stage oracle BUILDERS with
+    src=<survivor CTE> (round-10 advice: parameterized re-sourcing,
+    no string surgery) and replays all seven stages, including every
+    gradient-descent iteration of the classifier, in one statement.
 
     Scale shape: the union of its stages' shapes — nothing new
     crosses a shuffle beyond what the stages already shuffle, the
     token payload rides only the id-keyed survivor joins, and the
-    final packing window is one shuffle on the language shard key."""
+    final packing window is one shuffle on the language shard key.
+    The cleaned corpus (d3) is lazily checkpointed once: it feeds the
+    classifier's 26 driver round-trips, the decontamination shingles
+    and the final pack, and without the cut Catalyst re-derives the
+    exact+neardup+substring subtree per consumer."""
     from graphragdatapipeline_spark.operators import dedup as dd
     from graphragdatapipeline_spark.registries.dedup_oracles import (
         BANDS,
@@ -814,22 +859,36 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = dd.dedup_corpus(d1, pairs.select("a", "b"), "doc_id").join(
         mega, "doc_id", "left_anti"
     )
-    qf = cu.quality_filter(d2, "doc_id", "text")
-    d3 = d2.join(
-        qf.filter(F.col("keep")).select("doc_id", "n_tokens"), "doc_id"
+    sub = dd.remove_duplicated_spans(d2, "doc_id", "text", k=3, min_df=2)
+    d3 = (
+        d2.select("doc_id", "lang")
+        .join(
+            sub.select("doc_id", F.col("cleaned_text").alias("text")),
+            "doc_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    clf = cu.quality_classifier(d3, "doc_id", "text", iters=25, lr=1.0)
+    d4 = d3.join(
+        clf.filter(F.col("clf_keep")).select(
+            "doc_id", "n_tokens", "clf_score"
+        ),
+        "doc_id",
     )
     bench = d.filter(F.col("doc_id") % 97 == 0)
     dec = cu.decontaminate(
-        d3, bench, id_col="doc_id", text_col="text", k=3, min_shared=2
+        d4, bench, id_col="doc_id", text_col="text", k=3, min_shared=2
     )
-    d4 = d3.join(
+    d5 = d4.join(
         dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
     )
-    d5 = cu.train_test_split(d4, "doc_id", test_rate=0.1)
+    d6 = cu.train_test_split(d5, "doc_id", test_rate=0.1)
     packed = cu.pack_into_sequences(
-        d5, shard_col="lang", order_cols=["doc_id"], token_col="n_chars",
+        d6.withColumn("_nc", F.length("text")),
+        shard_col="lang", order_cols=["doc_id"], token_col="_nc",
         budget=4000,
     )
     return packed.select(
-        "doc_id", "lang", "split", "n_tokens", "seq_index", "seq_offset"
+        "doc_id", "lang", "split", "n_tokens", "clf_score",
+        "seq_index", "seq_offset",
     )

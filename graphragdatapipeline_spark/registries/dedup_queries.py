@@ -18,6 +18,7 @@ from graphragdatapipeline_spark.registries.dedup_oracles import (  # noqa: F401
     _ROWS,
     _SHINGLES_CTE,
     _minhash_oracle,
+    _substring_oracle,
     _verified_flow_ctes,
 )
 from graphragdatapipeline_spark.session import ensure_parallelism
@@ -386,63 +387,7 @@ def dedup_keep_best_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "cluster_id", "cluster_size")
 
 
-@register(
-    "dedup_substring_removal",
-    oracle=r"""
-WITH toksr AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lw
-  FROM documents
-), base AS (
-  SELECT doc_id, w, lw, len(lw) AS n FROM toksr
-), psh AS (
-  SELECT doc_id, n,
-         CASE WHEN n < 3 THEN 1 ELSE i END AS pos,
-         CASE WHEN n < 3 THEN n ELSE i + 2 END AS pos_end,
-         CASE WHEN n < 3 THEN coalesce(array_to_string(lw, ' '), '')
-              ELSE concat_ws(' ', lw[i], lw[i+1], lw[i+2]) END AS shingle
-  FROM base, unnest(generate_series(1, greatest(n - 2, 1))) AS t(i)
-), cnt AS (
-  SELECT shingle, count(DISTINCT doc_id) AS nd FROM psh GROUP BY shingle
-), j AS (
-  SELECT s.doc_id, s.pos, s.pos_end, s.shingle, c.nd
-  FROM psh s JOIN cnt c USING (shingle)
-), stats AS (
-  SELECT doc_id,
-         count(DISTINCT shingle) AS n_shingles,
-         count(DISTINCT CASE WHEN nd > 1 THEN shingle END) AS n_shared
-  FROM j GROUP BY doc_id
-), cov AS (
-  SELECT DISTINCT doc_id, p
-  FROM j, unnest(generate_series(pos, pos_end)) AS u(p)
-  WHERE nd > 1 AND pos <= pos_end
-), covn AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id
-), allpos AS (
-  SELECT b.doc_id, t.i AS pos, b.w[t.i] AS tok
-  FROM base b, unnest(generate_series(1, b.n)) AS t(i)
-), kept AS (
-  SELECT a.doc_id, a.pos, a.tok FROM allpos a
-  LEFT JOIN cov c ON c.doc_id = a.doc_id AND c.p = a.pos
-  WHERE c.doc_id IS NULL
-), clean AS (
-  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
-  FROM kept GROUP BY doc_id
-)
-SELECT b.doc_id,
-       s.n_shingles, s.n_shared,
-       floor(s.n_shared * 1.0 / s.n_shingles * 1000000 + 0.5) / 1000000 AS dup_rate,
-       (2 * s.n_shared >= s.n_shingles) AS flag_dup,
-       CAST(b.n AS BIGINT) AS n_tokens,
-       coalesce(cn.n_removed, 0) AS n_removed,
-       coalesce(cl.cleaned_text, '') AS cleaned_text
-FROM base b
-JOIN stats s USING (doc_id)
-LEFT JOIN covn cn USING (doc_id)
-LEFT JOIN clean cl USING (doc_id)
-""",
-)
+@register("dedup_substring_removal", oracle=_substring_oracle())
 def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup with span REMOVAL (Lee et al. 2022,
     'Deduplicating Training Data Makes Language Models Better'):

@@ -603,7 +603,7 @@ def _pq_oracle(
     )
 
 
-@register("vector_pq_adc_topk", oracle=_pq_oracle())
+@register("vector_pq_adc_topk", oracle=_pq_oracle(k=16))
 def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011), end-to-end: train
     m=2 per-subspace codebooks with the deterministic quantized
@@ -616,11 +616,22 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors and evaluates array lookups instead of a dim-wide fold;
     exact rerank composes on top like lsh_probe_topk. The oracle
     replays BOTH subspace trainings, the encoding, the distance
-    tables, and the ADC ranking in one SQL statement."""
+    tables, and the ADC ranking in one SQL statement.
+
+    Codebook size: the r10 sweep (SCALE.md, ann_recall_pq_codebook.py)
+    measured recall@8 = 0.27 (k=16) → 0.36 (k=64) → 0.56 (k=256) at
+    IDENTICAL scan cost on a clustered corpus — the production default
+    is k=256 (the standard 1-byte PQ code). This registers k=16, the
+    LARGEST sound codebook the 500-vector sf0.01 fixture supports:
+    k-means needs ~39+ training points per centroid (the FAISS
+    training heuristic) and k=256 on 500 vectors would make half the
+    corpus its own 'centroid' — memorization, not quantization.
+    k=16 at ~31 points/centroid is the evidence-backed knob this
+    fixture can honestly train (was k=4 through r10)."""
     from graphragdatapipeline_spark.registry import dround
 
     e = read_table(spark, sf_dir, "embeddings")
-    books = vs.pq_train(e, m=2, k=4, iters=2)
+    books = vs.pq_train(e, m=2, k=16, iters=2)
     q = _query_vec(spark, sf_dir)
     out = vs.pq_adc_topk(e.filter(F.col("vec_id") != 0), books, q, k=8)
     return out.select("vec_id", dround(F.col("adc_dist"), 6).alias("adc_dist"))
@@ -650,21 +661,30 @@ FROM rr ORDER BY sim DESC, vec_id ASC LIMIT {topk}"""
     )
 
 
-@register("vector_pq_rerank_topk", oracle=_pq_rerank_oracle())
+@register(
+    "vector_pq_rerank_topk", oracle=_pq_rerank_oracle(k=16, shortlist=128)
+)
 def vector_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE PQ read path (FAISS IVFPQ search shape): ADC
-    shortlist of 32 over the compressed codes, then exact cosine
-    rerank to top-8 — only the shortlist ever touches full vectors.
-    The oracle replays training, encoding, ADC shortlisting, and the
-    exact rerank end-to-end; the sibling vector_pq_adc_topk pins the
-    ADC ordering itself."""
+    shortlist over the compressed codes, then exact cosine rerank to
+    top-8 — only the shortlist ever touches full vectors. The oracle
+    replays training, encoding, ADC shortlisting, and the exact
+    rerank end-to-end; the sibling vector_pq_adc_topk pins the ADC
+    ordering itself.
+
+    Knobs promoted to the r10 measurements (SCALE.md sweep): codebook
+    k=16 — the largest the 500-vector fixture trains soundly, see
+    vector_pq_adc_topk; production default k=256 — and shortlist=128
+    = 16·k_results, the measured starting-point budget (shortlist
+    reliably buys more recall per scanned row than probe width; 32
+    was the pre-sweep value)."""
     from graphragdatapipeline_spark.registry import dround
 
     e = read_table(spark, sf_dir, "embeddings")
-    books = vs.pq_train(e, m=2, k=4, iters=2)
+    books = vs.pq_train(e, m=2, k=16, iters=2)
     q = _query_vec(spark, sf_dir)
     out = vs.pq_rerank_topk(
-        e.filter(F.col("vec_id") != 0), books, q, k=8, shortlist=32
+        e.filter(F.col("vec_id") != 0), books, q, k=8, shortlist=128
     )
     return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))
 
