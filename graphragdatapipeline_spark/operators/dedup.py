@@ -315,18 +315,22 @@ def jaccard_pairs(
     if candidates is not None:
         pa = shingles.select(F.col(id_col).alias("a"), "shingle")
         pb = shingles.select(F.col(id_col).alias("b"), "shingle")
-        # The (b, shingle) join is corpus-sized on BOTH sides; its
-        # shuffle output is also highly compressible (repeated shingle
-        # strings), so AQE's compressed-size estimate can fall under
-        # the broadcast threshold while the in-memory HashedRelation
-        # is GBs — observed as a driver OOM at sf10. The merge hint
-        # pins it to a sort-merge join, which is the only shape that
-        # survives any corpus size.
+        # BOTH shingle-side joins are corpus-sized on the shingle
+        # side; shuffle output is also highly compressible (repeated
+        # shingle strings) and a checkpointed shingle table scans as
+        # an ExistingRDD with no reliable size stats, so the planner's
+        # estimate can fall under the broadcast threshold while the
+        # in-memory HashedRelation is GBs — observed twice as driver
+        # OOMs at sf10: r8 on the (b, shingle) join, r11 on the (a)
+        # join once the mutate fixture stopped collapsing the corpus
+        # (the planner built pa — 50M corpus shingle rows — as the
+        # broadcast side of candidates⋈pa). The merge hints pin both
+        # to sort-merge, the only shape that survives any corpus size.
         common = (
             candidates.select("a", "b")
             .filter(F.col("a") < F.col("b"))
             .distinct()
-            .join(pa, "a")
+            .join(pa.hint("merge"), "a")
             .join(pb.hint("merge"), ["b", "shingle"])
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("common"))
@@ -715,7 +719,15 @@ def shingle_df_delta(
     applied to span dedup; accumulation is exact because each doc
     arrives in exactly one batch, so per-batch distinct doc counts are
     additive). Merge rule: union with the stored index and
-    groupBy(shingle).sum(nd)."""
+    groupBy(shingle).sum(nd).
+
+    The one-batch-per-doc assumption is a CONTRACT on the caller: a
+    redelivered doc_id double-counts nd across deltas and can push
+    unique spans to nd ≥ min_df (silent over-removal at read time).
+    streaming.ops.substring_index_sink enforces it when asked
+    (guard_redelivery=True — committed-ids anti-join per batch); batch
+    callers accumulating deltas themselves must dedupe ingests the
+    same way (the exact_dedup_incremental pattern)."""
     _, sh = positioned_shingles(df, id_col, text_col, k)
     return sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("nd"))
 
@@ -769,7 +781,18 @@ def remove_spans_against_index(
         .withColumn("_cov", F.array_distinct(F.flatten("_spans")))
         .drop("_spans")
     )
-    out = tokens.join(per, id_col)
+    # Both sides are corpus-sized in EVERY regime (tokens carries the
+    # token-array payload, per the covered-position arrays), and when
+    # the input is checkpointed upstream (the composed pipeline) the
+    # ExistingRDD scan loses size stats — the planner then broadcast
+    # one side at sf10 (observed: a multi-hundred-MB HashedRelation
+    # that happened to fit; at scale it cannot). Same pin as
+    # jaccard_pairs: corpus-sized join sides get their shape declared,
+    # not estimated. The sh⋈index join above stays adaptive on
+    # purpose — the df index is vocabulary-sized (Heaps' law) and its
+    # stats chain is derivable, so broadcast is right while the vocab
+    # fits and Catalyst flips it when it doesn't.
+    out = tokens.join(per.hint("merge"), id_col)
     keep = F.filter(
         F.col("_w"),
         lambda t, i: ~F.array_contains(F.col("_cov"), i + F.lit(1)),

@@ -14,6 +14,31 @@ only in replica 0, keeping k-NN queries well-defined.
 Usage: python scripts/make_scale_fixture.py [SRC_SF_DIR] [DST_DIR] [FACTOR] [MODE]
 Defaults: /root/testdata/sf0.1 → /tmp/sf1.0 × 10, MODE=uniform.
 
+MODE=mutate de-degenerates the DOCUMENTS decades for composed-curation
+load tests (round-10 verdict #3): plain key-shift replication clones
+text VERBATIM, so a composed pipeline's exact-dedup stage collapses
+every decade back to the original ~5k distinct docs and the downstream
+stages never see a decade-scaled survivor set. Mutate keeps replica 0
+pristine and applies deterministic token-level noise to replicas i>0,
+in two hash-assigned tiers:
+
+- 90% HEAVY (45% of token positions replaced): 3-gram shingle survival
+  0.55³≈0.17 → Jaccard vs the original ≈0.17/1.83≈0.09, BELOW the 0.2
+  near-dup threshold — these replicas SURVIVE both dedup stages, so
+  the quality/decontaminate/split/pack stages see ~0.9·FACTOR× rows.
+  Noise tokens encode the replica id, so cross-replica mutants share
+  only (0.55²)³≈3% of shingles — they are not near-dups of each other
+  either.
+- 10% LIGHT (4% of positions): Jaccard ≈0.88³/(2−0.88³)≈0.52 → real
+  decade-scaled NEAR-DUP work for the verify stage (candidates that
+  must be Jaccard-scored and then dropped).
+
+The noise vocabulary is 7 stopwords + 25 short replica-tagged fillers,
+so the Gopher gate features stay in range (stopword_ratio ~0.22 among
+replaced tokens, filler length 4-6 chars) and mutants are not
+spuriously gate-killed. Only `documents` is mutated; other tables get
+the plain uniform key-shift.
+
 MODE=zipf adds scale-GROWING hot-key skew on top of the replication —
 the hazard class uniform replication cannot produce (with disjoint
 key shifts every key's frequency inflates by the same factor, so AQE
@@ -109,6 +134,50 @@ _TEMPLATES = [
 ]
 
 
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+def _apply_mutation(table: str, rep, i: int):
+    """MODE=mutate post-shift transform for replica i>0: deterministic
+    token-level noise on documents.text (see module docstring for the
+    tier math). Pure native expressions — xxhash64 draws keyed on
+    (doc_id, position, replica), no RNG, reproducible."""
+    if table != "documents" or i == 0:
+        return rep
+    heavy = _hash_frac("doc_id", 8311 + i) < int(0.9 * _MASS)
+    p = F.when(heavy, F.lit(int(0.45 * _MASS))).otherwise(
+        F.lit(int(0.04 * _MASS))
+    )
+    vocab = F.array(
+        *[F.lit(w) for w in _STOPWORDS],
+        *[F.lit(f"m{i}w{j}") for j in range(25)],
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    mutated = F.transform(
+        toks,
+        lambda t, idx: F.when(
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), idx, F.lit(4799 + i)),
+                F.lit(_MASS),
+            )
+            < p,
+            F.element_at(
+                vocab,
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id"), idx, F.lit(6131 + i)),
+                        F.lit(32),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ).otherwise(t),
+    )
+    return rep.withColumn("text", F.array_join(mutated, " ")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+
+
 def _apply_zipf_skew(table: str, rep):
     """Post-shift skew transforms (MODE=zipf). Hot values are global
     constants — never key-shifted — so their frequency grows with the
@@ -142,8 +211,8 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     mode = sys.argv[4] if len(sys.argv) > 4 else "uniform"
-    if mode not in ("uniform", "zipf"):
-        raise SystemExit(f"unknown MODE {mode!r} (uniform|zipf)")
+    if mode not in ("uniform", "zipf", "mutate"):
+        raise SystemExit(f"unknown MODE {mode!r} (uniform|zipf|mutate)")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session(
         "scale-fixture", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
@@ -175,6 +244,8 @@ def main() -> None:
                 rep = rep.withColumn(c, (F.col(c) + i * base).cast(df.schema[c].dataType))
             if mode == "zipf":
                 rep = _apply_zipf_skew(table, rep)
+            elif mode == "mutate":
+                rep = _apply_mutation(table, rep, i)
             parts.append(rep)
         whole = parts[0]
         for p in parts[1:]:

@@ -605,3 +605,48 @@ def test_curation_e2e_bench_side_broadcasts(spark, sf_dir):
     100 TB."""
     plan = _plan(spark, "curation_end_to_end", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_verify_never_broadcasts_shingle_sides(spark, sf_dir):
+    """Both corpus-shingle joins of the candidate-keyed Jaccard verify
+    must be sort-merge: the shingle table is corpus-sized, highly
+    compressible, and (when checkpointed) an ExistingRDD with no
+    reliable size stats — the planner has twice chosen to BUILD a
+    broadcast HashedRelation from it (r8: the (b, shingle) join; r11:
+    the (a) join, once the mutate fixture stopped collapsing the
+    corpus), a guaranteed driver OOM at scale. The merge hints pin the
+    only join shape that survives any corpus size; per-doc size
+    aggregates (sa/sb) staying broadcast is fine — they are slim."""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = dd.shingle_table(docs, "doc_id", "text", k=3)
+    cands = dd.minhash_dedup_pairs(docs, "doc_id", "text")
+    pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cands)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the two shingle-keyed joins appear as SortMergeJoin on
+    # (a) and on (b, shingle); no broadcast may carry a shingle column
+    assert plan.count("SortMergeJoin") >= 2
+    for ln in plan.splitlines():
+        if "BroadcastExchange" in ln or "BroadcastHashJoin" in ln:
+            assert "shingle" not in ln, ln
+
+
+def test_span_removal_payload_join_is_sort_merge(spark, sf_dir):
+    """The tokens⋈per re-attach of span removal joins two sides that
+    are corpus-sized in every regime (token-array payload × covered-
+    position arrays), and a checkpointed upstream strips the size
+    stats the planner would need to know better — at sf10 it broadcast
+    one side. Must be sort-merge; the sh⋈index df-lookup staying
+    adaptive (broadcast while the vocabulary fits) is correct."""
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dd.remove_duplicated_spans(docs, "doc_id", "text", k=3, min_df=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln and "doc_id" in ln:
+            raise AssertionError(f"payload join broadcast: {ln.strip()}")
+    assert "SortMergeJoin" in plan

@@ -830,3 +830,206 @@ def test_substring_index_sink_equals_batch(spark, sf_dir, tmp_path):
     extra.write.mode("overwrite").parquet(f"{index_dir}/epoch=99")
     idx2 = so.read_substring_index(spark, index_dir)
     assert idx2.filter(F.col("shingle") == "poison poison poison").count() == 0
+
+
+def test_substring_index_compaction_equals_streamed(spark, sf_dir, tmp_path):
+    """Epoch compaction must be invisible to readers: the merged
+    (shingle, nd) view is bit-identical before/after, a torn compacted
+    write WITHOUT its marker stays invisible, post-compaction epochs
+    keep accumulating on top, and gc removes the superseded epoch dirs
+    without changing the view."""
+    import time
+
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) / 3
+    slices = [d.filter(F.col("doc_id") <= cut), d.filter((F.col("doc_id") > cut))]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir = str(tmp_path / "shidx")
+    q = so.substring_index_sink(stream, index_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    def merged():
+        return {tuple(r) for r in so.read_substring_index(spark, index_dir).collect()}
+
+    before = merged()
+    assert len(before) > 0
+
+    # crash-sim: a compacted generation without its marker is invisible
+    poison = spark.createDataFrame(
+        [("torn torn torn", 12345)], "shingle string, nd long"
+    )
+    poison.write.mode("overwrite").parquet(f"{index_dir}/_compacted/upto=77")
+    assert merged() == before
+    assert so.compacted_upto(spark, index_dir) is None
+
+    upto = so.compact_substring_index(spark, index_dir)
+    epochs = so.committed_epochs(spark, index_dir + "/_commits")
+    assert upto == max(epochs)
+    assert so.compacted_upto(spark, index_dir) == upto
+    assert merged() == before  # view unchanged, now 1 partition + no tail
+
+    # scoring through the compacted index still equals the one-shot op
+    got = {
+        tuple(r)
+        for r in dd.remove_spans_against_index(
+            d, so.read_substring_index(spark, index_dir), "doc_id", "text"
+        ).collect()
+    }
+    want = {
+        tuple(r) for r in dd.remove_duplicated_spans(d, "doc_id", "text").collect()
+    }
+    assert got == want
+
+    # a post-compaction epoch accumulates on top of the compacted view
+    tail_delta = dd.shingle_df_delta(
+        d.limit(50), "doc_id", "text"
+    )
+    tail_delta.write.mode("overwrite").parquet(f"{index_dir}/epoch={upto + 1}")
+    so._mark_committed(spark, index_dir + "/_commits", upto + 1)
+    with_tail = merged()
+    assert with_tail != before  # counts moved
+
+    # re-compact with gc: superseded epoch dirs + old generation go,
+    # merged view stays identical
+    upto2 = so.compact_substring_index(spark, index_dir, gc=True)
+    assert upto2 == upto + 1
+    assert merged() == with_tail
+    for e in epochs:
+        assert not os.path.exists(f"{index_dir}/epoch={e}")
+    assert not os.path.exists(f"{index_dir}/_compacted/upto={upto}")
+
+
+def test_cooccurrence_index_compaction_equals_streamed(spark, sf_dir, tmp_path):
+    """Compacting the three additive co-occurrence tables must leave
+    pmi_from_index bit-identical to the pre-compaction streamed view."""
+    import time
+
+    from graphragdatapipeline_spark.graph.build import pmi_from_index
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) / 2
+    slices = [d.filter(F.col("doc_id") <= cut), d.filter(F.col("doc_id") > cut)]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir = str(tmp_path / "coidx")
+    q = so.cooccurrence_index_sink(
+        stream, index_dir, str(tmp_path / "ckpt"), max_doc_terms=64
+    )
+    q.awaitTermination(180)
+
+    def pmi_rows():
+        edges, tf, n = so.read_cooccurrence_index(spark, index_dir)
+        return {
+            (r.src, r.dst): (r.cooccur, round(r.pmi, 9))
+            for r in pmi_from_index(edges, tf, n, min_count=5).collect()
+        }
+
+    before = pmi_rows()
+    assert len(before) > 0
+    so.compact_cooccurrence_index(spark, index_dir, gc=True)
+    assert so.compacted_upto(spark, f"{index_dir}/edges") is not None
+    assert pmi_rows() == before
+
+
+def test_substring_sink_redelivery_guard(spark, sf_dir, tmp_path):
+    """guard_redelivery=True: a doc redelivered in a LATER epoch (the
+    at-least-once upstream hazard) must not double-count its shingles —
+    the guarded index over overlapping batches equals the one-shot
+    index over the distinct union; unguarded it would over-count."""
+    import time
+
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) / 2
+    first = d.filter(F.col("doc_id") <= cut)
+    # second slice REDELIVERS everything in the first plus the rest
+    slices = [first, d]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir = str(tmp_path / "shidx")
+    q = so.substring_index_sink(
+        stream, index_dir, str(tmp_path / "ckpt"), guard_redelivery=True
+    )
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r) for r in so.read_substring_index(spark, index_dir).collect()
+    }
+    want = {
+        tuple(r) for r in dd.shingle_df_delta(d, "doc_id", "text").collect()
+    }
+    assert got == want and len(want) > 0
+
+    # and the unguarded sink over the same slices DOES double-count —
+    # the hazard the guard exists for
+    stream2 = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir2 = str(tmp_path / "shidx2")
+    q2 = so.substring_index_sink(stream2, index_dir2, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    got2 = {
+        tuple(r) for r in so.read_substring_index(spark, index_dir2).collect()
+    }
+    assert got2 != want
+
+
+def test_identity_epoch_compaction_consolidates_set_index(spark, tmp_path):
+    """Set-valued indexes (near-dup bands, fingerprints, guard ids)
+    compact by identity rewrite: same rows, one consolidated
+    generation, superseded epoch dirs gc'd."""
+    data_dir = str(tmp_path / "bands")
+    commits = str(tmp_path / "commits")
+    rows = []
+    for e in range(4):
+        df = spark.createDataFrame(
+            [(e * 10 + i, e, f"h{e}{i}") for i in range(5)],
+            "doc_id long, band_idx int, band_hash string",
+        )
+        df.write.mode("overwrite").parquet(f"{data_dir}/epoch={e}")
+        so._mark_committed(spark, commits, e)
+        rows += [(e * 10 + i, e, f"h{e}{i}") for i in range(5)]
+    before = {tuple(r) for r in so.read_committed_epochs(spark, data_dir, commits).collect()}
+    assert before == set(rows)
+    upto = so.compact_index_epochs(spark, data_dir, commits, gc=True)
+    assert upto == 3
+    after = {tuple(r) for r in so.read_committed_epochs(spark, data_dir, commits).collect()}
+    assert after == before
+    assert not os.path.exists(f"{data_dir}/epoch=0")
+    # one consolidated generation, bounded file count
+    import glob as _g
+    files = _g.glob(f"{data_dir}/_compacted/upto=3/*.parquet")
+    assert 1 <= len(files) <= 2
