@@ -47,6 +47,11 @@ _FORCE_REVERIFY: set[str] = {
     # removal + trained-classifier gate spliced in; output adds
     # clf_score and packs on cleaned length — new rows, new hash.
     "curation_end_to_end",
+    # Fingerprints widened 16→60 bits after the non-degenerate sf10
+    # fixture wedged the 4-bit pigeonhole segments (16 bucket values →
+    # quadratic in-bucket self-join). Same Hamming contract, new
+    # fingerprint space — new pair set, new hash.
+    "dedup_simhash_pairs",
     # NOT listed (historical note): dedup_corpus_verified was
     # force-reverified in r8 and re-greened; vector_lsh_buckets' r8
     # re-registration was bit-compatible (pinned in pytest), so its

@@ -338,8 +338,15 @@ def jaccard_pairs(
     else:
         a = shingles.select(F.col(id_col).alias("a"), "shingle")
         b = shingles.select(F.col(id_col).alias("b"), "shingle")
+        # same compression-illusion pin as the candidate branch: the
+        # r11 broadcast audit caught the planner building the raw
+        # (b, shingle) corpus posting table as a HashedRelation at the
+        # non-degenerate sf10 (string-heavy tables expand 10-50× from
+        # their compressed shuffle estimate). Slim int aggregates
+        # (sa/sb below) stay adaptive on purpose — their runtime byte
+        # estimates scale linearly and AQE flips them correctly.
         common = (
-            a.join(b, "shingle")
+            a.join(b.hint("merge"), "shingle")
             .filter(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("common"))
@@ -402,8 +409,13 @@ def containment_pairs(
     joined = shingles if max_posting is None else cap_postings(shingles, max_posting)
     a = joined.select(F.col(id_col).alias("a"), "shingle")
     b = joined.select(F.col(id_col).alias("b"), "shingle")
+    # corpus-posting self-join: merge pin per the r11 broadcast audit
+    # (the planner built the capped (b, shingle) table as a broadcast
+    # HashedRelation at sf10 — the r8 compression-illusion class; see
+    # jaccard_pairs). cap_postings' vocab-sized semi join and the slim
+    # sa/sb aggregates stay adaptive by design.
     common = (
-        a.join(b, "shingle")
+        a.join(b.hint("merge"), "shingle")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -434,12 +446,23 @@ def containment_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint (bits ≤ 16 from the first 4 md5 nibbles of
-    each token). Bit b votes +1/−1 by token-hash bit; fingerprint bit
-    = sign of the vote sum. One explode + one groupBy with `bits`
-    conditional sums — no UDF, no per-bit shuffle."""
+    """SimHash fingerprint (bits ≤ 60, from the first ⌈bits/4⌉ md5
+    nibbles of each token). Bit b votes +1/−1 by token-hash bit;
+    fingerprint bit = sign of the vote sum. One explode + one groupBy
+    with `bits` conditional sums — no UDF, no per-bit shuffle.
+
+    Width picks the pigeonhole granularity downstream: with
+    max_hamming=h, simhash_near_dups buckets on bits//(h+1)-bit
+    segments, and 2^seg_bits is the bucket-key space. 16 bits / 4
+    segments = 16 bucket values — structurally quadratic beyond ~10⁴
+    docs (measured: wedged at the non-degenerate sf10, r11); 60 bits /
+    4 segments = 65,536 values keeps in-bucket pair volume linear into
+    the tens of millions of docs. 60 because ⌈60/4⌉=15 hex chars is
+    the widest md5 prefix that fits a signed int64 via conv()."""
     from graphragdatapipeline_spark.session import ensure_parallelism
 
+    if bits > 60:
+        raise ValueError(f"simhash: bits must be <= 60, got {bits}")
     df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
@@ -447,7 +470,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    nibbles = (bits + 3) // 4
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, nibbles), 16, 10).cast("long")
     toks = toks.withColumn("h", h)
     votes = [
         F.sum(

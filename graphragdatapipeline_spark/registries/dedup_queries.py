@@ -25,11 +25,16 @@ from graphragdatapipeline_spark.session import ensure_parallelism
 
 
 def _simhash_oracle(bits: int = 16) -> str:
-    nib = (
-        "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + "
-        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + "
-        "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + "
-        "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1)"
+    """Fingerprint replay at any width ≤ 60: decode the first
+    ⌈bits/4⌉ md5 hex chars to a BIGINT exactly like the engine's
+    conv(substring(md5, 1, n), 16, 10) — per-nibble strpos decode,
+    place values as exact integer literals (16^14 < 2^63)."""
+    nibbles = (bits + 3) // 4
+    nib = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (nibbles - 1 - i)}"
+        if i < nibbles - 1
+        else f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        for i in range(nibbles)
     )
     votes = ",\n         ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -183,14 +188,28 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle(bits=60))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs by pigeonhole segment bucketing +
     in-bucket Hamming verification; exactness also covered in pytest
-    on crafted near-dup fixtures."""
+    on crafted near-dup fixtures.
+
+    60-bit fingerprints (r11, was 16): with max_hamming=3 the
+    pigeonhole buckets are 15-bit segments — 65,536 bucket values —
+    where 16-bit fingerprints gave 4-bit segments with SIXTEEN values,
+    i.e. in-bucket self-join volume ~(n/16)² per segment: the
+    non-degenerate sf10 fixture (500 k distinct docs) WEDGED on it
+    (r11 broadcast audit — the job sat at ~10⁹ pairs per bucket).
+    60 = the widest md5 prefix conv() fits in a signed int64; the
+    Hamming contract is unchanged and the oracle states the same
+    full predicate over the replayed 60-bit fingerprints. Production
+    shape per Manku et al. 2007: wide fingerprints + segment count
+    set by max_hamming, bucket-key space >> corpus/bucket-target;
+    the max_bucket guardrail stays available on the operator for
+    adversarial boilerplate."""
     d = read_table(spark, sf_dir, "documents")
-    fps = dd.simhash(d, "doc_id", "text", bits=16)
-    return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=16)
+    fps = dd.simhash(d, "doc_id", "text", bits=60)
+    return dd.simhash_near_dups(fps, "doc_id", max_hamming=3, bits=60)
 
 
 def _dedup_corpus_verified_oracle(
