@@ -50,6 +50,25 @@ def main(argv: list[str] | None = None) -> int:
         "--zorder-by", default=None, help="comma-separated Z-order columns"
     )
 
+    ci = sub.add_parser(
+        "compact-index",
+        help="compact a streaming index's committed epochs into one "
+        "pre-aggregated generation (substring | cooccurrence | neardup)",
+    )
+    ci.add_argument("kind", choices=["substring", "cooccurrence", "neardup"])
+    ci.add_argument("index_dir")
+    ci.add_argument(
+        "--corpus-dir",
+        default=None,
+        help="neardup only: the corpus dir whose _commits govern the band index",
+    )
+    ci.add_argument(
+        "--gc",
+        action="store_true",
+        help="delete superseded epoch dirs + the previous generation "
+        "(run quiesced — same contract as compact)",
+    )
+
     sk = sub.add_parser(
         "skew", help="profile key skew of a table column (top-k heavy keys)"
     )
@@ -106,6 +125,23 @@ def main(argv: list[str] | None = None) -> int:
             zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
         )
         print(f"wrote {n} files to {args.dst_dir}")
+        return 0
+
+    if args.cmd == "compact-index":
+        from graphragdatapipeline_spark.streaming import ops as so
+
+        if args.kind == "substring":
+            upto = so.compact_substring_index(spark, args.index_dir, gc=args.gc)
+        elif args.kind == "cooccurrence":
+            upto = so.compact_cooccurrence_index(spark, args.index_dir, gc=args.gc)
+        else:
+            if not args.corpus_dir:
+                print("neardup requires --corpus-dir", file=sys.stderr)
+                return 2
+            upto = so.compact_neardup_band_index(
+                spark, args.index_dir, args.corpus_dir, gc=args.gc
+            )
+        print(f"compacted {args.index_dir} up to epoch {upto}")
         return 0
 
     if args.cmd == "skew":

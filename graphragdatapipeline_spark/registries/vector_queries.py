@@ -543,7 +543,14 @@ def vector_ivf_probe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-to-centroid assignment → exact cosine top-k inside the
     query's trained cell only — the read path scans 1/nlist of the
     corpus, with the cell id a partition column at scale. The oracle
-    replays training, query assignment and rerank end-to-end."""
+    replays training, query assignment and rerank end-to-end.
+
+    Probe width: this registers nprobe=1 because the fixture trains
+    only k=4 cells (nprobe=2 would scan half the corpus — meaningless
+    at 500 vectors). The r10 clustered-regime sweep's production
+    guidance is nprobe=2 as the operating point (0.86 recall@8 at 15%
+    scanned, 6× the uniform regime per scanned row) rising to 4 for
+    0.98 — a knob of the same probe machinery, nothing structural."""
     from graphragdatapipeline_spark.registry import dround
 
     e = read_table(spark, sf_dir, "embeddings")

@@ -70,7 +70,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     events_dir = os.path.join(sf_dir, "events")
     docs_dir = os.path.join(sf_dir, "documents")
-    n_events = spark.read.parquet(events_dir).count()
+    # docs-only fixtures (mutate decades) have no events table; the
+    # docs section doesn't need it
+    n_events = (
+        spark.read.parquet(events_dir).count()
+        if os.path.exists(events_dir)
+        else 0
+    )
     work = "/tmp/stream_state_bench"
     shutil.rmtree(work, ignore_errors=True)
 
