@@ -289,9 +289,14 @@ def vector_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vector_near_dup_keep",
     oracle="""
-WITH pairs AS (
+WITH bsz AS (
+  SELECT label, count(*) AS bn FROM embeddings GROUP BY label
+), eligible AS (
+  SELECT e.vec_id, e.label, e.embedding
+  FROM embeddings e JOIN bsz USING (label) WHERE bn <= 2048
+), pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b
-  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM eligible a JOIN eligible b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
@@ -309,11 +314,23 @@ def vector_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule (min-id representative per duplicate group survives). The
     oracle verifies the exact survivor id set, which pins both the
     pair generation and the drop rule; cosine VALUES are verified by
-    vector_knn_bruteforce (same shared cosine_similarity expression)."""
+    vector_knn_bruteforce (same shared cosine_similarity expression).
+
+    max_block=2048 is the REGISTERED default as of r11 (was None, the
+    guardrail existed but wasn't promoted — the PQ-knob lesson): cost
+    is Σ|block|², and the non-degenerate 100× fixture (global labels
+    → ~20k-row blocks) ground for 15+ minutes unbounded; capped it
+    returns in seconds. A no-op at fixture scale (max label block:
+    59 at sf0.01, 218 at sf0.1) and mirrored in the oracle (the ER
+    max_block precedent). Mega-blocks are near-total duplicate
+    clusters handled by cluster-level sampling or the LEARNED
+    blocking path (dedup_semantic_kmeans), not pairwise scoring."""
     from graphragdatapipeline_spark.operators.dedup import dedup_corpus
 
     e = read_table(spark, sf_dir, "embeddings")
-    pairs = vs.embedding_near_dup_pairs(e, threshold=0.3, block_col="label")
+    pairs = vs.embedding_near_dup_pairs(
+        e, threshold=0.3, block_col="label", max_block=2048
+    )
     return dedup_corpus(e.select("vec_id", "label"), pairs, id_col="vec_id")
 
 
