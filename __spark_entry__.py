@@ -34,28 +34,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
 
-# Queries whose semantics changed since their last green CORRECTNESS
-# row — treat as unverified (they re-enter the window ahead of
-# still-green entries, right after the never-green ones).
-_FORCE_REVERIFY: set[str] = {
-    # Round 11: semantics changed, r10 hashes are stale for these.
+# Queries whose semantics changed during round R's build — their
+# pre-R green hashes are stale, so they re-enter the window ahead of
+# still-green entries (right after the never-green ones) until a
+# round ≥ R re-greens them. ROUND-AWARE since r12 (the r11 verdict's
+# rotation-hygiene item): the old plain set pinned re-greened entries
+# to the window front forever, burning slots other stale queries
+# needed; with {name: round_flagged} a green at round ≥ round_flagged
+# self-clears — no manual hygiene edit after each re-green.
+_FORCE_REVERIFY: dict[str, int] = {
+    # Round 11 semantics changes (all re-greened in CORRECTNESS_r11,
+    # so these now sort by their r11 green like any other entry):
     # PQ knobs promoted to the r10 codebook-sweep evidence (codebook
     # k=4→16, rerank shortlist 32→128) — new ADC ordering, new hash.
-    "vector_pq_adc_topk",
-    "vector_pq_rerank_topk",
+    "vector_pq_adc_topk": 11,
+    "vector_pq_rerank_topk": 11,
     # Re-composed to the production 7-stage order: substring span
     # removal + trained-classifier gate spliced in; output adds
     # clf_score and packs on cleaned length — new rows, new hash.
-    "curation_end_to_end",
+    "curation_end_to_end": 11,
     # Fingerprints widened 16→60 bits after the non-degenerate sf10
     # fixture wedged the 4-bit pigeonhole segments (16 bucket values →
     # quadratic in-bucket self-join). Same Hamming contract, new
     # fingerprint space — new pair set, new hash.
-    "dedup_simhash_pairs",
-    # NOT listed (historical note): dedup_corpus_verified was
-    # force-reverified in r8 and re-greened; vector_lsh_buckets' r8
-    # re-registration was bit-compatible (pinned in pytest), so its
-    # r6 green hash remained valid value evidence.
+    "dedup_simhash_pairs": 11,
+    # Round 12: max_posting=32 stop-shingle cap promoted to the
+    # registered default (oracle-mirrored) after the r11 audit priced
+    # the unguarded inverted self-join at 736.9 s vs the capped
+    # sibling's 58.5 s at the 500 k-doc fixture. Value no-op at
+    # sf0.01 (max posting is 7) but the contract changed — reverify.
+    "dedup_ngram_jaccard": 12,
 }
 
 
@@ -101,9 +109,10 @@ def _ordered_names() -> list[str]:
     idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[float, int]:
-        if n in _FORCE_REVERIFY:
+        lg = last.get(n, -1)
+        if lg < _FORCE_REVERIFY.get(n, -1):
             return (-0.5, idx[n])  # after never-green, before any green
-        return (float(last.get(n, -1)), idx[n])
+        return (float(lg), idx[n])
 
     return sorted(names, key=key)
 

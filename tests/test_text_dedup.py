@@ -358,6 +358,43 @@ def test_containment_max_posting_guardrail(spark):
     assert (1, 2) in kept and (2, 1) in kept
 
 
+def test_jaccard_posting_cap_noop_at_fixture_scale(spark, sf_dir):
+    """The registered dedup_ngram_jaccard default (max_posting=32,
+    r12) must be a VALUE no-op on the real documents fixture — the
+    hottest posting list there is 7 docs — so the capped registered
+    contract and the unguarded exact flow (the pytest baseline the
+    r11 verdict asked to keep) emit identical rows."""
+    from graphragdatapipeline_spark.io import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = dd.shingle_table(d, "doc_id", "text", k=3)
+    exact = sorted(map(tuple, dd.jaccard_pairs(sh, "doc_id", 0.08).collect()))
+    capped = sorted(
+        map(tuple, dd.jaccard_pairs(sh, "doc_id", 0.08, max_posting=32).collect())
+    )
+    assert exact == capped and len(exact) > 0
+
+
+def test_jaccard_posting_cap_drops_boilerplate_only(spark):
+    """Stop-shingle cap semantics: pairs whose ONLY shared shingle is
+    boilerplate vanish; pairs with a sub-cap shared shingle survive
+    with jaccard ≤ exact (union denominator stays pre-cap exact, the
+    intersection can only shrink)."""
+    docs = [(i, f"common common common unique{i} only{i} here{i}") for i in range(3, 9)]
+    docs += [(1, "common common common rare pair shingle"),
+             (2, "common common common rare pair shingle extra")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = dd.shingle_table(df, "doc_id", "text", k=3)
+    exact = {(r.a, r.b): r.jaccard
+             for r in dd.jaccard_pairs(sh, "doc_id", 0.01).collect()}
+    capped = {(r.a, r.b): r.jaccard
+              for r in dd.jaccard_pairs(sh, "doc_id", 0.01, max_posting=4).collect()}
+    assert set(capped) < set(exact)          # strictly fewer pairs
+    assert (1, 2) in capped                  # rare-shingle pair survives
+    for p, j in capped.items():
+        assert j <= exact[p] + 1e-12         # capped lower-bounds exact
+
+
 def test_containment_empty(spark):
     from graphragdatapipeline_spark.operators import dedup as dd
 
