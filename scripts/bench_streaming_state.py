@@ -135,6 +135,10 @@ def main() -> None:
             .parquet(docs_dir)
         )
 
+    # section=docs_auto: same drains with the r12 inline auto-
+    # compaction cadence on (SCALE.md's "does compacting while
+    # streaming cost or pay" row) — reports the final watermark too
+    ace = 8 if section == "docs_auto" else None
     for name, launch in (
         (
             "cooccurrence_index_sink",
@@ -143,6 +147,7 @@ def main() -> None:
                 f"{work}/cooc/index",
                 f"{work}/cooc/ckpt",
                 max_doc_terms=64,
+                auto_compact_every=ace,
             ),
         ),
         (
@@ -152,6 +157,7 @@ def main() -> None:
                 f"{work}/neardup/corpus",
                 f"{work}/neardup/bands",
                 f"{work}/neardup/ckpt",
+                auto_compact_every=ace,
             ),
         ),
         (
@@ -160,10 +166,11 @@ def main() -> None:
                 doc_src(),
                 f"{work}/substr/index",
                 f"{work}/substr/ckpt",
+                auto_compact_every=ace,
             ),
         ),
     ):
-        if section not in ("all", "docs"):
+        if section not in ("all", "docs", "docs_auto"):
             break
         t0 = time.perf_counter()
         q = launch()
@@ -174,12 +181,19 @@ def main() -> None:
             "incremental_neardup_sink": f"{work}/neardup",
             "substring_index_sink": f"{work}/substr/index",
         }[name]
+        wm_dir = {
+            "cooccurrence_index_sink": f"{work}/cooc/index/edges",
+            "incremental_neardup_sink": f"{work}/neardup/bands",
+            "substring_index_sink": f"{work}/substr/index",
+        }[name]
         rec = {
             "pipeline": name,
             "wall_sec": round(wall, 2),
             "input_rows": n_docs,
             "rows_per_sec": round(n_docs / wall),
             "index_bytes_on_disk": _dir_bytes(idx_dir),
+            "auto_compact_every": ace,
+            "compacted_upto": so.compacted_upto(spark, wm_dir),
         }
         print(json.dumps(rec), flush=True)
 

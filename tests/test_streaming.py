@@ -1033,3 +1033,217 @@ def test_identity_epoch_compaction_consolidates_set_index(spark, tmp_path):
     import glob as _g
     files = _g.glob(f"{data_dir}/_compacted/upto=3/*.parquet")
     assert 1 <= len(files) <= 2
+
+
+def test_compaction_pinned_epochs_exclude_racing_commit(spark, tmp_path):
+    """The double-count race fix (r12): an epoch that commits AFTER the
+    compaction's commit listing must NOT be folded into the compacted
+    generation — with the old re-listing input it was folded in AND
+    stayed visible as a tail epoch, permanently double-counting its
+    additive rows. Pin the listing to epochs [0, 1], then 'race' epoch
+    2 in before the compaction reads: the compacted gen must hold only
+    epochs 0-1, and the full read must count epoch 2 exactly once."""
+    data_dir = str(tmp_path / "idx")
+    commits = str(tmp_path / "commits")
+    for e in range(2):
+        spark.createDataFrame(
+            [(f"s{i}", 1) for i in range(3)], "shingle string, nd long"
+        ).write.mode("overwrite").parquet(f"{data_dir}/epoch={e}")
+        so._mark_committed(spark, commits, e)
+    pinned = so.committed_epochs(spark, commits)  # [0, 1]
+    # the racing commit lands between the listing and the input read
+    spark.createDataFrame(
+        [(f"s{i}", 10) for i in range(3)], "shingle string, nd long"
+    ).write.mode("overwrite").parquet(f"{data_dir}/epoch=2")
+    so._mark_committed(spark, commits, 2)
+
+    upto = so.compact_index_epochs(
+        spark, data_dir, commits, ["shingle"], ["nd"], epochs=pinned
+    )
+    assert upto == 1
+    compacted = {
+        (r.shingle, r.nd)
+        for r in spark.read.parquet(f"{data_dir}/_compacted/upto=1").collect()
+    }
+    assert compacted == {(f"s{i}", 2) for i in range(3)}  # epochs 0+1 only
+    merged = {
+        (r.shingle, r.nd)
+        for r in so.read_committed_epochs(spark, data_dir, commits)
+        .groupBy("shingle")
+        .agg(F.sum("nd").alias("nd"))
+        .collect()
+    }
+    assert merged == {(f"s{i}", 12) for i in range(3)}  # 2 (compacted) + 10 (tail), once
+
+
+def test_read_committed_epochs_raises_on_lost_primary_dir(spark, tmp_path):
+    """A committed epoch above the watermark with a missing data dir is
+    LOST DATA for a primary index: strict read raises instead of
+    returning a silently smaller view; allow_missing=True (the sidecar
+    contract) skips it; GC'd epochs at/below the watermark stay fine."""
+    data_dir = str(tmp_path / "idx")
+    commits = str(tmp_path / "commits")
+    spark.createDataFrame(
+        [("a", 1)], "shingle string, nd long"
+    ).write.mode("overwrite").parquet(f"{data_dir}/epoch=0")
+    so._mark_committed(spark, commits, 0)
+    so._mark_committed(spark, commits, 1)  # marker without a data dir
+    with pytest.raises(Exception, match="lost data"):
+        so.read_committed_epochs(spark, data_dir, commits)
+    ok = so.read_committed_epochs(spark, data_dir, commits, allow_missing=True)
+    assert {tuple(r) for r in ok.collect()} == {("a", 1)}
+    # compaction refuses to fold past the hole too
+    with pytest.raises(Exception, match="lost data|refusing to compact"):
+        so.compact_index_epochs(spark, data_dir, commits, ["shingle"], ["nd"])
+    # but once the missing epoch is at/below a watermark it's a GC'd
+    # epoch, not a loss: compact the present data with the hole skipped
+    upto = so.compact_index_epochs(
+        spark, data_dir, commits, ["shingle"], ["nd"], allow_missing=True
+    )
+    assert upto == 1
+    strict = so.read_committed_epochs(spark, data_dir, commits)
+    assert {tuple(r) for r in strict.collect()} == {("a", 1)}
+
+
+def test_substring_sink_auto_compaction_mid_stream(spark, sf_dir, tmp_path):
+    """auto_compact_every=2 over 4 micro-batches: compaction fires
+    INSIDE the stream (watermark advances past early epochs while
+    later ones are still arriving) and the final merged view is
+    bit-identical to the one-shot batch delta."""
+    import time
+
+    from graphragdatapipeline_spark.operators import dedup as dd
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    ids = sorted(r.doc_id for r in d.select("doc_id").collect())
+    cuts = [ids[len(ids) // 4], ids[len(ids) // 2], ids[3 * len(ids) // 4]]
+    slices = [
+        d.filter(F.col("doc_id") <= cuts[0]),
+        d.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        d.filter((F.col("doc_id") > cuts[1]) & (F.col("doc_id") <= cuts[2])),
+        d.filter(F.col("doc_id") > cuts[2]),
+    ]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir = str(tmp_path / "shidx")
+    q = so.substring_index_sink(
+        stream, index_dir, str(tmp_path / "ckpt"), auto_compact_every=2
+    )
+    q.awaitTermination(240)
+
+    upto = so.compacted_upto(spark, index_dir)
+    epochs = so.committed_epochs(spark, index_dir + "/_commits")
+    assert len(epochs) == 4
+    assert upto == max(epochs)  # cadence hit again on the last commit
+    got = {tuple(r) for r in so.read_substring_index(spark, index_dir).collect()}
+    want = {tuple(r) for r in dd.shingle_df_delta(d, "doc_id", "text").collect()}
+    assert got == want and len(want) > 0
+
+
+def test_cooccurrence_sink_auto_compaction_mid_stream(spark, sf_dir, tmp_path):
+    """auto_compact_every=1 on the co-occurrence sink: every commit
+    triggers an inline 3-table compaction at ONE shared watermark and
+    the merged PMI view stays identical to the uncompacted batch."""
+    import time
+
+    from graphragdatapipeline_spark.graph.build import (
+        cooccurrence_index_delta,
+        pmi_from_index,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + (hi - lo) / 2
+    slices = [d.filter(F.col("doc_id") <= cut), d.filter(F.col("doc_id") > cut)]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir = str(tmp_path / "coidx")
+    q = so.cooccurrence_index_sink(
+        stream,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        max_doc_terms=64,
+        auto_compact_every=1,
+    )
+    q.awaitTermination(240)
+
+    epochs = so.committed_epochs(spark, index_dir + "/_commits")
+    assert len(epochs) == 2
+    # one shared watermark across all three tables (the r11-advice fix)
+    for t in ("edges", "tf", "ndocs"):
+        assert so.compacted_upto(spark, f"{index_dir}/{t}") == max(epochs)
+    edges, tf, n = so.read_cooccurrence_index(spark, index_dir)
+    got = {
+        (r.src, r.dst): (r.cooccur, round(r.pmi, 9))
+        for r in pmi_from_index(edges, tf, n, min_count=5).collect()
+    }
+    be, bt, bn = cooccurrence_index_delta(d, "doc_id", "text", max_doc_terms=64)
+    want = {
+        (r.src, r.dst): (r.cooccur, round(r.pmi, 9))
+        for r in pmi_from_index(
+            be.groupBy("src", "dst").agg(F.sum("cooccur").alias("cooccur")),
+            bt.groupBy("term").agg(F.sum("df").alias("df")),
+            bn.agg(F.sum("n").alias("n")),
+            min_count=5,
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_neardup_sink_auto_compaction_mid_stream(spark, tmp_path):
+    """auto_compact_every=1 on the near-dup sink: band-index epochs are
+    consolidated inline and the corpus survivors match the
+    uncompacted sink's (the batch anti-join reads through the
+    compacted generation)."""
+    import time
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs1 = [(1, base), (2, "completely different content about spark shuffles")]
+    docs2 = [(3, base.replace("today", "tomorrow")),  # near-dup of 1 → dropped
+             (4, "fresh unrelated text on parquet row group pruning here")]
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([docs1, docs2]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    band_dir = str(tmp_path / "bands")
+    q = so.incremental_neardup_sink(
+        stream, corpus_dir, band_dir, str(tmp_path / "ckpt"), auto_compact_every=1
+    )
+    q.awaitTermination(240)
+
+    assert so.compacted_upto(spark, band_dir) == max(
+        so.committed_epochs(spark, corpus_dir + "/_commits")
+    )
+    kept = sorted(
+        r.doc_id
+        for r in so.read_committed_epochs(
+            spark, corpus_dir, corpus_dir + "/_commits"
+        ).collect()
+    )
+    assert kept == [1, 2, 4]  # 3 dropped against the compacted band index
