@@ -458,6 +458,7 @@ def pq_adc_topk(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    code_cols: list[str] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query is
     NOT quantized — per subspace, a k-entry table of exact squared
@@ -468,7 +469,18 @@ def pq_adc_topk(
     per row instead of a d-dim fold — and at scale reads the m-byte
     code columns instead of the 4d-byte vectors. TakeOrdered keeps k
     rows per partition; no global sort. Exact-rerank composes on top
-    exactly like lsh_probe_topk's rerank stage."""
+    exactly like lsh_probe_topk's rerank stage.
+
+    ``code_cols`` (r12) is the encode-at-ingest path the docstring's
+    scale claim was always about: pass columns previously materialized
+    with pq_encode_cols and the probe scans m stored ints per row
+    instead of re-running the k-way nearest-centroid fold per query —
+    at k=256 the inline fold is 256 zip_with/aggregate branches per
+    subspace and dominates probe wall (measured at the 200 k-vector
+    fixture: the k=256 inline probe is minutes/query, the stored-code
+    probe sub-second arithmetic plus the scan). Stored and inline
+    codes are identical by construction (pq_encode_cols is the same
+    expression; pinned in test_pq_stored_codes_match_inline)."""
     subdim = len(books[0][0])
     score: Column | None = None
     for mi, book in enumerate(books):
@@ -479,8 +491,12 @@ def pq_adc_topk(
             for a, b in zip(qsub, c):
                 acc += (a - b) * (a - b)  # same left fold as the oracle
             table.append(acc)
-        code = nearest_centroid_col(
-            book, F.slice(F.col(vec_col), mi * subdim + 1, subdim)
+        code = (
+            F.col(code_cols[mi])
+            if code_cols is not None
+            else nearest_centroid_col(
+                book, F.slice(F.col(vec_col), mi * subdim + 1, subdim)
+            )
         )
         t = F.array(*[F.lit(float(x)) for x in table])
         term = F.element_at(t, code + 1)
@@ -500,15 +516,25 @@ def pq_rerank_topk(
     shortlist: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    code_cols: list[str] | None = None,
 ) -> DataFrame:
     """The complete PQ read path: ADC shortlist (cheap scan over
     codes) → exact cosine rerank of the `shortlist` survivors — the
     standard IVFPQ/FAISS search shape. Only `shortlist` rows ever
     load their full vectors; at 100 TB that is the difference between
     scanning codes (m bytes/row) and scanning embeddings
-    (4·dim bytes/row), with exactness restored on the short list."""
+    (4·dim bytes/row), with exactness restored on the short list.
+    ``code_cols`` forwards to pq_adc_topk's encode-at-ingest path
+    (r12) — the DataFrame must then carry both the stored code
+    columns (shortlist scan) and the vector column (rerank)."""
     cand_ids = pq_adc_topk(
-        embeddings, books, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col
+        embeddings,
+        books,
+        query_vec,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        code_cols=code_cols,
     ).select(id_col)
     cand = embeddings.join(cand_ids, id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

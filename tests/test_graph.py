@@ -284,6 +284,39 @@ def test_triangle_count_hub_guardrail(spark):
     assert capped == {(1, 2, 3)}  # hub edges dropped, clean triangle kept
 
 
+def test_triangle_estimate_p1_equals_exact_and_deterministic(spark):
+    """DOULION contract anchors: at p=1 every edge survives the coin,
+    so the estimate IS the exact count; at p<1 the seeded hash coin
+    makes repeated runs bit-identical (the property the registered
+    value-oracle contract rests on); the estimator respects the same
+    hub guardrail as the exact operator."""
+    from graphragdatapipeline_spark.graph.algorithms import (
+        triangle_count,
+        triangle_count_estimate,
+    )
+
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5), (2, 5)]
+    edges = spark.createDataFrame(rows, "src LONG, dst LONG")
+    exact = triangle_count(edges).count()
+    r = triangle_count_estimate(edges, p=1.0).first()
+    assert r.n_sampled_triangles == exact and r.est_triangles == float(exact)
+
+    a = triangle_count_estimate(edges, p=0.6, seed=42).first()
+    b = triangle_count_estimate(edges, p=0.6, seed=42).first()
+    assert tuple(a) == tuple(b)  # deterministic seeded subgraph
+
+    # guardrail parity with the exact operator: a hub above the cap
+    # contributes no triangles to either side, even at p=1
+    rows += [(10, x) for x in range(11, 31)] + [(11, 12), (10, 12)]
+    hub = spark.createDataFrame(rows, "src LONG, dst LONG")
+    e = triangle_count(hub, max_forward_degree=5).count()
+    g = triangle_count_estimate(hub, p=1.0, max_forward_degree=5).first()
+    assert g.n_sampled_triangles == e
+
+    with pytest.raises(ValueError):
+        triangle_count_estimate(edges, p=0.0)
+
+
 def test_weighted_pagerank_equals_parallel_edges(spark):
     """Edge weight w must behave exactly like w parallel unit edges —
     the defining invariant of weighted random walks."""

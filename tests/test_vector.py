@@ -352,6 +352,53 @@ def test_pq_rerank_recovers_exact_topk(spark):
     assert rr == exact
 
 
+def test_pq_stored_codes_match_inline(spark):
+    """The encode-at-ingest path (code_cols over pq_encode_cols
+    columns) must return exactly the inline-encode results for both
+    pq_adc_topk and pq_rerank_topk — stored codes are the same
+    expression materialized once, so this is a pure scan-shape swap
+    (the 100 TB probe shape: m stored ints per row instead of a k-way
+    nearest-centroid fold per query)."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rows = []
+    for i in range(60):
+        rows.append((i, [1.0 + (i % 7) * 0.01] * 4 + [0.01 * (i % 3)] * 4))
+    for i in range(60, 120):
+        rows.append((i, [0.0] * 4 + [-1.0 - (i % 5) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = vs.pq_train(df, m=2, k=4, iters=2)
+    enc = df.select(
+        "vec_id",
+        "embedding",
+        *[
+            c.alias(f"pq_{i}")
+            for i, c in enumerate(vs.pq_encode_cols(books, F.col("embedding")))
+        ],
+    )
+    query = [1.0] * 4 + [0.0] * 4
+    inline_adc = [tuple(r) for r in vs.pq_adc_topk(df, books, query, k=10).collect()]
+    stored_adc = [
+        tuple(r)
+        for r in vs.pq_adc_topk(
+            enc, books, query, k=10, code_cols=["pq_0", "pq_1"]
+        ).collect()
+    ]
+    assert stored_adc == inline_adc
+    inline_rr = [
+        r.vec_id for r in vs.pq_rerank_topk(df, books, query, k=8, shortlist=20).collect()
+    ]
+    stored_rr = [
+        r.vec_id
+        for r in vs.pq_rerank_topk(
+            enc, books, query, k=8, shortlist=20, code_cols=["pq_0", "pq_1"]
+        ).collect()
+    ]
+    assert stored_rr == inline_rr
+
+
 def test_sq8_reconstruction_error_bound(spark):
     """Dequantized components sit within scale/2 of the originals —
     the SQ8 contract that bounds the similarity perturbation."""
