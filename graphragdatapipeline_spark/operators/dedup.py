@@ -389,14 +389,20 @@ def cap_postings(shingles: DataFrame, cap: int, key_col: str = "shingle") -> Dat
     rows while carrying near-zero similarity signal — the standard
     stop-word cut in inverted-index dedup, and the posting-level twin
     of the LSH layer's max_bucket guardrail. One groupBy count + one
-    broadcast-able semi join keyed on the shingle."""
+    semi join keyed on the shingle — MERGE-pinned (r12): the keep list
+    is the distinct-shingle set minus the hot tail, and distinct word
+    k-grams grow near-linearly with corpus size, so the string-heavy
+    keep side is corpus-sized at scale and sits squarely in the
+    compressed-size-illusion broadcast-OOM class (the r12 fixture's
+    sh⋈index OOM in remove_spans_against_index is the same table
+    shape; see that operator's pin comment)."""
     keep = (
         shingles.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_posting"))
         .filter(F.col("_posting") <= cap)
         .select(key_col)
     )
-    return shingles.join(keep, key_col, "left_semi")
+    return shingles.join(keep.hint("merge"), key_col, "left_semi")
 
 
 def containment_pairs(
@@ -797,7 +803,19 @@ def remove_spans_against_index(
     corpus's.
     """
     tokens, sh = positioned_shingles(df, id_col, text_col, k)
-    joined = sh.join(index, "shingle", "left")
+    # The sh⋈index join was adaptive through r11 on the assumption
+    # that a shingle-df index is vocabulary-sized (Heaps' law). That
+    # assumption is WRONG for word k-grams: distinct k-gram counts
+    # grow near-linearly with corpus size (unlike unigram vocab), so
+    # the index side is corpus-sized in every at-scale regime — and
+    # r12's de-degenerated 100× fixture (per-doc-tagged noise, ~45M
+    # distinct shingles) proved it the usual way: the planner built
+    # the string-heavy index as a broadcast HashedRelation from its
+    # compressed-size estimate and died with 'Not enough memory to
+    # build and broadcast'. Same pin as jaccard_pairs and the tokens
+    # join below: corpus-sized string-heavy join sides get their
+    # shape declared, not estimated.
+    joined = sh.join(index.hint("merge"), "shingle", "left")
     is_dup = F.coalesce(F.col("nd"), F.lit(0)) >= min_df
     # ONE aggregation pass produces both the duprate stats and the
     # covered-position set (span lists collected per doc, expanded and
@@ -829,10 +847,7 @@ def remove_spans_against_index(
     # one side at sf10 (observed: a multi-hundred-MB HashedRelation
     # that happened to fit; at scale it cannot). Same pin as
     # jaccard_pairs: corpus-sized join sides get their shape declared,
-    # not estimated. The sh⋈index join above stays adaptive on
-    # purpose — the df index is vocabulary-sized (Heaps' law) and its
-    # stats chain is derivable, so broadcast is right while the vocab
-    # fits and Catalyst flips it when it doesn't.
+    # not estimated.
     out = tokens.join(per.hint("merge"), id_col)
     keep = F.filter(
         F.col("_w"),
