@@ -1106,7 +1106,14 @@ def triangle_count_estimate(
     coin = F.pmod(F.xxhash64("lo", "hi", F.lit(seed)), F.lit(2**53)) / F.lit(
         float(2**53)
     )
-    sampled = canon.filter(coin < F.lit(p))
+    # The SAMPLED table (p× smaller) fans out into 3 wedge-join sides;
+    # checkpoint it, never the full canonical edge table — at the 100×
+    # co-purchase graph the full table is 119.6M rows and materializing
+    # it as a checkpoint OOMs a 16 GiB heap before the estimator does
+    # any work, while the p=0.1 sample is ~12M rows. Upstream canon is
+    # recomputed once per consumer (degree pass + this filter), two
+    # linear passes traded for bounded memory.
+    sampled = canon.filter(coin < F.lit(p)).localCheckpoint(eager=False)
     ab = sampled.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = sampled.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = sampled.select(F.col("lo").alias("a"), F.col("hi").alias("c"))

@@ -651,7 +651,15 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     training heuristic) and k=256 on 500 vectors would make half the
     corpus its own 'centroid' — memorization, not quantization.
     k=16 at ~31 points/centroid is the evidence-backed knob this
-    fixture can honestly train (was k=4 through r10)."""
+    fixture can honestly train (was k=4 through r10).
+
+    The production default is EXECUTED, not extrapolated (r12,
+    SCALE.md): pq_rerank at m=2/k=256 on the 200 k-vector fixture
+    (~780 points/centroid — trains soundly) reached recall@8 = 1.0
+    vs 0.9922 at k=16, train 5.5 s, one-time encode 117.7 s, stored-
+    code probe 0.76 s/query via the code_cols encode-at-ingest path
+    (the inline per-query re-encode grows linearly in k and is the
+    wrong probe shape beyond the fixture — see pq_adc_topk)."""
     from graphragdatapipeline_spark.registry import dround
 
     e = read_table(spark, sf_dir, "embeddings")

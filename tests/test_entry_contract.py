@@ -58,11 +58,18 @@ def test_unverified_queries_sort_into_driver_window():
 
 
 def test_force_reverify_in_window_when_room():
+    """Round-aware semantics (r12): a flagged entry must occupy a
+    window slot ONLY while its last green round predates its flag
+    round; once re-greened it self-clears and rotates like any other
+    entry (the r11 verdict measured the old always-in-window behavior
+    burning 4 of 50 slots on already-re-greened entries)."""
     names = list(entry_mod.queries())
     window = set(names[:WINDOW])
-    for n in entry_mod._FORCE_REVERIFY:
+    last = entry_mod._last_green_round()
+    for n, flagged_round in entry_mod._FORCE_REVERIFY.items():
         assert n in REGISTRY
-        assert n in window, f"force-reverify query {n} fell outside window"
+        if last.get(n, -1) < flagged_round:
+            assert n in window, f"stale force-reverify query {n} fell outside window"
 
 
 def test_ordering_is_deterministic():
