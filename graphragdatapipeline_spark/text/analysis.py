@@ -310,7 +310,16 @@ def lm_bigram_scores(
     slices of the token array — map-side, no self-join on position);
     the bigram model is one groupBy((prev,cur)) count; scoring joins
     the stream against the unigram table twice (cur, prev) and the
-    bigram table once, all token-keyed hash joins."""
+    bigram table once. The UNIGRAM joins stay adaptive on purpose —
+    unigram vocabulary is genuinely Heaps-sublinear and broadcast is
+    right while it fits (the tfidf precedent, plan-pinned there). The
+    BIGRAM join is merge-pinned (r12 broadcast audit): distinct bigram
+    counts grow near-linearly with corpus size — the same argument
+    that felled the 'shingle-df index is vocabulary-sized' assumption
+    in remove_spans_against_index — and the executed plan at the 100×
+    fixture showed the planner building the corpus-sized (prev, cur)
+    string table as a broadcast HashedRelation that merely happened
+    to fit."""
     toks = tokens_ws(F.col(text_col))
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -351,7 +360,7 @@ def lm_bigram_scores(
     per_doc = (
         stream.join(cu, "cur")
         .join(cup, "prev", "left")
-        .join(bcnt, ["prev", "cur"], "left")
+        .join(bcnt.hint("merge"), ["prev", "cur"], "left")
         .crossJoin(F.broadcast(corpus))
         .select(F.col(id_col), lq.alias("_lq"))
         .groupBy(id_col)
