@@ -53,14 +53,19 @@ def main(argv: list[str] | None = None) -> int:
     ci = sub.add_parser(
         "compact-index",
         help="compact a streaming index's committed epochs into one "
-        "pre-aggregated generation (substring | cooccurrence | neardup)",
+        "pre-aggregated generation (substring | cooccurrence | neardup | vector)",
     )
-    ci.add_argument("kind", choices=["substring", "cooccurrence", "neardup"])
+    ci.add_argument("kind", choices=["substring", "cooccurrence", "neardup", "vector"])
     ci.add_argument("index_dir")
     ci.add_argument(
         "--corpus-dir",
         default=None,
         help="neardup only: the corpus dir whose _commits govern the band index",
+    )
+    ci.add_argument(
+        "--id-col",
+        default="vec_id",
+        help="vector only: the upsert id column (latest-wins key)",
     )
     ci.add_argument(
         "--gc",
@@ -134,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
             upto = so.compact_substring_index(spark, args.index_dir, gc=args.gc)
         elif args.kind == "cooccurrence":
             upto = so.compact_cooccurrence_index(spark, args.index_dir, gc=args.gc)
+        elif args.kind == "vector":
+            upto = so.compact_vector_index(
+                spark, args.index_dir, id_col=args.id_col, gc=args.gc
+            )
         else:
             if not args.corpus_dir:
                 print("neardup requires --corpus-dir", file=sys.stderr)

@@ -897,3 +897,64 @@ def vector_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     short_ids = vs.sq8_topk(vs.sq8_encode(cand), q, k=16).select("vec_id")
     out = vs.cosine_topk(cand.join(short_ids, "vec_id"), q, k=5)
     return out.select("vec_id", dround(F.col("sim"), 6).alias("sim"))
+
+
+@register(
+    "vector_index_latest_wins",
+    oracle="""
+WITH e1 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT))
+           AS embedding,
+         CAST(1 AS BIGINT) AS _epoch
+  FROM embeddings WHERE vec_id % 5 = 0
+), u AS (
+  SELECT vec_id, embedding, CAST(0 AS BIGINT) AS _epoch FROM embeddings
+  UNION ALL SELECT vec_id, embedding, _epoch FROM e1
+), r AS (
+  SELECT vec_id, embedding, _epoch,
+         row_number() OVER (PARTITION BY vec_id ORDER BY _epoch DESC) AS rn
+  FROM u
+)
+SELECT vec_id, _epoch AS epoch_kept,
+       floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * 1000000 + 0.5) / 1000000 AS norm
+FROM r WHERE rn = 1
+""",
+)
+def vector_index_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT resolution of the streaming vector index (r12): two
+    simulated index epochs — epoch 0 is the full collection, epoch 1
+    redelivers every fifth id with a shifted vector (the re-embedded-
+    document shape the reference handles by full collection re-upsert,
+    ingest_vector_db.py:181-204) — merged through the PRODUCTION
+    latest-wins window (streaming.ops.latest_wins, the exact
+    expression read_vector_index runs over committed epochs). The
+    oracle replays the epoch simulation and the window in SQL and
+    value-checks which epoch won per id plus the surviving vector's
+    norm — so a latest-wins regression (wrong order, wrong tie rule,
+    lost upsert) flips epoch_kept or the norm and fails the hash. The
+    streamed twin of this semantics (real micro-batches, compaction,
+    tails) is pinned in tests/test_streaming.py's three
+    vector_index_sink tests."""
+    from graphragdatapipeline_spark.streaming.ops import latest_wins
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e0 = e.withColumn("_epoch", F.lit(0).cast("bigint"))
+    e1 = (
+        e.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: (x.cast("double") + F.lit(0.25)).cast("float")
+            ).alias("embedding"),
+        )
+        .withColumn("_epoch", F.lit(1).cast("bigint"))
+    )
+    merged = latest_wins(e0.unionByName(e1), "vec_id")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    return merged.select(
+        "vec_id",
+        F.col("_epoch").alias("epoch_kept"),
+        dround(vs.l2_norm(ed), 6).alias("norm"),
+    )

@@ -255,6 +255,7 @@ def compact_index_epochs(
     target_bytes_per_file: int = 128 * 1024 * 1024,
     epochs: list[int] | None = None,
     allow_missing: bool = False,
+    fold=None,
 ) -> int | None:
     """Epoch compaction for the additive index sinks — the LSM-style
     maintenance job the round-10 verdict called for: committed epoch
@@ -288,27 +289,48 @@ def compact_index_epochs(
     double-count race: an epoch committing between two listings would
     be folded into the compacted generation while staying visible as a
     tail epoch, permanently double-counting its additive counts).
-    `gc=True` additionally deletes the superseded epoch dirs and the
-    previous compacted generation — run THAT only quiesced (the
-    compact_parquet maintenance-window contract): a reader that listed
-    epochs just before GC could race the deletes.
+    `gc=True` additionally deletes the superseded epoch dirs and every
+    lower-numbered compacted generation — even when there is nothing
+    new to fold, so the quiesced maintenance run reclaims the history
+    an inline (always gc=False) auto-compaction cadence leaves behind.
+    Run gc only quiesced (the compact_parquet maintenance-window
+    contract): a reader that listed epochs just before GC could race
+    the deletes.
 
     ``epochs`` pins the committed-epoch set externally so multi-table
     indexes (compact_cooccurrence_index) compact every table to ONE
     shared watermark from a single listing. ``allow_missing`` is the
     sidecar escape hatch (see read_committed_epochs): a pinned epoch
     whose data dir is absent raises by default — above-watermark
-    missing data is loss, not noise."""
+    missing data is loss, not noise.
+
+    ``fold`` replaces the groupBy/sum pre-aggregation with an
+    arbitrary DataFrame→DataFrame rewrite for indexes whose merge rule
+    is not additive (the vector sink's latest-wins upsert). The fold
+    must be WATERMARK-SAFE: applied to any epoch prefix, its output
+    merged with the remaining tail under the index's read rule must
+    equal the read over raw epochs (latest-wins qualifies because
+    folded rows keep their `_epoch` — a row the fold discarded was
+    superseded inside the prefix and could never win against the
+    tail)."""
     import math
 
     if epochs is None:
         epochs = committed_epochs(spark, commits_dir)
     prior = compacted_upto(spark, data_dir)
     todo = [e for e in epochs if prior is None or e > prior]
+    fs, jvm, _ = _hadoop_fs(spark, data_dir)
     if not todo:
+        # Nothing new to fold — but a quiesced gc run must still
+        # reclaim epoch dirs the CURRENT generation superseded (the
+        # inline auto-compaction cadence never gc's, so an index that
+        # was last compacted inline has its whole history on disk and
+        # the explicit `compact-index --gc` maintenance run is exactly
+        # the operation that is supposed to reclaim it).
+        if gc and prior is not None:
+            _gc_superseded(fs, jvm, data_dir, epochs, prior)
         return prior
     upto = max(todo)
-    fs, jvm, _ = _hadoop_fs(spark, data_dir)
     dirs = []
     for e in sorted(todo):
         p = f"{data_dir}/epoch={e}"
@@ -334,13 +356,14 @@ def compact_index_epochs(
     if prior is not None:
         total += _len(f"{data_dir}/_compacted/upto={prior}")
     n_files = max(1, math.ceil(total / target_bytes_per_file))
-    out = (
-        cur.groupBy(*(group_cols or [])).agg(
+    if fold is not None:
+        out = fold(cur)
+    elif sum_cols:
+        out = cur.groupBy(*(group_cols or [])).agg(
             *[F.sum(c).alias(c) for c in sum_cols]
         )
-        if sum_cols
-        else cur
-    )
+    else:
+        out = cur
     # coalesce never splits: merges the agg/epoch partitions without a
     # second shuffle; an input already at/below target passes through
     out.coalesce(n_files).write.mode("overwrite").parquet(
@@ -348,28 +371,35 @@ def compact_index_epochs(
     )
     _mark_committed(spark, f"{data_dir}/_compactions", upto)
     if gc:
-        # everything ≤ the new watermark is superseded — including
-        # epochs a PRIOR gc=False compaction folded in but left behind
-        for e in epochs:
-            if e > upto:
-                continue
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{data_dir}/epoch={e}"), True
-            )
-        if prior is not None:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{data_dir}/_compacted/upto={prior}"
-                ),
-                True,
-            )
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{data_dir}/_compactions/{prior}"
-                ),
-                False,
-            )
+        _gc_superseded(fs, jvm, data_dir, epochs, upto)
     return upto
+
+
+def _gc_superseded(fs, jvm, data_dir: str, epochs, watermark: int) -> None:
+    """Reclaim everything the generation at ``watermark`` supersedes:
+    committed epoch dirs ≤ the watermark (including epochs an earlier
+    gc=False compaction folded in but left behind) AND every
+    lower-numbered generation with its marker — inline auto-compaction
+    runs gc=False each time, so a cadence-maintained index accumulates
+    one generation per fire until the explicit quiesced gc run sweeps
+    them. Run only quiesced (the compact_parquet maintenance-window
+    contract)."""
+    for e in epochs:
+        if e > watermark:
+            continue
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{data_dir}/epoch={e}"), True)
+    marks = jvm.org.apache.hadoop.fs.Path(f"{data_dir}/_compactions")
+    if fs.exists(marks):
+        for st in fs.listStatus(marks):
+            nm = st.getPath().getName()
+            if nm.isdigit() and int(nm) < watermark:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{data_dir}/_compacted/upto={nm}"
+                    ),
+                    True,
+                )
+                fs.delete(st.getPath(), False)
 
 
 def _auto_compact_due(spark, watermark_dir: str, commits_dir: str, every) -> bool:
@@ -556,6 +586,189 @@ def incremental_neardup_sink(
             compact_neardup_band_index(spark, band_index_dir, corpus_dir)
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
+
+
+def vector_index_sink(
+    stream_df: DataFrame,
+    centroids: list[list[float]],
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    auto_compact_every: int | None = None,
+):
+    """Streaming ANN index maintenance — the vector twin of the
+    substring / co-occurrence / near-dup sinks, closing the
+    index-maintenance story for the embedding column (the reference's
+    closest analogue is the batch collection rebuild in
+    ingest_vector_db.py:76-93, which re-upserts the whole corpus;
+    here fresh or re-embedded vectors arrive continuously and the
+    index absorbs them without a rebuild).
+
+    Per micro-batch, everything map-side (the 100 TB ingest shape):
+
+    1. within-batch latest-wins per id — a batch may redeliver an id
+       several times; ONE row is kept deterministically (highest
+       xxhash64 of the vector, so foreachBatch retries pick the same
+       row),
+    2. nearest-centroid cell assignment against the TRAINED broadcast
+       centroid literals (vector.similarity.nearest_centroid_col —
+       zero shuffle; centroids are index metadata trained once by
+       kmeans_cells and passed in: a production IVF index encodes at
+       ingest, it never re-clusters per batch),
+    3. rows (id, vec, cell, _epoch) land in ``index_dir/epoch=N``,
+       cell-SORTED within files (sortWithinPartitions — parquet
+       min/max row-group stats let a probe's cell filter skip
+       non-matching row groups without paying a per-batch shuffle; at
+       cluster scale you would repartition by cell too, trading one
+       map-shuffle per batch for file-level pruning),
+    4. atomic commit marker — the same overwrite-and-commit
+       transaction scheme as every other sink here: a retry of a
+       half-committed epoch idempotently rewrites ``epoch=N`` and
+       re-commits.
+
+    UPSERT semantics are latest-wins at read: data rows carry their
+    epoch and read_vector_index keeps each id's highest-epoch row
+    (deletes/tombstones are out of scope — the curation pipeline drops
+    documents before embedding, not after indexing). Compaction
+    (compact_vector_index) folds the same rule into the compacted
+    generation, bounding read cost by the cadence instead of the
+    sink's lifetime; ``auto_compact_every=N`` runs it inline every N
+    committed epochs like the other sinks."""
+    from graphragdatapipeline_spark.vector.similarity import nearest_centroid_col
+
+    commits_dir = index_dir + "/_commits"
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc(F.xxhash64(F.col(vec_col).cast("array<double>")))
+        )
+        batch = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                id_col,
+                vec_col,
+                nearest_centroid_col(centroids, F.col(vec_col)).alias("cell"),
+                F.lit(epoch_id).cast("bigint").alias("_epoch"),
+            )
+        )
+        batch.sortWithinPartitions("cell").write.mode("overwrite").parquet(
+            f"{index_dir}/epoch={epoch_id}"
+        )
+        _mark_committed(spark, commits_dir, epoch_id)
+        if _auto_compact_due(spark, index_dir, commits_dir, auto_compact_every):
+            compact_vector_index(spark, index_dir, id_col=id_col)
+
+    return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
+
+
+def latest_wins(df: DataFrame, id_col: str, epoch_col: str = "_epoch") -> DataFrame:
+    """UPSERT resolution: each id's highest-epoch row survives. The
+    merge rule of the vector index (and of any future non-additive
+    sink) — factored out so the driver-oracled
+    `vector_index_latest_wins` query exercises the exact production
+    expression the read path runs."""
+    w = Window.partitionBy(id_col).orderBy(F.desc(epoch_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def read_vector_index(spark, index_dir: str, id_col: str = "vec_id"):
+    """Consistent latest-wins view of a vector_index_sink index (None
+    until the first commit): committed epochs (plus the compacted
+    generation, if any) with each id resolved to its highest-epoch
+    row. The id-window is the price of upsert semantics without a
+    transactional table format; compaction keeps its input bounded by
+    the cadence, and on a fully-compacted index with an empty tail
+    the window degenerates to a single pass over unique ids."""
+    cur = read_committed_epochs(spark, index_dir, index_dir + "/_commits")
+    if cur is None:
+        return None
+    return latest_wins(cur, id_col)
+
+
+def compact_vector_index(
+    spark, index_dir: str, id_col: str = "vec_id", gc: bool = False
+) -> int | None:
+    """Latest-wins consolidation of the vector sink's upsert epochs:
+    one row per id — the highest-epoch row — becomes the compacted
+    generation. NOT an additive fold, but watermark-safe all the same
+    (the compact_index_epochs ``fold`` contract): folded rows keep
+    their ``_epoch``, so read_vector_index's window over compacted
+    generation + tail picks exactly the row it would have picked over
+    raw epochs — a row the fold discarded was already superseded at
+    or below the watermark and could never win against the tail. The
+    output is re-sorted by cell so the probe's row-group skipping
+    survives compaction."""
+    w = Window.partitionBy(id_col).orderBy(F.desc("_epoch"))
+    return compact_index_epochs(
+        spark,
+        index_dir,
+        index_dir + "/_commits",
+        gc=gc,
+        fold=lambda df: (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .sortWithinPartitions("cell")
+        ),
+    )
+
+
+def vector_index_probe(
+    spark,
+    index_dir: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over a streamed index: the query's ``nprobe`` nearest
+    cells are ranked DRIVER-SIDE over the k-row centroid metadata (no
+    Spark job — same squared distance as the ingest assignment,
+    ties to the lowest cell id), the scan filters to those cells
+    (row-group stats skip non-matching groups in the cell-sorted
+    files), then exact cosine top-k among the survivors. With
+    nprobe == len(centroids) this is exact brute force over the
+    latest-wins view — the recall-floor contract pinned in pytest.
+
+    Upsert resolution here deliberately does NOT reuse the read-path
+    window: latest_wins sort-shuffles every payload row BEFORE any
+    cell filter could apply (the filter is not on the window's
+    partition key, so Catalyst cannot push it through), which at
+    100 TB means a probe pays a full-index shuffle to read one cell.
+    Instead the winner set (id → max epoch) is computed as a slim
+    two-int-column aggregation — column pruning keeps the vector
+    payload out of the scan, partial aggregation combines map-side —
+    and the cell-pruned payload scan joins it on (id, epoch). A
+    superseded row sitting in a probed cell whose NEWER version moved
+    to another cell carries a stale epoch and is dropped by the join,
+    so cross-cell upserts cannot resurrect (pinned in pytest)."""
+    from graphragdatapipeline_spark.vector.similarity import cosine_topk
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            sum((a - b) * (a - b) for a, b in zip(query_vec, centroids[i])),
+            i,
+        ),
+    )
+    cells = ranked[: max(1, nprobe)]
+    cur = read_committed_epochs(spark, index_dir, index_dir + "/_commits")
+    if cur is None:
+        raise FileNotFoundError(f"no committed epochs under {index_dir}")
+    winners = cur.groupBy(id_col).agg(F.max("_epoch").alias("_epoch"))
+    cand = cur.filter(F.col("cell").isin(cells)).join(
+        winners, [id_col, "_epoch"]
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
 def click_purchase_attribution(
