@@ -628,21 +628,39 @@ def vector_index_sink(
        re-commits.
 
     UPSERT semantics are latest-wins at read: data rows carry their
-    epoch and read_vector_index keeps each id's highest-epoch row
-    (deletes/tombstones are out of scope — the curation pipeline drops
-    documents before embedding, not after indexing). Compaction
+    epoch and read_vector_index keeps each id's highest-epoch row.
+    DELETES are tombstones: an input row whose vector is NULL marks
+    its id deleted (the right-to-be-forgotten shape — at 100 TB you
+    cannot rewrite the index per deletion request). A tombstone wins
+    the latest-wins resolution like any upsert, the read view filters
+    it out, the probe never returns it (its cell is NULL, so it
+    matches no probed cell, while its epoch makes every older row
+    lose the winner join), and COMPACTION PHYSICALLY REMOVES it along
+    with the rows it superseded — folded epochs are all ≤ the
+    watermark, so nothing below can resurrect the id, and a
+    later-epoch re-insert stays visible through the tail. Compaction
     (compact_vector_index) folds the same rule into the compacted
     generation, bounding read cost by the cadence instead of the
     sink's lifetime; ``auto_compact_every=N`` runs it inline every N
-    committed epochs like the other sinks."""
+    committed epochs like the other sinks. One action per id per
+    micro-batch is the supported contract; conflicting same-batch
+    rows resolve deterministically (highest vector hash, NULL lowest)
+    but carry no ordering meaning."""
     from graphragdatapipeline_spark.vector.similarity import nearest_centroid_col
 
     commits_dir = index_dir + "/_commits"
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        # deterministic within-batch pick; desc puts NULL keys last, so
+        # a same-batch upsert+tombstone conflict resolves to the upsert
         w = Window.partitionBy(id_col).orderBy(
-            F.desc(F.xxhash64(F.col(vec_col).cast("array<double>")))
+            F.desc(
+                F.when(
+                    F.col(vec_col).isNotNull(),
+                    F.xxhash64(F.col(vec_col).cast("array<double>")),
+                )
+            )
         )
         batch = (
             df.withColumn("_rn", F.row_number().over(w))
@@ -650,7 +668,10 @@ def vector_index_sink(
             .select(
                 id_col,
                 vec_col,
-                nearest_centroid_col(centroids, F.col(vec_col)).alias("cell"),
+                F.when(
+                    F.col(vec_col).isNotNull(),
+                    nearest_centroid_col(centroids, F.col(vec_col)),
+                ).alias("cell"),
                 F.lit(epoch_id).cast("bigint").alias("_epoch"),
             )
         )
@@ -678,33 +699,49 @@ def latest_wins(df: DataFrame, id_col: str, epoch_col: str = "_epoch") -> DataFr
     )
 
 
-def read_vector_index(spark, index_dir: str, id_col: str = "vec_id"):
+def read_vector_index(
+    spark, index_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"
+):
     """Consistent latest-wins view of a vector_index_sink index (None
     until the first commit): committed epochs (plus the compacted
     generation, if any) with each id resolved to its highest-epoch
-    row. The id-window is the price of upsert semantics without a
-    transactional table format; compaction keeps its input bounded by
-    the cadence, and on a fully-compacted index with an empty tail
-    the window degenerates to a single pass over unique ids."""
+    row, then ids whose winning row is a TOMBSTONE (NULL vector)
+    dropped — a deleted id is absent from the view, exactly as if it
+    were never indexed. The id-window is the price of upsert semantics
+    without a transactional table format; compaction keeps its input
+    bounded by the cadence, and on a fully-compacted index with an
+    empty tail the window degenerates to a single pass over unique
+    ids."""
     cur = read_committed_epochs(spark, index_dir, index_dir + "/_commits")
     if cur is None:
         return None
-    return latest_wins(cur, id_col)
+    return latest_wins(cur, id_col).filter(F.col(vec_col).isNotNull())
 
 
 def compact_vector_index(
-    spark, index_dir: str, id_col: str = "vec_id", gc: bool = False
+    spark,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    gc: bool = False,
 ) -> int | None:
     """Latest-wins consolidation of the vector sink's upsert epochs:
     one row per id — the highest-epoch row — becomes the compacted
-    generation. NOT an additive fold, but watermark-safe all the same
-    (the compact_index_epochs ``fold`` contract): folded rows keep
-    their ``_epoch``, so read_vector_index's window over compacted
-    generation + tail picks exactly the row it would have picked over
-    raw epochs — a row the fold discarded was already superseded at
-    or below the watermark and could never win against the tail. The
-    output is re-sorted by cell so the probe's row-group skipping
-    survives compaction."""
+    generation, and ids whose winning row is a tombstone are dropped
+    entirely: this is where a delete becomes PHYSICAL removal (every
+    folded epoch is ≤ the watermark, so no surviving row below can
+    resurrect the id; a re-insert after the delete lands at a higher
+    epoch and stays visible through the tail — with gc=True the
+    deleted vector's bytes are actually reclaimed, the
+    right-to-be-forgotten endpoint). NOT an additive fold, but
+    watermark-safe all the same (the compact_index_epochs ``fold``
+    contract): folded rows keep their ``_epoch``, so
+    read_vector_index's window over compacted generation + tail picks
+    exactly the row it would have picked over raw epochs — a row the
+    fold discarded was already superseded (or deleted) at or below
+    the watermark and could never win against the tail. The output is
+    re-sorted by cell so the probe's row-group skipping survives
+    compaction."""
     w = Window.partitionBy(id_col).orderBy(F.desc("_epoch"))
     return compact_index_epochs(
         spark,
@@ -715,6 +752,7 @@ def compact_vector_index(
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .filter(F.col(vec_col).isNotNull())
             .sortWithinPartitions("cell")
         ),
     )

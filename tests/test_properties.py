@@ -885,3 +885,51 @@ def test_quality_classifier_matches_python_replica(spark, docs):
         want = micro(dr6(1.0 / (1.0 + math.exp(-z)))) / 1_000_000.0
         assert abs(got[i].clf_score - want) <= 1.5e-6, (i, got[i].clf_score, want)
         assert got[i].keep == (ys[i] == 1.0)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 6),  # id
+            st.integers(0, 8),  # epoch
+            st.one_of(st.none(), st.integers(0, 50)),  # None = tombstone
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_vector_index_latest_wins_matches_reference(spark, rows):
+    """latest_wins + tombstone filter (the vector index read rule) ==
+    a Python dict replay applying epochs in order: per id the
+    highest-epoch action wins, a winning tombstone deletes the id. Ids
+    with conflicting SAME-epoch actions are skipped — the sink's
+    within-batch dedup guarantees (id, epoch) uniqueness upstream, so
+    the read rule is only defined on unique pairs."""
+    from graphragdatapipeline_spark.streaming.ops import latest_wins
+
+    seen: dict[tuple[int, int], set] = {}
+    for i, e, v in rows:
+        seen.setdefault((i, e), set()).add(v)
+    unique = {k for k, vs in seen.items() if len(vs) == 1}
+    rows = [r for r in rows if (r[0], r[1]) in unique]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, [float(v), 0.0] if v is not None else None, e) for i, e, v in rows],
+        "vec_id long, embedding array<double>, _epoch long",
+    )
+    got = {
+        (r.vec_id, round(float(r.embedding[0]), 5))
+        for r in latest_wins(df, "vec_id")
+        .filter(F.col("embedding").isNotNull())
+        .collect()
+    }
+    best: dict[int, tuple[int, int | None]] = {}
+    for i, e, v in rows:
+        if i not in best or e > best[i][0]:
+            best[i] = (e, v)
+    expect = {
+        (i, round(float(v), 5)) for i, (_e, v) in best.items() if v is not None
+    }
+    assert got == expect

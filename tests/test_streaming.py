@@ -1497,3 +1497,69 @@ def test_vector_index_probe_cross_cell_upsert_not_resurrected(spark, tmp_path):
     # and the latest-wins VIEW agrees: id 1 resolved to the new cell
     view = {(r.vec_id, r.cell) for r in so.read_vector_index(spark, idx).collect()}
     assert view == {(1, 1), (2, 1), (3, 0)}
+
+
+def test_vector_index_delete_tombstones(spark, tmp_path, vec_centroids):
+    """Deletes are NULL-vector tombstones: the deleted id disappears
+    from the latest-wins view and the probe, compaction PHYSICALLY
+    removes it from the compacted generation (the
+    right-to-be-forgotten endpoint), and a later re-insert brings the
+    id back through the tail."""
+    import time
+
+    ddl = "vec_id bigint, embedding array<float>"
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    s0 = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [0.2, 0.1]), (3, [9.0, 9.0])], ddl
+    )
+    s1 = spark.createDataFrame(
+        [(2, None), (3, [8.5, 8.5]), (4, [0.3, 0.3])], ddl
+    )
+    for i, sl in enumerate([s0, s1]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(stream, cents, index_dir, ckpt).awaitTermination(120)
+
+    view = so.read_vector_index(spark, index_dir)
+    assert {r.vec_id for r in view.collect()} == {1, 3, 4}
+    # id 3 resolved to its UPSERTED vector
+    got3 = [r for r in view.collect() if r.vec_id == 3][0]
+    assert [round(float(x), 5) for x in got3.embedding] == [8.5, 8.5]
+    # the probe never returns the deleted id, from either cell
+    for q, np_ in ([0.2, 0.1], 1), ([0.2, 0.1], 2):
+        probed = so.vector_index_probe(spark, index_dir, cents, q, k=8, nprobe=np_)
+        assert 2 not in {r.vec_id for r in probed.collect()}
+
+    # compaction physically removes the tombstoned id
+    upto = so.compact_vector_index(spark, index_dir, gc=True)
+    gen = spark.read.parquet(f"{index_dir}/_compacted/upto={upto}")
+    assert {r.vec_id for r in gen.collect()} == {1, 3, 4}  # no id-2 row at all
+    assert {r.vec_id for r in so.read_vector_index(spark, index_dir).collect()} == {
+        1,
+        3,
+        4,
+    }
+
+    # re-insert after delete: visible again through the tail
+    time.sleep(1.1)
+    spark.createDataFrame([(2, [0.25, 0.15])], ddl).coalesce(1).write.parquet(
+        os.path.join(in_dir, "slice=2")
+    )
+    stream2 = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(stream2, cents, index_dir, ckpt).awaitTermination(120)
+    after = {r.vec_id for r in so.read_vector_index(spark, index_dir).collect()}
+    assert after == {1, 2, 3, 4}
