@@ -788,7 +788,13 @@ def vector_index_probe(
     and the cell-pruned payload scan joins it on (id, epoch). A
     superseded row sitting in a probed cell whose NEWER version moved
     to another cell carries a stale epoch and is dropped by the join,
-    so cross-cell upserts cannot resurrect (pinned in pytest)."""
+    so cross-cell upserts cannot resurrect (pinned in pytest). The
+    winner table is left ADAPTIVE on purpose — it is the slim
+    two-int-column aggregate class from the broadcast audits (honest
+    post-shuffle runtime sizes, no string-compression illusion): AQE
+    broadcasts it while it fits and flips to sort-merge when the id
+    cardinality outgrows the executors, unlike the string-heavy
+    corpus tables that needed merge pins."""
     from graphragdatapipeline_spark.vector.similarity import cosine_topk
 
     ranked = sorted(

@@ -56,13 +56,17 @@ def main() -> None:
 
     emb = read_table(spark, src, "embeddings").select("vec_id", "embedding")
     n0 = emb.count()
-    reps = []
-    for i in range(factor):
-        reps.append(
-            emb.select(
-                (F.col("vec_id") + i * n0).alias("vec_id"), "embedding"
-            )
-        )
+
+    # explode-based replication: one plan node regardless of factor (a
+    # union of `factor` branches stops planning long before 1000×)
+    def replicas(lo: int, hi: int):
+        return emb.select(
+            F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias("_r"),
+            "vec_id",
+            "embedding",
+        ).select((F.col("vec_id") + F.col("_r") * n0).alias("vec_id"), "embedding")
+
+    whole = replicas(0, factor - 1)
     # upsert traffic: the final slice redelivers replica 0's ids with a
     # shifted vector — latest-wins must rewrite them at read
     upserts = emb.select(
@@ -71,10 +75,7 @@ def main() -> None:
             "embedding"
         ),
     )
-    whole = reps[0]
-    for r in reps[1:]:
-        whole = whole.unionByName(r)
-    total = whole.count() + n0
+    total = factor * n0 + n0
 
     cents_t0 = time.time()
     _, cents = kmeans_cells(whole, k=16, iters=3, assign_path="arrow")
@@ -86,13 +87,11 @@ def main() -> None:
     # evenly tile the replicas over SLICES-1 slices, upserts last
     staged = []
     for s in range(SLICES - 1):
-        chunk = reps[s * per : (s + 1) * per]
-        if s == SLICES - 2:
-            chunk = reps[s * per :]
-        d = chunk[0]
-        for c in chunk[1:]:
-            d = d.unionByName(c)
-        staged.append(d)
+        lo = s * per
+        hi = factor - 1 if s == SLICES - 2 else (s + 1) * per - 1
+        if lo > hi:
+            continue
+        staged.append(replicas(lo, hi))
     staged.append(upserts)
     for i, sl in enumerate(staged):
         sl.coalesce(4).write.parquet(os.path.join(in_dir, f"slice={i}"))
