@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
         help="vector only: the upsert id column (latest-wins key)",
     )
     ci.add_argument(
+        "--vec-col",
+        default="embedding",
+        help="vector only: the vector column (NULL marks a tombstone)",
+    )
+    ci.add_argument(
         "--gc",
         action="store_true",
         help="delete superseded epoch dirs + the previous generation "
@@ -141,7 +146,11 @@ def main(argv: list[str] | None = None) -> int:
             upto = so.compact_cooccurrence_index(spark, args.index_dir, gc=args.gc)
         elif args.kind == "vector":
             upto = so.compact_vector_index(
-                spark, args.index_dir, id_col=args.id_col, gc=args.gc
+                spark,
+                args.index_dir,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                gc=args.gc,
             )
         else:
             if not args.corpus_dir:

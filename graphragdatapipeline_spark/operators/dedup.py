@@ -326,9 +326,13 @@ def jaccard_pairs(
     if reuse_shingles:
         shingles = shingles.localCheckpoint(eager=False)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    joined = (
-        shingles if max_posting is None else cap_postings(shingles, max_posting)
-    )
+    if max_posting is None:
+        joined = shingles
+    else:
+        # capped postings feed BOTH self-join sides: without its own
+        # checkpoint the posting-count groupBy + merge semi-join over
+        # the corpus-sized shingle table would execute twice
+        joined = cap_postings(shingles, max_posting).localCheckpoint(eager=False)
     if candidates is not None:
         pa = joined.select(F.col(id_col).alias("a"), "shingle")
         pb = joined.select(F.col(id_col).alias("b"), "shingle")

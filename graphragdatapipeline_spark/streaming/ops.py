@@ -256,6 +256,7 @@ def compact_index_epochs(
     epochs: list[int] | None = None,
     allow_missing: bool = False,
     fold=None,
+    cluster_by: list[str] | None = None,
 ) -> int | None:
     """Epoch compaction for the additive index sinks — the LSM-style
     maintenance job the round-10 verdict called for: committed epoch
@@ -312,7 +313,18 @@ def compact_index_epochs(
     equal the read over raw epochs (latest-wins qualifies because
     folded rows keep their `_epoch` — a row the fold discarded was
     superseded inside the prefix and could never win against the
-    tail)."""
+    tail).
+
+    ``cluster_by`` range-clusters the compacted generation on the
+    given columns (repartitionByRange + in-partition sort — the
+    io.compact_parquet contract: disjoint per-file key ranges)
+    instead of coalescing whatever partitioning the fold produced.
+    Plain coalesce concatenates parent partitions — for the vector
+    index those are id-hash window partitions, so one output file
+    would interleave many short cell-sorted runs, the parquet
+    row-group min/max would widen to near-full range, and the probe's
+    row-group skipping would stop working on exactly the generation
+    where most reads land."""
     import math
 
     if epochs is None:
@@ -364,11 +376,16 @@ def compact_index_epochs(
         )
     else:
         out = cur
-    # coalesce never splits: merges the agg/epoch partitions without a
-    # second shuffle; an input already at/below target passes through
-    out.coalesce(n_files).write.mode("overwrite").parquet(
-        f"{data_dir}/_compacted/upto={upto}"
-    )
+    if cluster_by:
+        out = out.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        # coalesce never splits: merges the agg/epoch partitions
+        # without a second shuffle; an input already at/below target
+        # passes through
+        out = out.coalesce(n_files)
+    out.write.mode("overwrite").parquet(f"{data_dir}/_compacted/upto={upto}")
     _mark_committed(spark, f"{data_dir}/_compactions", upto)
     if gc:
         _gc_superseded(fs, jvm, data_dir, epochs, upto)
@@ -680,7 +697,9 @@ def vector_index_sink(
         )
         _mark_committed(spark, commits_dir, epoch_id)
         if _auto_compact_due(spark, index_dir, commits_dir, auto_compact_every):
-            compact_vector_index(spark, index_dir, id_col=id_col)
+            compact_vector_index(
+                spark, index_dir, id_col=id_col, vec_col=vec_col
+            )
 
     return write_foreach_batch(stream_df, batch_fn, checkpoint_dir)
 
@@ -739,22 +758,23 @@ def compact_vector_index(
     read_vector_index's window over compacted generation + tail picks
     exactly the row it would have picked over raw epochs — a row the
     fold discarded was already superseded (or deleted) at or below
-    the watermark and could never win against the tail. The output is
-    re-sorted by cell so the probe's row-group skipping survives
-    compaction."""
-    w = Window.partitionBy(id_col).orderBy(F.desc("_epoch"))
+    the watermark and could never win against the tail. Winner
+    resolution goes through the SAME latest_wins expression as the
+    read path (one production rule, not two copies that can drift),
+    and the generation is range-clustered by cell (cluster_by —
+    disjoint per-file cell ranges) so the probe's row-group skipping
+    survives compaction: the fold's own output partitioning is
+    id-hash from the window, which a plain coalesce would interleave
+    into wide-range files."""
     return compact_index_epochs(
         spark,
         index_dir,
         index_dir + "/_commits",
         gc=gc,
-        fold=lambda df: (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .filter(F.col(vec_col).isNotNull())
-            .sortWithinPartitions("cell")
+        fold=lambda df: latest_wins(df, id_col).filter(
+            F.col(vec_col).isNotNull()
         ),
+        cluster_by=["cell"],
     )
 
 

@@ -88,8 +88,8 @@ def main() -> None:
     staged = []
     for s in range(SLICES - 1):
         lo = s * per
-        hi = factor - 1 if s == SLICES - 2 else (s + 1) * per - 1
-        if lo > hi:
+        hi = factor - 1 if s == SLICES - 2 else min((s + 1) * per, factor) - 1
+        if lo >= factor or lo > hi:
             continue
         staged.append(replicas(lo, hi))
     staged.append(upserts)

@@ -1563,3 +1563,61 @@ def test_vector_index_delete_tombstones(spark, tmp_path, vec_centroids):
     so.vector_index_sink(stream2, cents, index_dir, ckpt).awaitTermination(120)
     after = {r.vec_id for r in so.read_vector_index(spark, index_dir).collect()}
     assert after == {1, 2, 3, 4}
+
+
+def test_vector_index_custom_columns_auto_compact(spark, tmp_path):
+    """Regression: the inline auto-compaction used to call
+    compact_vector_index without forwarding vec_col, so a sink
+    configured with non-default column names crashed (or mis-filtered
+    tombstones) at the cadence — and the compacted generation must
+    keep DISJOINT per-file cell ranges (cluster_by), not coalesced
+    id-hash runs, so probe row-group skipping survives compaction."""
+    import time
+
+    ddl = "doc bigint, vec array<float>"
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    s0 = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(1, 101)], ddl
+    )
+    s1 = spark.createDataFrame(
+        [(1, None), (2, [9.0, 9.0]), (101, [0.5, 0.5])], ddl
+    )
+    for i, sl in enumerate([s0, s1]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    q = so.vector_index_sink(
+        stream,
+        cents,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        id_col="doc",
+        vec_col="vec",
+        auto_compact_every=1,  # fires INSIDE the stream — the old bug site
+    )
+    q.awaitTermination(120)
+
+    upto = so.compacted_upto(spark, index_dir)
+    assert upto is not None  # the cadence actually compacted
+    view = so.read_vector_index(spark, index_dir, id_col="doc", vec_col="vec")
+    ids = {r.doc for r in view.collect()}
+    assert 1 not in ids and {2, 101}.issubset(ids) and len(ids) == 100
+
+    # disjoint per-file cell ranges in the compacted generation
+    gen = spark.read.parquet(f"{index_dir}/_compacted/upto={upto}")
+    ranges = (
+        gen.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("cell").alias("lo"), F.max("cell").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping per-file cell ranges: {spans}"
