@@ -200,18 +200,19 @@ def compacted_upto(spark, data_dir: str) -> int | None:
     return max(ms) if ms else None
 
 
-def read_committed_epochs(
+def _committed_parts(
     spark, data_dir: str, commits_dir: str, allow_missing: bool = False
-):
-    """Union of the data directory's COMMITTED epoch partitions (None
-    when no epoch has committed yet). Readers that go through this
-    helper never observe a half-written batch: an epoch directory
-    becomes visible only after its commit marker lands.
-
-    Compaction-aware: if a compaction watermark M exists (see
-    compact_index_epochs), the view is `_compacted/upto=M` plus only
-    the committed epochs AFTER M — so read cost is bounded by the
-    compaction cadence instead of growing with the sink's lifetime.
+) -> tuple[DataFrame | None, DataFrame | None, int | None]:
+    """The two physical halves of a sink's consistent view, separately:
+    (compacted generation or None, committed post-watermark tail or
+    None, watermark or None). Factored out of read_committed_epochs in
+    r13 because the vector probe's tail-bounded winner resolution
+    needs the halves individually (the compacted generation has unique
+    ids by construction; the tail does not), and because a compacted
+    generation written with partitionBy() carries hive partition
+    columns the raw epoch dirs store as data columns — one combined
+    spark.read.parquet over both layouts would mis-discover the
+    partition schema, so each half gets its own scan.
 
     A committed epoch ABOVE the watermark whose directory is absent is
     LOST DATA for a primary index (GC only ever deletes epochs ≤ the
@@ -238,11 +239,50 @@ def read_committed_epochs(
                 f"data directory at {p} — lost data for a primary index "
                 f"(pass allow_missing=True only for mid-life sidecar dirs)"
             )
-    if upto is not None:
-        dirs.append(f"{data_dir}/_compacted/upto={upto}")
-    if not dirs:
+    comp = _read_generation(spark, fs, jvm, data_dir, upto)
+    tail = spark.read.parquet(*dirs) if dirs else None
+    return comp, tail, upto
+
+
+def _read_generation(spark, fs, jvm, data_dir: str, upto: int | None):
+    """The compacted generation at watermark ``upto`` as a DataFrame,
+    or None (never compacted, or the generation is EMPTY — a
+    latest-wins fold of an all-tombstoned index writes no data files,
+    and with partitionBy there is nothing to infer a schema from, so
+    empty reads as 'no rows', not as an error)."""
+    if upto is None:
         return None
-    return spark.read.parquet(*dirs)
+    cd = f"{data_dir}/_compacted/upto={upto}"
+    has_data = any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cd))
+    )
+    return spark.read.parquet(cd) if has_data else None
+
+
+def read_committed_epochs(
+    spark, data_dir: str, commits_dir: str, allow_missing: bool = False
+):
+    """Union of the data directory's COMMITTED epoch partitions (None
+    when no epoch has committed yet). Readers that go through this
+    helper never observe a half-written batch: an epoch directory
+    becomes visible only after its commit marker lands.
+
+    Compaction-aware: if a compaction watermark M exists (see
+    compact_index_epochs), the view is `_compacted/upto=M` plus only
+    the committed epochs AFTER M — so read cost is bounded by the
+    compaction cadence instead of growing with the sink's lifetime.
+    Missing-dir strictness is documented on _committed_parts."""
+    comp, tail, _ = _committed_parts(
+        spark, data_dir, commits_dir, allow_missing=allow_missing
+    )
+    if tail is None:
+        return comp
+    if comp is None:
+        return tail
+    # unionByName: a partitionBy-written generation surfaces its
+    # partition columns LAST while epoch dirs store them in data order
+    return tail.unionByName(comp)
 
 
 def compact_index_epochs(
@@ -257,6 +297,8 @@ def compact_index_epochs(
     allow_missing: bool = False,
     fold=None,
     cluster_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    gc_markers: bool = False,
 ) -> int | None:
     """Epoch compaction for the additive index sinks — the LSM-style
     maintenance job the round-10 verdict called for: committed epoch
@@ -324,7 +366,38 @@ def compact_index_epochs(
     would interleave many short cell-sorted runs, the parquet
     row-group min/max would widen to near-full range, and the probe's
     row-group skipping would stop working on exactly the generation
-    where most reads land."""
+    where most reads land.
+
+    ``partition_by`` (r13) hive-partitions the generation on the given
+    columns (`<dir>/upto=M/cell=K/…`) — the cluster-scale layout the
+    vector sink's docstring promised: a probe's cell filter becomes
+    DIRECTORY pruning (the scan never lists non-matching cells'
+    files), strictly stronger than row-group skipping. Rows are
+    range-repartitioned on the same columns first so each partition
+    directory is written by the few tasks owning its key range rather
+    than every task appending a sliver to every directory.
+
+    File sizing: the coalesce path sizes from raw input bytes (an
+    additive identity rewrite keeps its volume). The cluster_by /
+    partition_by paths are used with ``fold``, whose output can be far
+    smaller than its input (a heavily-upserted/deleted index folds
+    away superseded rows — r12 bench: 90.6 MB in → 28 MB out), so they
+    size from POST-fold bytes instead: the range shuffle runs without
+    an explicit partition count and AQE coalesces it to
+    ``target_bytes_per_file`` from the actual shuffle sizes (r13
+    advice — pre-fold sizing produced many undersized files).
+
+    ``gc_markers`` additionally deletes the commit markers of epochs
+    ≤ the watermark during gc, bounding the marker listing every
+    read/probe/compaction performs (r13 advice). ONLY safe when this
+    data dir's commits_dir is not shared with a table that still needs
+    those markers: multi-table orchestrators (substring's `_ids`
+    sidecar, co-occurrence's three tables) must gc markers themselves
+    AFTER every table has compacted to the watermark — a crash between
+    one table's marker gc and a sibling's compaction would silently
+    hide the sibling's committed tail; and the near-dup band index
+    must never gc markers at all (they are the corpus's, and the
+    corpus is never compacted)."""
     import math
 
     if epochs is None:
@@ -340,7 +413,14 @@ def compact_index_epochs(
         # the explicit `compact-index --gc` maintenance run is exactly
         # the operation that is supposed to reclaim it).
         if gc and prior is not None:
-            _gc_superseded(fs, jvm, data_dir, epochs, prior)
+            _gc_superseded(
+                fs,
+                jvm,
+                data_dir,
+                epochs,
+                prior,
+                commits_dir=commits_dir if gc_markers else None,
+            )
         return prior
     upto = max(todo)
     dirs = []
@@ -354,11 +434,19 @@ def compact_index_epochs(
                 f"refusing to compact past lost data "
                 f"(allow_missing=True is for mid-life sidecar dirs only)"
             )
-    if prior is not None:
-        dirs.append(f"{data_dir}/_compacted/upto={prior}")
-    if not dirs:
+    # Prior generation read SEPARATELY from the epoch dirs: a
+    # partitionBy-written generation stores its partition columns as
+    # directories, and one combined read over both layouts would
+    # mis-discover the partition schema (same split as
+    # _committed_parts).
+    cur = spark.read.parquet(*dirs) if dirs else None
+    prior_gen = _read_generation(spark, fs, jvm, data_dir, prior)
+    if cur is None:
+        cur = prior_gen
+    elif prior_gen is not None:
+        cur = cur.unionByName(prior_gen)
+    if cur is None:
         return prior
-    cur = spark.read.parquet(*dirs)
 
     def _len(p: str) -> int:
         hp = jvm.org.apache.hadoop.fs.Path(p)
@@ -376,23 +464,51 @@ def compact_index_epochs(
         )
     else:
         out = cur
-    if cluster_by:
-        out = out.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
+    target = f"{data_dir}/_compacted/upto={upto}"
+    if cluster_by or partition_by:
+        # POST-fold file sizing (see docstring): no explicit partition
+        # count on the range shuffle, AQE coalesces its partitions to
+        # the file-size target from the actual post-fold bytes. Scoped
+        # conf flip: the advisory size is session-global, restore it
+        # after the (eager) write.
+        cols = list(partition_by or cluster_by)
+        key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, str(target_bytes_per_file))
+        try:
+            shaped = out.repartitionByRange(*cols)
+            if cluster_by:
+                shaped = shaped.sortWithinPartitions(*cluster_by)
+            writer = shaped.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(target)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     else:
         # coalesce never splits: merges the agg/epoch partitions
         # without a second shuffle; an input already at/below target
         # passes through
-        out = out.coalesce(n_files)
-    out.write.mode("overwrite").parquet(f"{data_dir}/_compacted/upto={upto}")
+        out.coalesce(n_files).write.mode("overwrite").parquet(target)
     _mark_committed(spark, f"{data_dir}/_compactions", upto)
     if gc:
-        _gc_superseded(fs, jvm, data_dir, epochs, upto)
+        _gc_superseded(
+            fs,
+            jvm,
+            data_dir,
+            epochs,
+            upto,
+            commits_dir=commits_dir if gc_markers else None,
+        )
     return upto
 
 
-def _gc_superseded(fs, jvm, data_dir: str, epochs, watermark: int) -> None:
+def _gc_superseded(
+    fs, jvm, data_dir: str, epochs, watermark: int, commits_dir: str | None = None
+) -> None:
     """Reclaim everything the generation at ``watermark`` supersedes:
     committed epoch dirs ≤ the watermark (including epochs an earlier
     gc=False compaction folded in but left behind) AND every
@@ -400,7 +516,9 @@ def _gc_superseded(fs, jvm, data_dir: str, epochs, watermark: int) -> None:
     runs gc=False each time, so a cadence-maintained index accumulates
     one generation per fire until the explicit quiesced gc run sweeps
     them. Run only quiesced (the compact_parquet maintenance-window
-    contract)."""
+    contract). ``commits_dir``, when given, additionally gc's the
+    commit markers ≤ the watermark (see compact_index_epochs
+    ``gc_markers`` for when that is safe)."""
     for e in epochs:
         if e > watermark:
             continue
@@ -417,6 +535,24 @@ def _gc_superseded(fs, jvm, data_dir: str, epochs, watermark: int) -> None:
                     True,
                 )
                 fs.delete(st.getPath(), False)
+    if commits_dir is not None:
+        _gc_commit_markers(fs, jvm, commits_dir, watermark)
+
+
+def _gc_commit_markers(fs, jvm, commits_dir: str, watermark: int) -> None:
+    """Delete commit markers for epochs ≤ the compaction watermark —
+    every read/probe/compaction lists this directory and already skips
+    epochs ≤ the watermark, so without marker gc the listing grows
+    unboundedly over the sink's lifetime (r13 advice). Callers must
+    ensure EVERY table sharing this commits dir has compacted to (at
+    least) the watermark first."""
+    p = jvm.org.apache.hadoop.fs.Path(commits_dir)
+    if not fs.exists(p):
+        return
+    for st in fs.listStatus(p):
+        nm = st.getPath().getName()
+        if nm.isdigit() and int(nm) <= watermark:
+            fs.delete(st.getPath(), False)
 
 
 def _auto_compact_due(spark, watermark_dir: str, commits_dir: str, every) -> bool:
@@ -463,6 +599,12 @@ def compact_substring_index(spark, index_dir: str, gc: bool = False) -> int | No
             epochs=pinned,
             allow_missing=True,
         )
+    # Marker gc LAST, once primary AND sidecar sit at the watermark —
+    # never inline in the per-table calls: a crash between one table's
+    # marker gc and the other's compaction would hide committed tail
+    # epochs from the survivor (see compact_index_epochs gc_markers).
+    if gc and upto is not None:
+        _gc_commit_markers(fs, jvm, commits, upto)
     return upto
 
 
@@ -495,6 +637,11 @@ def compact_cooccurrence_index(
     compact_index_epochs(
         spark, f"{index_dir}/ndocs", commits, [], ["n"], gc=gc, epochs=pinned
     )
+    # Marker gc only after ALL THREE tables compacted to the shared
+    # watermark (see compact_substring_index for the crash rationale).
+    if gc and upto is not None:
+        fs, jvm, _ = _hadoop_fs(spark, commits)
+        _gc_commit_markers(fs, jvm, commits, upto)
     return upto
 
 
@@ -504,7 +651,11 @@ def compact_neardup_band_index(
     """Consolidate the incremental_neardup_sink's band-index epochs
     (set-valued, one row per kept doc band — identity rewrite, no
     aggregation): bounds the file count the per-batch anti-join against
-    the accumulated index has to list."""
+    the accumulated index has to list. NEVER gc's commit markers: the
+    markers belong to the CORPUS (the sink commits corpus + band epochs
+    under one marker) and the corpus is never compacted — deleting
+    markers ≤ the band watermark would hide committed corpus epochs
+    from every read."""
     return compact_index_epochs(
         spark, band_index_dir, corpus_dir + "/_commits", gc=gc
     )
@@ -761,11 +912,17 @@ def compact_vector_index(
     the watermark and could never win against the tail. Winner
     resolution goes through the SAME latest_wins expression as the
     read path (one production rule, not two copies that can drift),
-    and the generation is range-clustered by cell (cluster_by —
-    disjoint per-file cell ranges) so the probe's row-group skipping
-    survives compaction: the fold's own output partitioning is
-    id-hash from the window, which a plain coalesce would interleave
-    into wide-range files."""
+    and the generation is hive-partitioned by cell (partition_by —
+    r13, executing the cluster-scale layout the sink docstring
+    promised): a probe's cell filter is DIRECTORY pruning on the
+    generation where most reads land, the scan never even lists
+    non-matching cells' files. The fold's own output partitioning is
+    id-hash from the window; the range repartition inside
+    compact_index_epochs regroups it by cell before the partitioned
+    write. With gc=True the commit markers ≤ the watermark are also
+    reclaimed (gc_markers — this commits dir is exclusively the
+    vector index's, the one topology where inline marker gc is
+    safe)."""
     return compact_index_epochs(
         spark,
         index_dir,
@@ -774,7 +931,8 @@ def compact_vector_index(
         fold=lambda df: latest_wins(df, id_col).filter(
             F.col(vec_col).isNotNull()
         ),
-        cluster_by=["cell"],
+        partition_by=["cell"],
+        gc_markers=True,
     )
 
 
@@ -792,29 +950,46 @@ def vector_index_probe(
     cells are ranked DRIVER-SIDE over the k-row centroid metadata (no
     Spark job — same squared distance as the ingest assignment,
     ties to the lowest cell id), the scan filters to those cells
-    (row-group stats skip non-matching groups in the cell-sorted
-    files), then exact cosine top-k among the survivors. With
-    nprobe == len(centroids) this is exact brute force over the
-    latest-wins view — the recall-floor contract pinned in pytest.
+    (directory pruning on the cell-partitioned compacted generation,
+    row-group skipping in the cell-sorted tail epochs), then exact
+    cosine top-k among the survivors. With nprobe == len(centroids)
+    this is exact brute force over the latest-wins view — the
+    recall-floor contract pinned in pytest.
 
-    Upsert resolution here deliberately does NOT reuse the read-path
-    window: latest_wins sort-shuffles every payload row BEFORE any
-    cell filter could apply (the filter is not on the window's
-    partition key, so Catalyst cannot push it through), which at
-    100 TB means a probe pays a full-index shuffle to read one cell.
-    Instead the winner set (id → max epoch) is computed as a slim
-    two-int-column aggregation — column pruning keeps the vector
-    payload out of the scan, partial aggregation combines map-side —
-    and the cell-pruned payload scan joins it on (id, epoch). A
-    superseded row sitting in a probed cell whose NEWER version moved
-    to another cell carries a stale epoch and is dropped by the join,
-    so cross-cell upserts cannot resurrect (pinned in pytest). The
-    winner table is left ADAPTIVE on purpose — it is the slim
-    two-int-column aggregate class from the broadcast audits (honest
-    post-shuffle runtime sizes, no string-compression illusion): AQE
-    broadcasts it while it fits and flips to sort-merge when the id
-    cardinality outgrows the executors, unlike the string-heavy
-    corpus tables that needed merge pins."""
+    Upsert resolution is TAIL-BOUNDED (r13, closing the r12 `weak`):
+    after compaction at watermark M the compacted generation has
+    UNIQUE ids (the latest-wins fold), so winner resolution never
+    needs a full-index aggregation — only the post-watermark tail can
+    supersede a compacted row. Candidates are
+
+        (cell-pruned compacted rows  ANTI-JOIN  tail ids)
+      ∪ (tail winners, filtered to probed cells)
+
+    where tail winners are the slim (id → max epoch) aggregation JOINED
+    back on (id, epoch) — over the TAIL ONLY, whose size the compaction
+    cadence bounds. Per-query cost is ∝ |probed cells| + |tail| instead
+    of ∝ |index| (the old shape paid a full-index groupBy(id) per
+    query, which unique ids make irreducible — compaction never shrinks
+    it). Cross-cell upserts cannot resurrect: the anti-join removes the
+    compacted row of ANY id present in the tail, and the tail winner
+    only qualifies if its CURRENT cell is probed. Tombstones resolve
+    identically: a tombstone is its id's tail winner, its NULL cell
+    matches no probed cell, and the anti-join suppresses the compacted
+    row — both pinned in pytest, plus a probe≡brute-force equivalence
+    test across compaction states. On a never-compacted index the same
+    slim winner aggregation simply runs over all committed epochs (the
+    pre-r13 shape — correct, and the index a maintenance cadence has
+    not yet bounded). The winner/anti-join sides are left ADAPTIVE on
+    purpose — slim int columns with honest post-shuffle runtime sizes:
+    AQE broadcasts them while they fit (a cadence-bounded tail always
+    does) and flips to sort-merge beyond that.
+
+    Empty-index contract: raises FileNotFoundError when no epoch has
+    ever committed, DELIBERATELY unlike read_vector_index's None — a
+    merge/read of a not-yet-started sink is a valid degenerate state
+    the caller unions around, while probing an index that does not
+    exist is a caller error (a wrong path or a probe racing ahead of
+    its bootstrap) that silently returning an empty top-k would bury."""
     from graphragdatapipeline_spark.vector.similarity import cosine_topk
 
     ranked = sorted(
@@ -825,13 +1000,24 @@ def vector_index_probe(
         ),
     )
     cells = ranked[: max(1, nprobe)]
-    cur = read_committed_epochs(spark, index_dir, index_dir + "/_commits")
-    if cur is None:
-        raise FileNotFoundError(f"no committed epochs under {index_dir}")
-    winners = cur.groupBy(id_col).agg(F.max("_epoch").alias("_epoch"))
-    cand = cur.filter(F.col("cell").isin(cells)).join(
-        winners, [id_col, "_epoch"]
+    comp, tail, _upto = _committed_parts(
+        spark, index_dir, index_dir + "/_commits"
     )
+    if comp is None and tail is None:
+        raise FileNotFoundError(f"no committed epochs under {index_dir}")
+    in_cells = F.col("cell").isin(cells)
+    if tail is not None:
+        tail_winners = tail.groupBy(id_col).agg(F.max("_epoch").alias("_epoch"))
+        tail_latest = tail.join(tail_winners, [id_col, "_epoch"])
+    if comp is None:
+        cand = tail_latest.filter(in_cells)
+    elif tail is None:
+        cand = comp.filter(in_cells)
+    else:
+        kept = comp.filter(in_cells).join(
+            tail.select(id_col), id_col, "left_anti"
+        )
+        cand = kept.unionByName(tail_latest.filter(in_cells))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

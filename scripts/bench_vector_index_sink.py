@@ -8,10 +8,25 @@ LAST replica redelivers replica-0's ids with shifted vectors, so the
 drain includes real upsert traffic, not just appends), trains k=16
 centroids once (index metadata), then drains SLICES micro-batches
 through the sink with auto_compact_every=AUTO and reports wall,
-vectors/sec, on-disk bytes, and the latest-wins read wall before and
-after a final full compaction.
+vectors/sec, on-disk bytes, the latest-wins read wall before and after
+a final full compaction, probe walls (the r13 tail-bounded winner
+path), and probe recall@8 vs brute force.
+
+Batch boundaries are EXACT (r13, from the r12 advice): each slice is
+ONE file and the stream runs maxFilesPerTrigger=1, so a micro-batch is
+a slice by construction — the upsert slice can never share a batch
+with original rows of the same ids (within-batch resolution is by
+vector hash, not recency, so a straddling batch would silently
+benchmark different semantics). The surviving vectors of the upserted
+ids are asserted, not just the row count.
 
 Usage: python scripts/bench_vector_index_sink.py [SRC_SF_DIR] [FACTOR]
+           [--sample-train FRACTION]
+
+--sample-train additionally trains a SECOND centroid set on a
+FRACTION sample of the corpus (the production shape: a 100 TB index
+never k-means the full corpus) and reports train wall + probe
+recall@8 for sampled vs full training at the same k.
 """
 
 from __future__ import annotations
@@ -29,10 +44,11 @@ from pyspark.sql import functions as F
 from graphragdatapipeline_spark.io import read_table
 from graphragdatapipeline_spark.session import get_session
 from graphragdatapipeline_spark.streaming import ops as so
-from graphragdatapipeline_spark.vector.similarity import kmeans_cells
+from graphragdatapipeline_spark.vector.similarity import cosine_topk, kmeans_cells
 
 SLICES = 8
 AUTO = 4
+N_QUERIES = 5
 
 
 def _dir_bytes(d: str) -> int:
@@ -44,8 +60,12 @@ def _dir_bytes(d: str) -> int:
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = args[0] if args else "/root/testdata/sf0.1"
+    factor = int(args[1]) if len(args) > 1 else 10
+    sample_frac = None
+    if "--sample-train" in sys.argv:
+        sample_frac = float(sys.argv[sys.argv.index("--sample-train") + 1])
     base = "/tmp/vecsink_bench"
     shutil.rmtree(base, ignore_errors=True)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -93,13 +113,15 @@ def main() -> None:
             continue
         staged.append(replicas(lo, hi))
     staged.append(upserts)
+    # ONE file per slice + maxFilesPerTrigger=1 below: micro-batch ==
+    # slice by construction (exact boundaries — see module docstring)
     for i, sl in enumerate(staged):
-        sl.coalesce(4).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
         time.sleep(1.05)
 
     stream = (
         spark.readStream.schema("vec_id bigint, embedding array<float>")
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", 1)
         .parquet(in_dir + "/slice=*")
     )
     index_dir = os.path.join(base, "index")
@@ -127,7 +149,19 @@ def main() -> None:
     r_post, n_post = read_wall()
     bytes_post = _dir_bytes(index_dir)
     assert n_pre == n_post == total - n0  # latest-wins: upserts replace
+    # the upserted ids must survive with the SHIFTED vector, not any
+    # original-replica row (exact-boundary semantics, r12 advice)
+    view = so.read_vector_index(spark, index_dir)
+    diff = (
+        view.join(upserts.withColumnRenamed("embedding", "_want"), "vec_id")
+        .filter(F.hash("embedding") != F.hash("_want"))
+        .count()
+    )
+    assert diff == 0, f"{diff} upserted ids did not resolve to the upsert vector"
 
+    n_gen_files = len(
+        glob.glob(os.path.join(index_dir, "_compacted", f"upto={upto}", "**", "*.parquet"), recursive=True)
+    )
     print(
         f"vectors={total} (incl {n0} upserts) slices={len(staged)} "
         f"train_k16={cents_wall:.1f}s drain={drain:.1f}s "
@@ -136,24 +170,94 @@ def main() -> None:
     print(
         f"read latest-wins: pre-final-compact {r_pre:.2f}s "
         f"({bytes_pre / 1e6:.1f} MB on disk) -> post gc-compact "
-        f"{r_post:.2f}s ({bytes_post / 1e6:.1f} MB), "
-        f"final compact {compact_wall:.1f}s upto={upto}, rows={n_post}"
+        f"{r_post:.2f}s ({bytes_post / 1e6:.1f} MB, {n_gen_files} files, "
+        f"partitionBy(cell)), final compact {compact_wall:.1f}s "
+        f"upto={upto}, rows={n_post}"
     )
 
-    qvec = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    qvecs = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(N_QUERIES).collect()
+    ]
 
     def probe_wall(nprobe: int) -> float:
         t = time.time()
-        so.vector_index_probe(
-            spark, index_dir, cents, qvec, k=8, nprobe=nprobe
-        ).collect()
-        return time.time() - t
+        for qv in qvecs:
+            so.vector_index_probe(
+                spark, index_dir, cents, qv, k=8, nprobe=nprobe
+            ).collect()
+        return (time.time() - t) / len(qvecs)
+
+    def probe_recall(cents_now, nprobe: int = 1) -> float:
+        hit = tot = 0
+        for qv in qvecs:
+            truth = {
+                r.vec_id for r in cosine_topk(view, qv, k=8).collect()
+            }
+            got = {
+                r.vec_id
+                for r in so.vector_index_probe(
+                    spark, index_dir, cents_now, qv, k=8, nprobe=nprobe
+                ).collect()
+            }
+            hit += len(truth & got)
+            tot += len(truth)
+        return hit / tot
 
     p1, pf = probe_wall(1), probe_wall(len(cents))
+    rec1 = probe_recall(cents, nprobe=1)
     print(
-        f"probe top-8 over the compacted index: nprobe=1 {p1:.2f}s, "
+        f"probe top-8 over the compacted index (avg of {len(qvecs)} queries, "
+        f"tail-bounded winners): nprobe=1 {p1:.2f}s (recall@8 {rec1:.3f}), "
         f"nprobe={len(cents)} (exact) {pf:.2f}s"
     )
+
+    if sample_frac is not None:
+        t = time.time()
+        _, s_cents = kmeans_cells(
+            whole.sample(fraction=sample_frac, seed=13),
+            k=16,
+            iters=3,
+            assign_path="arrow",
+        )
+        s_wall = time.time() - t
+        # recall with sample-trained cells probing the SAME index: the
+        # index cells were assigned with the full-train centroids, so
+        # this measures the end state of re-encoding at the sampled
+        # centroids — rebuild a small sampled-cells index instead
+        s_idx = os.path.join(base, "index_sampled")
+        sp_in = os.path.join(base, "input_s")
+        os.makedirs(sp_in)
+        view.select("vec_id", "embedding").coalesce(1).write.parquet(
+            os.path.join(sp_in, "slice=0")
+        )
+        s_stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sp_in + "/slice=*")
+        )
+        so.vector_index_sink(
+            s_stream, s_cents, s_idx, os.path.join(base, "ckpt_s")
+        ).awaitTermination(3600)
+        so.compact_vector_index(spark, s_idx, gc=True)
+        hit = tot = 0
+        t = time.time()
+        for qv in qvecs:
+            truth = {r.vec_id for r in cosine_topk(view, qv, k=8).collect()}
+            got = {
+                r.vec_id
+                for r in so.vector_index_probe(
+                    spark, s_idx, s_cents, qv, k=8, nprobe=1
+                ).collect()
+            }
+            hit += len(truth & got)
+            tot += len(truth)
+        s_probe = (time.time() - t) / len(qvecs)
+        print(
+            f"sample-train fraction={sample_frac}: train {s_wall:.1f}s "
+            f"(vs full {cents_wall:.1f}s), nprobe=1 recall@8 "
+            f"{hit / tot:.3f} (vs full-train {rec1:.3f}), probe {s_probe:.2f}s"
+        )
     spark.stop()
 
 

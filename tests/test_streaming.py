@@ -1621,3 +1621,289 @@ def test_vector_index_custom_columns_auto_compact(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in ranges)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping per-file cell ranges: {spans}"
+
+
+def test_vector_index_probe_tail_bounded_equals_resolved_view(
+    spark, tmp_path
+):
+    """r13 probe equivalence contract: in EVERY compaction state
+    (never compacted / fully compacted, empty tail / compacted with a
+    post-watermark tail carrying upserts, a tombstone, and a
+    cross-cell move), the tail-bounded probe must return exactly
+    cosine top-k over the cell-filtered latest-wins VIEW — the
+    semantic spec the old full-index winner aggregation implemented."""
+    import time
+
+    from graphragdatapipeline_spark.vector.similarity import cosine_topk
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    ddl = "vec_id bigint, embedding array<float>"
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    s0 = spark.createDataFrame(
+        [(i, [float(i % 4) + 0.1, float((i * 3) % 5) + 0.1]) for i in range(1, 41)]
+        + [(100, [9.0, 9.0]), (101, [9.5, 9.0])],
+        ddl,
+    )
+    # tail traffic: upsert id 5 in place, MOVE id 7 across cells,
+    # tombstone id 9, insert a fresh id
+    s1 = spark.createDataFrame(
+        [(5, [0.5, 0.5]), (7, [9.9, 9.9]), (9, None), (200, [1.0, 1.0])], ddl
+    )
+    for i, sl in enumerate([s0, s1]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(
+        stream, cents, index_dir, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+
+    def check(qvec, nprobe):
+        ranked = sorted(
+            range(len(cents)),
+            key=lambda i: (
+                sum((a - b) * (a - b) for a, b in zip(qvec, cents[i])),
+                i,
+            ),
+        )
+        cells = ranked[: max(1, nprobe)]
+        view = so.read_vector_index(spark, index_dir)
+        want = [
+            tuple(r)
+            for r in cosine_topk(
+                view.filter(F.col("cell").isin(cells)), qvec, k=10
+            ).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in so.vector_index_probe(
+                spark, index_dir, cents, qvec, k=10, nprobe=nprobe
+            ).collect()
+        ]
+        assert got == want, f"probe != resolved view at nprobe={nprobe}"
+
+    for qvec in ([0.3, 0.4], [9.2, 9.3]):
+        for nprobe in (1, 2):
+            # state 1: never compacted (winner agg over all epochs)
+            check(qvec, nprobe)
+    # state 2: compacted with an empty tail (pure directory-pruned scan)
+    so.compact_vector_index(spark, index_dir, gc=True)
+    for qvec in ([0.3, 0.4], [9.2, 9.3]):
+        for nprobe in (1, 2):
+            check(qvec, nprobe)
+    # state 3: compacted + post-watermark tail (anti-join ∪ tail winners)
+    import time as _t
+
+    _t.sleep(1.1)
+    s2 = spark.createDataFrame(
+        [(5, [9.7, 9.7]), (100, None), (300, [0.2, 0.2])], ddl
+    )
+    s2.coalesce(1).write.parquet(os.path.join(in_dir, "slice=2"))
+    stream2 = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(
+        stream2, cents, index_dir, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    assert so.compacted_upto(spark, index_dir) is not None  # tail > watermark
+    for qvec in ([0.3, 0.4], [9.2, 9.3]):
+        for nprobe in (1, 2):
+            check(qvec, nprobe)
+
+    # the probed plan actually DIRECTORY-prunes the compacted
+    # generation: its FileScan carries a cell PartitionFilter
+    plan = so.vector_index_probe(
+        spark, index_dir, cents, [0.3, 0.4], k=10, nprobe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_vector_index_gc_reclaims_commit_markers(spark, tmp_path):
+    """gc=True on the vector index (exclusive commits dir) must delete
+    the commit markers ≤ the watermark (bounded marker listings — r13
+    advice), leave the view intact, and keep accepting + reading
+    post-gc epochs through fresh markers."""
+    import time
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    ddl = "vec_id bigint, embedding array<float>"
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(
+        [[(1, [0.1, 0.1]), (2, [9.0, 9.0])], [(3, [0.2, 0.2])]]
+    ):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"slice={i}")
+        )
+        time.sleep(1.1)
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(stream, cents, index_dir, ckpt).awaitTermination(120)
+    assert len(so.committed_epochs(spark, index_dir + "/_commits")) == 2
+
+    before = {r.vec_id for r in so.read_vector_index(spark, index_dir).collect()}
+    upto = so.compact_vector_index(spark, index_dir, gc=True)
+    assert so.committed_epochs(spark, index_dir + "/_commits") == []  # swept
+    assert {
+        r.vec_id for r in so.read_vector_index(spark, index_dir).collect()
+    } == before
+
+    # post-gc epoch: lands at id > watermark, marker visible, read merges
+    time.sleep(1.1)
+    spark.createDataFrame([(4, [0.3, 0.3])], ddl).coalesce(1).write.parquet(
+        os.path.join(in_dir, "slice=2")
+    )
+    stream2 = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(stream2, cents, index_dir, ckpt).awaitTermination(120)
+    tail_marks = so.committed_epochs(spark, index_dir + "/_commits")
+    assert tail_marks and min(tail_marks) > upto
+    assert {
+        r.vec_id for r in so.read_vector_index(spark, index_dir).collect()
+    } == before | {4}
+
+
+def test_substring_index_gc_reclaims_shared_markers_last(
+    spark, sf_dir, tmp_path
+):
+    """The substring orchestrator gc's the SHARED commit markers only
+    after primary + sidecar both reached the watermark; the view and a
+    post-gc re-score are unaffected."""
+    import time
+
+    import graphragdatapipeline_spark.operators.dedup as dd
+    from graphragdatapipeline_spark.io import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    for i, sl in enumerate([d.limit(60), d.limit(120).subtract(d.limit(60))]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    index_dir = str(tmp_path / "ssidx")
+    so.substring_index_sink(
+        stream, index_dir, str(tmp_path / "ckpt"), guard_redelivery=True
+    ).awaitTermination(180)
+
+    before = {
+        tuple(r) for r in so.read_substring_index(spark, index_dir).collect()
+    }
+    upto = so.compact_substring_index(spark, index_dir, gc=True)
+    assert upto is not None
+    assert so.committed_epochs(spark, index_dir + "/_commits") == []
+    assert {
+        tuple(r) for r in so.read_substring_index(spark, index_dir).collect()
+    } == before
+
+
+def test_neardup_band_gc_keeps_corpus_markers(spark, sf_dir, tmp_path):
+    """The band index shares the CORPUS's commit markers and the corpus
+    is never compacted — band gc must NOT touch the markers, or every
+    corpus read would silently lose its committed epochs."""
+    import time
+
+    from graphragdatapipeline_spark.io import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    for i, sl in enumerate([d.limit(40), d.limit(80).subtract(d.limit(40))]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    band_dir = str(tmp_path / "bands")
+    so.incremental_neardup_sink(
+        stream, corpus_dir, band_dir, str(tmp_path / "ckpt")
+    ).awaitTermination(180)
+
+    marks = so.committed_epochs(spark, corpus_dir + "/_commits")
+    assert len(marks) == 2
+    corpus_before = so.read_committed_epochs(
+        spark, corpus_dir, corpus_dir + "/_commits"
+    ).count()
+    so.compact_neardup_band_index(spark, band_dir, corpus_dir, gc=True)
+    # markers intact — the corpus still reads every committed epoch
+    assert so.committed_epochs(spark, corpus_dir + "/_commits") == marks
+    assert (
+        so.read_committed_epochs(
+            spark, corpus_dir, corpus_dir + "/_commits"
+        ).count()
+        == corpus_before
+    )
+
+
+def test_vector_index_all_tombstoned_compacts_to_empty(spark, tmp_path):
+    """Deleting EVERY id then compacting yields an empty generation
+    (no data files to infer a schema from under partitionBy) — reads
+    must degrade to 'no rows', and a re-insert through the tail
+    resurrects the index."""
+    import time
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    ddl = "vec_id bigint, embedding array<float>"
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    slices = [
+        [(1, [0.1, 0.1]), (2, [9.0, 9.0])],
+        [(1, None), (2, None)],
+    ]
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"slice={i}")
+        )
+        time.sleep(1.1)
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(stream, cents, index_dir, ckpt).awaitTermination(120)
+    so.compact_vector_index(spark, index_dir, gc=True)
+
+    view = so.read_vector_index(spark, index_dir)
+    assert view is None or view.count() == 0
+
+    time.sleep(1.1)
+    spark.createDataFrame([(3, [0.3, 0.3])], ddl).coalesce(1).write.parquet(
+        os.path.join(in_dir, "slice=2")
+    )
+    stream2 = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(stream2, cents, index_dir, ckpt).awaitTermination(120)
+    assert {
+        r.vec_id for r in so.read_vector_index(spark, index_dir).collect()
+    } == {3}
+    got = so.vector_index_probe(spark, index_dir, cents, [0.3, 0.3], k=2)
+    assert [r.vec_id for r in got.collect()] == [3]
