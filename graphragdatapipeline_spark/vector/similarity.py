@@ -393,6 +393,24 @@ def nearest_centroid_col(cents: list[list[float]], vec_col: Column) -> Column:
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+def residual_col(
+    cents: list[list[float]], vec_col: Column, cell_col: Column | None = None
+) -> Column:
+    """IVF residual (Jégou et al. 2011, IVFADC): v − centroid[cell],
+    entirely map-side over broadcast centroid literals. ``cell_col``
+    supplies a precomputed assignment (encode-at-ingest); omitted, the
+    nearest centroid is computed inline with the same fold distance as
+    the ingest path. Residual subtraction is one IEEE op per component
+    on both engines — bit-compatible with the DuckDB list_zip replay."""
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    cell = (
+        cell_col if cell_col is not None else nearest_centroid_col(cents, vec_col)
+    )
+    cvec = F.element_at(carr, cell.cast("int") + 1)
+    ed = F.transform(vec_col, lambda x: x.cast("double"))
+    return F.zip_with(ed, cvec, lambda a, b: a - b)
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = 2,
@@ -400,6 +418,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebook training (Jégou et al. 2011, the
     memory-compression ANN scale path the reference's Chroma store
@@ -422,7 +441,24 @@ def pq_train(
     scale. Production default: k=256 (the standard 1-byte code),
     shortlist ≈ 16·k_results on the rerank path; k must also respect
     the ~39-training-points-per-centroid floor, which is what caps
-    the sf0.01 registered queries at k=16."""
+    the sf0.01 registered queries at k=16.
+
+    ``centroids`` (r13) switches to RESIDUAL training — the IVFADC
+    form (Jégou 2011 §IV): codebooks are trained on v − centroid[cell]
+    instead of raw vectors. Same codebook budget, finer effective
+    pitch exactly where it matters: on clustered corpora the raw
+    vectors span the whole space (the codebooks spend their k entries
+    re-describing the coarse structure IVF already captured) while the
+    residuals concentrate near the origin at the intra-cluster
+    distance scale — the r12 clustered-regime soft spot (recall@8
+    0.71 at m=2, k=256) is exactly what this recovers. Query with
+    ivfpq_residual_topk, which builds per-probed-cell distance tables
+    from the query's residual."""
+    if centroids is not None:
+        embeddings = embeddings.select(
+            F.col(id_col),
+            residual_col(centroids, F.col(vec_col)).alias(vec_col),
+        )
     row = embeddings.select(vec_col).first()
     dim = len(row[0])
     if dim % m:
@@ -538,6 +574,92 @@ def pq_rerank_topk(
     ).select(id_col)
     cand = embeddings.join(cand_ids, id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 8,
+    nprobe: int = 1,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    code_cols: list[str] | None = None,
+) -> DataFrame:
+    """The complete IVFADC read path (Jégou 2011 §IV, the FAISS
+    IVFPQ default): the query's ``nprobe`` nearest IVF cells are
+    ranked driver-side, and within each probed cell the asymmetric
+    distance uses the QUERY'S RESIDUAL against that cell's centroid —
+    per (cell, subspace) a k-entry table of exact squared distances
+    (nprobe·m·k doubles of metadata, left-fold arithmetic shared with
+    the oracle), per-row score = m table lookups selected by the row's
+    cell. ADC shortlist → exact cosine rerank on the original vectors,
+    like pq_rerank_topk. ``books`` must come from
+    pq_train(..., centroids=cents) — residual codebooks; ``cell_col``
+    / ``code_cols`` are the encode-at-ingest path (cell and residual
+    codes stored at write time — at scale the scan reads m+1 small
+    ints per row and prunes to the probed cells' partitions, never
+    touching vectors until the rerank)."""
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: (
+            sum((a - b) * (a - b) for a, b in zip(query_vec, cents[i])),
+            i,
+        ),
+    )
+    cells = ranked[: max(1, nprobe)]
+    cell = (
+        F.col(cell_col)
+        if cell_col is not None
+        else nearest_centroid_col(cents, F.col(vec_col))
+    )
+    cand = embeddings.withColumn("_cell", cell).filter(F.col("_cell").isin(cells))
+    subdim = len(books[0][0])
+    res = (
+        None
+        if code_cols is not None
+        else residual_col(cents, F.col(vec_col), F.col("_cell"))
+    )
+    score: Column | None = None
+    for mi, book in enumerate(books):
+        # per probed cell: the query residual's distance table for
+        # this subspace (same left fold as pq_adc_topk / the oracle)
+        table_by_cell: Column | None = None
+        for c in cells:
+            qres = [q - cc for q, cc in zip(query_vec, cents[c])]
+            qsub = qres[mi * subdim : (mi + 1) * subdim]
+            table = []
+            for cent in book:
+                acc = 0.0
+                for a, b in zip(qsub, cent):
+                    acc += (a - b) * (a - b)
+                table.append(acc)
+            arr = F.array(*[F.lit(float(x)) for x in table])
+            cond = F.col("_cell") == c
+            table_by_cell = (
+                F.when(cond, arr)
+                if table_by_cell is None
+                else table_by_cell.when(cond, arr)
+            )
+        code = (
+            F.col(code_cols[mi])
+            if code_cols is not None
+            else nearest_centroid_col(
+                book, F.slice(res, mi * subdim + 1, subdim)
+            )
+        )
+        term = F.element_at(table_by_cell, code + 1)
+        score = term if score is None else score + term
+    sl = (
+        cand.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    return cosine_topk(embeddings.join(sl, id_col), query_vec, k, id_col, vec_col)
 
 
 def sq8_encode(

@@ -470,3 +470,126 @@ def test_ivf_sq8_full_shortlist_matches_ivf_probe(spark, sf_dir):
         for r in REGISTRY["vector_ivf_probe_trained"].fn(spark, sf_dir).collect()
     ]
     assert reranked == probe
+
+
+def test_residual_col_subtracts_assigned_centroid(spark):
+    """residual_col must equal v − centroid[nearest cell], component
+    by component, both inline and with a stored cell column."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    cents = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0]]
+    rows = [(1, [0.5, -0.25, 0.0, 1.0]), (2, [9.0, 10.5, 11.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r.vec_id: (r.cell, r.res)
+        for r in df.select(
+            "vec_id",
+            vs.nearest_centroid_col(cents, F.col("embedding")).alias("cell"),
+            vs.residual_col(cents, F.col("embedding")).alias("res"),
+        ).collect()
+    }
+    assert got[1][0] == 0 and got[1][1] == [0.5, -0.25, 0.0, 1.0]
+    assert got[2][0] == 1 and got[2][1] == [-1.0, 0.5, 1.0, 0.0]
+    # stored-cell variant is identical
+    with_cell = df.withColumn(
+        "cell", vs.nearest_centroid_col(cents, F.col("embedding"))
+    )
+    got2 = {
+        r.vec_id: r.res
+        for r in with_cell.select(
+            "vec_id",
+            vs.residual_col(
+                cents, F.col("embedding"), F.col("cell")
+            ).alias("res"),
+        ).collect()
+    }
+    assert {v: r[1] for v, r in got.items()} == got2
+
+
+def test_ivfpq_residual_full_probe_recovers_exact_topk(spark):
+    """IVFADC recall floor: with nprobe = n_cells and a shortlist
+    covering the corpus, the residual-PQ read path returns exactly the
+    bruteforce cosine top-k (same contract as pq_rerank's)."""
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [1.0 + (i % 7) * 0.01] * 4 + [0.01 * (i % 3)] * 4))
+    for i in range(40, 80):
+        rows.append((i, [0.0] * 4 + [-1.0 - (i % 5) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    _, cents = vs.kmeans_cells(df, k=2, iters=3)
+    books = vs.pq_train(df, m=2, k=4, iters=2, centroids=cents)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    query = [1.0] * 4 + [0.0] * 4
+    exact = [r.vec_id for r in vs.cosine_topk(df, query, k=8).collect()]
+    got = [
+        r.vec_id
+        for r in vs.ivfpq_residual_topk(
+            df, cents, books, query, k=8, nprobe=2, shortlist=80
+        ).collect()
+    ]
+    assert got == exact
+    # residual training is run-deterministic like raw pq_train
+    assert books == vs.pq_train(df, m=2, k=4, iters=2, centroids=cents)
+
+
+def test_ivfpq_residual_stored_codes_match_inline(spark):
+    """Encode-at-ingest for IVFADC: stored (cell, residual codes) must
+    return exactly the inline-encode results — same expressions
+    materialized once (the scan-shape contract the raw-PQ twin pins in
+    test_pq_stored_codes_match_inline)."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    rows = []
+    for i in range(60):
+        rows.append((i, [1.0 + (i % 7) * 0.01] * 4 + [0.01 * (i % 3)] * 4))
+    for i in range(60, 120):
+        rows.append((i, [0.0] * 4 + [-1.0 - (i % 5) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    _, cents = vs.kmeans_cells(df, k=2, iters=3)
+    books = vs.pq_train(df, m=2, k=4, iters=2, centroids=cents)
+    with_cell = df.withColumn(
+        "cell", vs.nearest_centroid_col(cents, F.col("embedding"))
+    )
+    enc = with_cell.select(
+        "vec_id",
+        "embedding",
+        "cell",
+        *[
+            c.alias(f"rpq_{i}")
+            for i, c in enumerate(
+                vs.pq_encode_cols(
+                    books,
+                    vs.residual_col(cents, F.col("embedding"), F.col("cell")),
+                )
+            )
+        ],
+    )
+    query = [1.0] * 4 + [0.2] * 4
+    for nprobe in (1, 2):
+        inline = [
+            tuple(r)
+            for r in vs.ivfpq_residual_topk(
+                df, cents, books, query, k=6, nprobe=nprobe, shortlist=12
+            ).collect()
+        ]
+        stored = [
+            tuple(r)
+            for r in vs.ivfpq_residual_topk(
+                enc,
+                cents,
+                books,
+                query,
+                k=6,
+                nprobe=nprobe,
+                shortlist=12,
+                cell_col="cell",
+                code_cols=["rpq_0", "rpq_1"],
+            ).collect()
+        ]
+        assert stored == inline
