@@ -764,6 +764,7 @@ def vector_index_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     auto_compact_every: int | None = None,
+    pq_books: list[list[list[float]]] | None = None,
 ):
     """Streaming ANN index maintenance — the vector twin of the
     substring / co-occurrence / near-dup sinks, closing the
@@ -813,8 +814,20 @@ def vector_index_sink(
     committed epochs like the other sinks. One action per id per
     micro-batch is the supported contract; conflicting same-batch
     rows resolve deterministically (highest vector hash, NULL lowest)
-    but carry no ordering meaning."""
-    from graphragdatapipeline_spark.vector.similarity import nearest_centroid_col
+    but carry no ordering meaning.
+
+    ``pq_books`` (r13) additionally stores m residual-PQ code columns
+    (`pq_0..pq_{m-1}` — pq_encode_cols over the row's residual against
+    its assigned centroid; train with pq_train(centroids=…)) beside
+    each vector at ingest: the IVFADC index shape, where an ADC probe
+    (vector_index_probe_adc) shortlists by scanning m small ints per
+    row instead of the 4·dim-byte vectors. Tombstones carry NULL
+    codes like they carry NULL cell/vector."""
+    from graphragdatapipeline_spark.vector.similarity import (
+        nearest_centroid_col,
+        pq_encode_cols,
+        residual_col,
+    )
 
     commits_dir = index_dir + "/_commits"
 
@@ -830,18 +843,24 @@ def vector_index_sink(
                 )
             )
         )
+        live = F.col(vec_col).isNotNull()
+        cell = F.when(live, nearest_centroid_col(centroids, F.col(vec_col)))
+        cols = [
+            F.col(id_col),
+            F.col(vec_col),
+            cell.alias("cell"),
+            F.lit(epoch_id).cast("bigint").alias("_epoch"),
+        ]
+        if pq_books is not None:
+            res = residual_col(centroids, F.col(vec_col), cell)
+            cols += [
+                F.when(live, c).alias(f"pq_{i}")
+                for i, c in enumerate(pq_encode_cols(pq_books, res))
+            ]
         batch = (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select(
-                id_col,
-                vec_col,
-                F.when(
-                    F.col(vec_col).isNotNull(),
-                    nearest_centroid_col(centroids, F.col(vec_col)),
-                ).alias("cell"),
-                F.lit(epoch_id).cast("bigint").alias("_epoch"),
-            )
+            .select(*cols)
         )
         batch.sortWithinPartitions("cell").write.mode("overwrite").parquet(
             f"{index_dir}/epoch={epoch_id}"
@@ -990,8 +1009,24 @@ def vector_index_probe(
     the caller unions around, while probing an index that does not
     exist is a caller error (a wrong path or a probe racing ahead of
     its bootstrap) that silently returning an empty top-k would bury."""
+    from graphragdatapipeline_spark.session import ensure_parallelism
     from graphragdatapipeline_spark.vector.similarity import cosine_topk
 
+    cells = _ranked_cells(centroids, query_vec, nprobe)
+    cand = _probe_candidates(spark, index_dir, cells, id_col)
+    # A directory-pruned 1-cell scan is often ONE file locally, so the
+    # interpreted cosine fold runs on one core; fan out first (no-op at
+    # cluster scale, where a cell spans many row groups — measured at
+    # the 2 M decade: 3.7 → 1.3 s/query).
+    return cosine_topk(ensure_parallelism(cand), query_vec, k, id_col, vec_col)
+
+
+def _ranked_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The query's nprobe nearest cells, ranked driver-side over the
+    k-row centroid metadata (same squared distance as the ingest
+    assignment, ties to the lowest cell id)."""
     ranked = sorted(
         range(len(centroids)),
         key=lambda i: (
@@ -999,7 +1034,16 @@ def vector_index_probe(
             i,
         ),
     )
-    cells = ranked[: max(1, nprobe)]
+    return ranked[: max(1, nprobe)]
+
+
+def _probe_candidates(
+    spark, index_dir: str, cells: list[int], id_col: str
+) -> DataFrame:
+    """Tail-bounded winner resolution restricted to the probed cells —
+    the shared read core of vector_index_probe and
+    vector_index_probe_adc (see the probe docstring for the plan
+    rationale and the empty-index contract)."""
     comp, tail, _upto = _committed_parts(
         spark, index_dir, index_dir + "/_commits"
     )
@@ -1010,15 +1054,60 @@ def vector_index_probe(
         tail_winners = tail.groupBy(id_col).agg(F.max("_epoch").alias("_epoch"))
         tail_latest = tail.join(tail_winners, [id_col, "_epoch"])
     if comp is None:
-        cand = tail_latest.filter(in_cells)
-    elif tail is None:
-        cand = comp.filter(in_cells)
-    else:
-        kept = comp.filter(in_cells).join(
-            tail.select(id_col), id_col, "left_anti"
-        )
-        cand = kept.unionByName(tail_latest.filter(in_cells))
-    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+        return tail_latest.filter(in_cells)
+    if tail is None:
+        return comp.filter(in_cells)
+    kept = comp.filter(in_cells).join(tail.select(id_col), id_col, "left_anti")
+    return kept.unionByName(tail_latest.filter(in_cells))
+
+
+def vector_index_probe_adc(
+    spark,
+    index_dir: str,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 8,
+    nprobe: int = 1,
+    shortlist: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC probe over a streamed index built with
+    vector_index_sink(pq_books=…): the same tail-bounded,
+    directory-pruned candidate resolution as vector_index_probe, but
+    the first pass scores the stored residual codes asymmetrically
+    (ivfpq_adc_score_col — m int lookups per row; column pruning keeps
+    the vector payload out of the shortlist scan, which at 100 TB
+    reads m+3 small ints per candidate instead of 4·dim bytes), then
+    only the `shortlist` survivors load vectors for the exact cosine
+    rerank. With nprobe = len(centroids) and a corpus-wide shortlist
+    this equals vector_index_probe equals brute force — pinned in
+    pytest. ``books`` must be the pq_train(centroids=…) residual
+    codebooks the sink encoded with; a code-less index (sink run
+    without pq_books) fails loudly on the missing pq_* columns rather
+    than silently re-encoding per query."""
+    from graphragdatapipeline_spark.session import ensure_parallelism
+    from graphragdatapipeline_spark.vector.similarity import (
+        cosine_topk,
+        ivfpq_adc_score_col,
+    )
+
+    cells = _ranked_cells(centroids, query_vec, nprobe)
+    cand = ensure_parallelism(
+        _probe_candidates(spark, index_dir, cells, id_col)
+    )
+    code_cols = [f"pq_{i}" for i in range(len(books))]
+    score = ivfpq_adc_score_col(
+        centroids, books, query_vec, cells, F.col("cell"), vec_col, code_cols
+    )
+    sl = (
+        cand.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    return cosine_topk(cand.join(sl, id_col), query_vec, k, id_col, vec_col)
 
 
 def click_purchase_attribution(

@@ -624,16 +624,44 @@ def ivfpq_residual_topk(
         else nearest_centroid_col(cents, F.col(vec_col))
     )
     cand = embeddings.withColumn("_cell", cell).filter(F.col("_cell").isin(cells))
+    score = ivfpq_adc_score_col(
+        cents, books, query_vec, cells, F.col("_cell"), vec_col, code_cols
+    )
+    sl = (
+        cand.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    return cosine_topk(embeddings.join(sl, id_col), query_vec, k, id_col, vec_col)
+
+
+def ivfpq_adc_score_col(
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    cells: list[int],
+    cell_col: Column,
+    vec_col: str,
+    code_cols: list[str] | None = None,
+) -> Column:
+    """The per-row IVFADC asymmetric distance as one column expression
+    (factored from ivfpq_residual_topk in r13 so the streaming index
+    probe shares it): per probed cell and subspace, a k-entry table of
+    exact squared distances from the QUERY'S residual against that
+    cell's centroid (driver-side, the left fold shared with the
+    oracle), shipped as literal arrays behind a WHEN chain on the
+    row's cell; per-row score = Σ_m table[cell][code]. ``code_cols``
+    reads stored residual codes (encode-at-ingest); omitted, codes are
+    re-derived inline from the vector column."""
     subdim = len(books[0][0])
     res = (
         None
         if code_cols is not None
-        else residual_col(cents, F.col(vec_col), F.col("_cell"))
+        else residual_col(cents, F.col(vec_col), cell_col)
     )
     score: Column | None = None
     for mi, book in enumerate(books):
-        # per probed cell: the query residual's distance table for
-        # this subspace (same left fold as pq_adc_topk / the oracle)
         table_by_cell: Column | None = None
         for c in cells:
             qres = [q - cc for q, cc in zip(query_vec, cents[c])]
@@ -645,11 +673,10 @@ def ivfpq_residual_topk(
                     acc += (a - b) * (a - b)
                 table.append(acc)
             arr = F.array(*[F.lit(float(x)) for x in table])
-            cond = F.col("_cell") == c
             table_by_cell = (
-                F.when(cond, arr)
+                F.when(cell_col == c, arr)
                 if table_by_cell is None
-                else table_by_cell.when(cond, arr)
+                else table_by_cell.when(cell_col == c, arr)
             )
         code = (
             F.col(code_cols[mi])
@@ -660,13 +687,7 @@ def ivfpq_residual_topk(
         )
         term = F.element_at(table_by_cell, code + 1)
         score = term if score is None else score + term
-    sl = (
-        cand.select(F.col(id_col), score.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
-        .limit(shortlist)
-        .select(id_col)
-    )
-    return cosine_topk(embeddings.join(sl, id_col), query_vec, k, id_col, vec_col)
+    return score
 
 
 def sq8_encode(

@@ -21,12 +21,17 @@ benchmark different semantics). The surviving vectors of the upserted
 ids are asserted, not just the row count.
 
 Usage: python scripts/bench_vector_index_sink.py [SRC_SF_DIR] [FACTOR]
-           [--sample-train FRACTION]
+           [--sample-train FRACTION] [--pq]
 
 --sample-train additionally trains a SECOND centroid set on a
 FRACTION sample of the corpus (the production shape: a 100 TB index
 never k-means the full corpus) and reports train wall + probe
 recall@8 for sampled vs full training at the same k.
+
+--pq builds the IVFADC index shape: residual-PQ codebooks (m=2, k=16,
+trained on a 10% sample) are passed to the sink as pq_books so codes
+are encoded AT INGEST, and the probe section additionally reports the
+vector_index_probe_adc wall + recall (shortlist=128).
 """
 
 from __future__ import annotations
@@ -66,6 +71,7 @@ def main() -> None:
     sample_frac = None
     if "--sample-train" in sys.argv:
         sample_frac = float(sys.argv[sys.argv.index("--sample-train") + 1])
+    use_pq = "--pq" in sys.argv
     base = "/tmp/vecsink_bench"
     shutil.rmtree(base, ignore_errors=True)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -101,6 +107,20 @@ def main() -> None:
     _, cents = kmeans_cells(whole, k=16, iters=3, assign_path="arrow")
     cents_wall = time.time() - cents_t0
 
+    books = None
+    if use_pq:
+        from graphragdatapipeline_spark.vector.similarity import pq_train
+
+        t0 = time.time()
+        books = pq_train(
+            whole.sample(fraction=0.1, seed=13),
+            m=2,
+            k=16,
+            iters=2,
+            centroids=cents,
+        )
+        print(f"pq_train (residual, m=2 k=16, 10% sample): {time.time() - t0:.1f}s")
+
     in_dir = os.path.join(base, "input")
     os.makedirs(in_dir)
     per = factor // (SLICES - 1) or 1
@@ -132,6 +152,7 @@ def main() -> None:
         index_dir,
         os.path.join(base, "ckpt"),
         auto_compact_every=AUTO,
+        pq_books=books,
     )
     q.awaitTermination(3600)
     drain = time.time() - t0
@@ -211,6 +232,26 @@ def main() -> None:
         f"tail-bounded winners): nprobe=1 {p1:.2f}s (recall@8 {rec1:.3f}), "
         f"nprobe={len(cents)} (exact) {pf:.2f}s"
     )
+
+    if use_pq:
+        hit = tot = 0
+        t = time.time()
+        for qv in qvecs:
+            truth = {r.vec_id for r in cosine_topk(view, qv, k=8).collect()}
+            got = {
+                r.vec_id
+                for r in so.vector_index_probe_adc(
+                    spark, index_dir, cents, books, qv, k=8, nprobe=1,
+                    shortlist=128,
+                ).collect()
+            }
+            hit += len(truth & got)
+            tot += len(truth)
+        p_adc = (time.time() - t) / len(qvecs)
+        print(
+            f"ADC probe (stored residual codes, shortlist=128): nprobe=1 "
+            f"{p_adc:.2f}s/q, recall@8 {hit / tot:.3f}"
+        )
 
     if sample_frac is not None:
         t = time.time()

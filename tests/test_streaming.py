@@ -1907,3 +1907,103 @@ def test_vector_index_all_tombstoned_compacts_to_empty(spark, tmp_path):
     } == {3}
     got = so.vector_index_probe(spark, index_dir, cents, [0.3, 0.3], k=2)
     assert [r.vec_id for r in got.collect()] == [3]
+
+
+def test_vector_index_adc_probe_with_stored_codes(spark, tmp_path):
+    """IVFADC over the streamed index (r13): the sink stores residual
+    PQ codes at ingest; stored codes must equal a batch re-encode of
+    the resolved view; the ADC probe at full nprobe + corpus-wide
+    shortlist must equal the exact probe (and therefore brute force);
+    tombstones never come back; compaction preserves the codes."""
+    import time
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    ddl = "vec_id bigint, embedding array<float>"
+    rows0 = [
+        (i, [float(i % 3) * 0.3 + 0.05, float((i * 7) % 5) * 0.2 + 0.05])
+        for i in range(1, 31)
+    ]
+    rows0 += [(100, [9.0, 9.0]), (101, [9.5, 9.2])]
+    s0 = spark.createDataFrame(rows0, ddl)
+    # residual codebooks trained on the initial corpus (index metadata)
+    books = vs.pq_train(
+        s0.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as embedding"),
+        m=2, k=4, iters=2, centroids=cents,
+    )
+    # tail: upsert id 5, MOVE id 7 across cells, tombstone id 9, insert
+    s1 = spark.createDataFrame(
+        [(5, [0.5, 0.5]), (7, [9.9, 9.9]), (9, None), (200, [1.0, 1.0])], ddl
+    )
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate([s0, s1]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(
+        stream, cents, index_dir, str(tmp_path / "ckpt"), pq_books=books
+    ).awaitTermination(120)
+
+    view = so.read_vector_index(spark, index_dir)
+    assert 9 not in {r.vec_id for r in view.collect()}
+
+    # stored codes == batch re-encode of the resolved view
+    reenc = view.select(
+        "vec_id",
+        *[
+            c.alias(f"want_{i}")
+            for i, c in enumerate(
+                vs.pq_encode_cols(
+                    books,
+                    vs.residual_col(cents, F.col("embedding"), F.col("cell")),
+                )
+            )
+        ],
+    )
+    bad = (
+        view.join(reenc, "vec_id")
+        .filter(
+            (F.col("pq_0") != F.col("want_0"))
+            | (F.col("pq_1") != F.col("want_1"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+    def check_probe(qvec):
+        exact = [
+            tuple(r)
+            for r in so.vector_index_probe(
+                spark, index_dir, cents, qvec, k=6, nprobe=2
+            ).collect()
+        ]
+        adc = [
+            tuple(r)
+            for r in so.vector_index_probe_adc(
+                spark, index_dir, cents, books, qvec, k=6, nprobe=2,
+                shortlist=1000,
+            ).collect()
+        ]
+        assert adc == exact
+        assert 9 not in {t[0] for t in adc}
+
+    for qvec in ([0.3, 0.3], [9.4, 9.4]):
+        check_probe(qvec)
+
+    # compaction (partitioned generation) carries the codes through
+    so.compact_vector_index(spark, index_dir, gc=True)
+    for qvec in ([0.3, 0.3], [9.4, 9.4]):
+        check_probe(qvec)
+    # and a NARROW shortlist still returns k valid rows (the sublinear
+    # operating point — not exactness, just contract shape)
+    narrow = so.vector_index_probe_adc(
+        spark, index_dir, cents, books, [0.3, 0.3], k=3, nprobe=1, shortlist=4
+    ).collect()
+    assert len(narrow) == 3
