@@ -765,6 +765,7 @@ def vector_index_sink(
     vec_col: str = "embedding",
     auto_compact_every: int | None = None,
     pq_books: list[list[list[float]]] | None = None,
+    encode_path: str = "fold",
 ):
     """Streaming ANN index maintenance — the vector twin of the
     substring / co-occurrence / near-dup sinks, closing the
@@ -822,14 +823,31 @@ def vector_index_sink(
     each vector at ingest: the IVFADC index shape, where an ADC probe
     (vector_index_probe_adc) shortlists by scanning m small ints per
     row instead of the 4·dim-byte vectors. Tombstones carry NULL
-    codes like they carry NULL cell/vector."""
+    codes like they carry NULL cell/vector.
+
+    ``encode_path`` picks how the per-row (cell, codes) encode
+    executes — the kmeans_cells assign_path split applied at ingest:
+    "fold" (default) is the interpreted SQL-expression path,
+    bit-compatible with the batch re-encode expressions the pytests
+    pin; "arrow" is one numpy matmul per Arrow batch
+    (ivfpq_encode_udf), the 100 TB ingest shape (measured at the
+    2 M-vector drain: fold encode multiplies the ingest wall ~6×).
+    Arrow may tie-break EQUIDISTANT boundary vectors differently by
+    ulps — recall-neutral for an index; keep "fold" where downstream
+    tests compare against the fold expressions."""
     from graphragdatapipeline_spark.vector.similarity import (
+        ivfpq_encode_udf,
         nearest_centroid_col,
         pq_encode_cols,
         residual_col,
     )
 
     commits_dir = index_dir + "/_commits"
+    if encode_path not in ("fold", "arrow"):
+        raise ValueError(f"encode_path must be fold|arrow, got {encode_path!r}")
+    arrow_enc = (
+        ivfpq_encode_udf(centroids, pq_books) if encode_path == "arrow" else None
+    )
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
@@ -844,24 +862,40 @@ def vector_index_sink(
             )
         )
         live = F.col(vec_col).isNotNull()
-        cell = F.when(live, nearest_centroid_col(centroids, F.col(vec_col)))
-        cols = [
-            F.col(id_col),
-            F.col(vec_col),
-            cell.alias("cell"),
-            F.lit(epoch_id).cast("bigint").alias("_epoch"),
-        ]
-        if pq_books is not None:
-            res = residual_col(centroids, F.col(vec_col), cell)
-            cols += [
-                F.when(live, c).alias(f"pq_{i}")
-                for i, c in enumerate(pq_encode_cols(pq_books, res))
-            ]
-        batch = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(*cols)
+        picked = df.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
         )
+        if arrow_enc is not None:
+            # one UDF evaluation per row (the struct is a single
+            # column; field extraction below reads it, not re-runs it)
+            enc = picked.withColumn("_enc", arrow_enc(F.col(vec_col)))
+            cols = [
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("_enc.cell").alias("cell"),
+                F.lit(epoch_id).cast("bigint").alias("_epoch"),
+            ]
+            if pq_books is not None:
+                cols += [
+                    F.col(f"_enc.pq_{i}").alias(f"pq_{i}")
+                    for i in range(len(pq_books))
+                ]
+            batch = enc.select(*cols)
+        else:
+            cell = F.when(live, nearest_centroid_col(centroids, F.col(vec_col)))
+            cols = [
+                F.col(id_col),
+                F.col(vec_col),
+                cell.alias("cell"),
+                F.lit(epoch_id).cast("bigint").alias("_epoch"),
+            ]
+            if pq_books is not None:
+                res = residual_col(centroids, F.col(vec_col), cell)
+                cols += [
+                    F.when(live, c).alias(f"pq_{i}")
+                    for i, c in enumerate(pq_encode_cols(pq_books, res))
+                ]
+            batch = picked.select(*cols)
         batch.sortWithinPartitions("cell").write.mode("overwrite").parquet(
             f"{index_dir}/epoch={epoch_id}"
         )

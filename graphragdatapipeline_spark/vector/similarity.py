@@ -690,6 +690,71 @@ def ivfpq_adc_score_col(
     return score
 
 
+def ivfpq_encode_udf(
+    cents: list[list[float]], books: list[list[list[float]]] | None = None
+):
+    """Arrow-batched IVF(+PQ) ingest encoder — the 100 TB encode
+    kernel: one numpy matmul per Arrow batch computes the
+    nearest-centroid cell and (when ``books`` is given) the m
+    residual-PQ codes, returned as ONE struct column
+    (cell, pq_0..pq_{m-1}). The fold expressions
+    (nearest_centroid_col / pq_encode_cols over residual_col) are the
+    value-oracle surface — bit-compatible with the DuckDB replay —
+    but they are interpreted higher-order functions whose cost is
+    k·dim PER ROW; at ingest volume that is the wrong shape (measured
+    at the 2 M-vector drain: fold encode ~6× the ingest wall). This
+    kernel is the assign_path="arrow" of kmeans_cells applied to the
+    sink: distances use numpy's summation order, so EQUIDISTANT
+    boundary vectors may tie-break differently from the fold by ulps —
+    recall-neutral for an index (either cell is equally near), not
+    oracle material. NULL vectors (tombstones) encode as an all-NULL
+    struct row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(cents, dtype=np.float64)  # k_c × dim
+    cnorm = (cmat * cmat).sum(axis=1)
+    bmats = None
+    if books is not None:
+        bmats = [np.asarray(b, dtype=np.float64) for b in books]  # m × (k × subdim)
+        bnorms = [(b * b).sum(axis=1) for b in bmats]
+        subdim = bmats[0].shape[1]
+    fields = ["cell INT"] + (
+        [f"pq_{i} INT" for i in range(len(books))] if books is not None else []
+    )
+    ddl = ", ".join(fields)
+
+    @pandas_udf(ddl)
+    def _enc(vecs):  # type: ignore[no-untyped-def]
+        import numpy as _np
+        import pandas as _pd
+
+        n = len(vecs)
+        out = {f.split()[0]: [None] * n for f in fields}
+        mask = vecs.notna()
+        idxs = [i for i, m in enumerate(mask) if m]
+        if idxs:
+            x = _np.asarray(
+                [_np.asarray(vecs.iloc[i], dtype=_np.float64) for i in idxs]
+            )
+            # argmin over ||x−c||² = ||x||² − 2·x·c + ||c||²; ||x||²
+            # is constant per row and dropped (first-min ties to the
+            # lowest id, like the fold's array_position)
+            cells = _np.argmin(cnorm[None, :] - 2.0 * (x @ cmat.T), axis=1)
+            for pos, c in zip(idxs, cells):
+                out["cell"][pos] = int(c)
+            if bmats is not None:
+                r = x - cmat[cells]
+                for mi, (bm, bn) in enumerate(zip(bmats, bnorms)):
+                    rs = r[:, mi * subdim : (mi + 1) * subdim]
+                    codes = _np.argmin(bn[None, :] - 2.0 * (rs @ bm.T), axis=1)
+                    for pos, cd in zip(idxs, codes):
+                        out[f"pq_{mi}"][pos] = int(cd)
+        return _pd.DataFrame(out)
+
+    return _enc
+
+
 def sq8_encode(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

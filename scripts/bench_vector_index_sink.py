@@ -32,6 +32,10 @@ recall@8 for sampled vs full training at the same k.
 trained on a 10% sample) are passed to the sink as pq_books so codes
 are encoded AT INGEST, and the probe section additionally reports the
 vector_index_probe_adc wall + recall (shortlist=128).
+
+--encode fold|arrow picks the sink's ingest encode kernel (default
+fold — the oracle-exact expressions; arrow is the matmul kernel, the
+100 TB shape).
 """
 
 from __future__ import annotations
@@ -72,6 +76,9 @@ def main() -> None:
     if "--sample-train" in sys.argv:
         sample_frac = float(sys.argv[sys.argv.index("--sample-train") + 1])
     use_pq = "--pq" in sys.argv
+    encode_path = "fold"
+    if "--encode" in sys.argv:
+        encode_path = sys.argv[sys.argv.index("--encode") + 1]
     base = "/tmp/vecsink_bench"
     shutil.rmtree(base, ignore_errors=True)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -153,6 +160,7 @@ def main() -> None:
         os.path.join(base, "ckpt"),
         auto_compact_every=AUTO,
         pq_books=books,
+        encode_path=encode_path,
     )
     q.awaitTermination(3600)
     drain = time.time() - t0
@@ -185,6 +193,7 @@ def main() -> None:
     )
     print(
         f"vectors={total} (incl {n0} upserts) slices={len(staged)} "
+        f"encode={encode_path}{'+pq' if use_pq else ''} "
         f"train_k16={cents_wall:.1f}s drain={drain:.1f}s "
         f"rate={total / drain:.0f} vec/s auto_compact_every={AUTO}"
     )

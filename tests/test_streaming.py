@@ -2007,3 +2007,74 @@ def test_vector_index_adc_probe_with_stored_codes(spark, tmp_path):
         spark, index_dir, cents, books, [0.3, 0.3], k=3, nprobe=1, shortlist=4
     ).collect()
     assert len(narrow) == 3
+
+
+def test_vector_index_arrow_encode_matches_fold(spark, tmp_path):
+    """encode_path="arrow" (the matmul ingest kernel) must produce the
+    SAME index as the fold expressions on a boundary-free fixture —
+    identical cells, codes, tombstone handling — and the ADC probe
+    over it must match. (Equidistant boundary vectors are the only
+    documented divergence; this fixture has none.)"""
+    import time
+
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    ddl = "vec_id bigint, embedding array<float>"
+    rows0 = [
+        (i, [float(i % 3) * 0.3 + 0.05, float((i * 7) % 5) * 0.2 + 0.05])
+        for i in range(1, 31)
+    ] + [(100, [9.0, 9.0]), (101, [9.5, 9.2])]
+    s0 = spark.createDataFrame(rows0, ddl)
+    books = vs.pq_train(
+        s0.selectExpr(
+            "vec_id", "transform(embedding, x -> cast(x as double)) as embedding"
+        ),
+        m=2, k=4, iters=2, centroids=cents,
+    )
+    s1 = spark.createDataFrame([(5, [0.5, 0.5]), (9, None)], ddl)
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    for i, sl in enumerate([s0, s1]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+
+    def build(name, encode_path):
+        idx = str(tmp_path / name)
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/slice=*")
+        )
+        so.vector_index_sink(
+            stream, cents, idx, str(tmp_path / f"ckpt_{name}"),
+            pq_books=books, encode_path=encode_path,
+        ).awaitTermination(120)
+        return idx
+
+    fold_idx = build("fold", "fold")
+    arrow_idx = build("arrow", "arrow")
+
+    def snap(idx):
+        return {
+            (r.vec_id, r.cell, r.pq_0, r.pq_1)
+            for r in so.read_vector_index(spark, idx).collect()
+        }
+
+    assert snap(arrow_idx) == snap(fold_idx)
+    for qvec in ([0.3, 0.3], [9.4, 9.4]):
+        want = [
+            tuple(r)
+            for r in so.vector_index_probe_adc(
+                spark, fold_idx, cents, books, qvec, k=5, nprobe=2,
+                shortlist=1000,
+            ).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in so.vector_index_probe_adc(
+                spark, arrow_idx, cents, books, qvec, k=5, nprobe=2,
+                shortlist=1000,
+            ).collect()
+        ]
+        assert got == want
