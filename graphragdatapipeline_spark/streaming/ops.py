@@ -926,19 +926,34 @@ def read_vector_index(
     spark, index_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"
 ):
     """Consistent latest-wins view of a vector_index_sink index (None
-    until the first commit): committed epochs (plus the compacted
-    generation, if any) with each id resolved to its highest-epoch
+    until the first commit): each id resolved to its highest-epoch
     row, then ids whose winning row is a TOMBSTONE (NULL vector)
     dropped — a deleted id is absent from the view, exactly as if it
-    were never indexed. The id-window is the price of upsert semantics
-    without a transactional table format; compaction keeps its input
-    bounded by the cadence, and on a fully-compacted index with an
-    empty tail the window degenerates to a single pass over unique
-    ids."""
-    cur = read_committed_epochs(spark, index_dir, index_dir + "/_commits")
-    if cur is None:
+    were never indexed.
+
+    TAIL-BOUNDED like the probe (r13): the compacted generation has
+    unique, non-tombstoned ids by the fold contract, so the view is
+    (compacted rows anti-joined on tail ids) ∪ (live tail winners) —
+    the latest_wins payload shuffle runs over the cadence-bounded TAIL
+    only, never the whole index (the pre-r13 shape window-shuffled
+    every payload row even when the tail was empty; a full-view read
+    is O(index) in scan bytes either way, but the extra full-index
+    sort-shuffle doubled the I/O). On a never-compacted index the
+    window over all committed epochs is the honest remaining shape.
+    Equivalence argument and pins are the probe's (cross-cell upserts,
+    tombstones, re-inserts — same tests snapshot this view)."""
+    comp, tail, _upto = _committed_parts(
+        spark, index_dir, index_dir + "/_commits"
+    )
+    if comp is None and tail is None:
         return None
-    return latest_wins(cur, id_col).filter(F.col(vec_col).isNotNull())
+    if tail is None:
+        return comp
+    live_tail = latest_wins(tail, id_col).filter(F.col(vec_col).isNotNull())
+    if comp is None:
+        return live_tail
+    kept = comp.join(tail.select(id_col), id_col, "left_anti")
+    return kept.unionByName(live_tail)
 
 
 def compact_vector_index(

@@ -1727,6 +1727,91 @@ def test_vector_index_probe_tail_bounded_equals_resolved_view(
     )[1].split("]", 1)[0]
 
 
+def test_read_vector_index_tail_bounded_equals_full_window(spark, tmp_path):
+    """r13 read-path equivalence contract: the tail-bounded view
+    (compacted rows anti-joined on tail ids ∪ live tail winners) must
+    equal the naive pre-r13 shape — latest_wins over ALL committed
+    rows, tombstones dropped — in every compaction state, including
+    tail upserts of compacted ids, a tombstone of a compacted id, and
+    a re-insert after a tombstone."""
+    import time
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    ddl = "vec_id bigint, embedding array<float>"
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    s0 = spark.createDataFrame(
+        [(i, [float(i), float(i) / 2.0]) for i in range(1, 11)], ddl
+    )
+    s1 = spark.createDataFrame([(3, None), (11, [9.0, 9.0])], ddl)
+    for i, sl in enumerate([s0, s1]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(
+        stream, cents, index_dir, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+
+    def naive():
+        cur = so.read_committed_epochs(
+            spark, index_dir, index_dir + "/_commits"
+        )
+        return {
+            (r.vec_id, tuple(r.embedding), r.cell)
+            for r in so.latest_wins(cur, "vec_id")
+            .filter(F.col("embedding").isNotNull())
+            .collect()
+        }
+
+    def view():
+        return {
+            (r.vec_id, tuple(r.embedding), r.cell)
+            for r in so.read_vector_index(spark, index_dir).collect()
+        }
+
+    # state 1: never compacted
+    assert view() == naive() and 3 not in {v[0] for v in view()}
+    # state 2: compacted, empty tail
+    so.compact_vector_index(spark, index_dir, gc=True)
+    assert view() == naive()
+    # state 3: compacted + tail (upsert id 5, tombstone compacted id 7,
+    # re-insert the previously-tombstoned id 3, fresh id 12)
+    time.sleep(1.1)
+    s2 = spark.createDataFrame(
+        [(5, [9.5, 9.5]), (7, None), (3, [0.3, 0.3]), (12, [1.0, 1.0])],
+        ddl,
+    )
+    s2.coalesce(1).write.parquet(os.path.join(in_dir, "slice=2"))
+    stream2 = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(
+        stream2, cents, index_dir, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    got = view()
+    ids = {v[0] for v in got}
+    assert got == naive()
+    assert 7 not in ids and 3 in ids and 12 in ids
+    assert [v for v in got if v[0] == 5][0][1] == (9.5, 9.5)
+    # the tail-bounded plan's only window runs over the TAIL: the
+    # compacted generation reaches the union through an anti-join,
+    # not a row_number sort-shuffle over the whole index
+    plan = (
+        so.read_vector_index(spark, index_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+
+
 def test_vector_index_gc_reclaims_commit_markers(spark, tmp_path):
     """gc=True on the vector index (exclusive commits dir) must delete
     the commit markers ≤ the watermark (bounded marker listings — r13
