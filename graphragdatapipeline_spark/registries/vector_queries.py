@@ -1058,3 +1058,96 @@ def vector_index_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_epoch").alias("epoch_kept"),
         dround(vs.l2_norm(ed), 6).alias("norm"),
     )
+
+
+@register(
+    "vector_index_tail_read",
+    oracle="""
+WITH comp AS (
+  SELECT vec_id, embedding, CAST(0 AS BIGINT) AS _epoch FROM embeddings
+), t1 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT))
+           AS embedding,
+         CAST(1 AS BIGINT) AS _epoch
+  FROM embeddings WHERE vec_id % 7 = 0
+), t2 AS (
+  SELECT vec_id, CAST(NULL AS FLOAT[]) AS embedding,
+         CAST(2 AS BIGINT) AS _epoch
+  FROM embeddings WHERE vec_id % 11 = 0
+), t3 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) - 0.5 AS FLOAT))
+           AS embedding,
+         CAST(3 AS BIGINT) AS _epoch
+  FROM embeddings WHERE vec_id % 33 = 0
+), tail AS (
+  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+), tw AS (
+  SELECT vec_id, embedding, _epoch,
+         row_number() OVER (PARTITION BY vec_id ORDER BY _epoch DESC) AS rn
+  FROM tail
+), live_tail AS (
+  SELECT vec_id, embedding, _epoch FROM tw WHERE rn = 1 AND embedding IS NOT NULL
+), kept AS (
+  SELECT c.vec_id, c.embedding, c._epoch FROM comp c
+  WHERE NOT EXISTS (SELECT 1 FROM tail t WHERE t.vec_id = c.vec_id)
+), v AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM live_tail
+)
+SELECT vec_id, _epoch AS epoch_kept,
+       floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * 1000000 + 0.5) / 1000000 AS norm
+FROM v
+""",
+)
+def vector_index_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL-BOUNDED view resolution of the streaming vector index (the
+    r13 read/probe shape): the full collection simulates the compacted
+    generation (unique non-tombstoned ids — the fold contract), and a
+    three-epoch tail carries upserts (every 7th id, epoch 1),
+    tombstones (every 11th id, epoch 2), and re-inserts after a
+    tombstone (every 33rd id, epoch 3 — so %33 ids survive with the
+    epoch-3 vector while the other %11 ids are absent). Runs the exact
+    production composition (streaming.ops.tail_bounded_view: compacted
+    rows anti-joined on tail ids ∪ live tail winners) and value-checks
+    which epoch won per id plus the surviving vector's norm. The
+    oracle replays the anti-join, the tail window, and the tombstone
+    filter in SQL — a regression in any branch (anti-join dropping too
+    much/little, wrong tail winner, tombstones leaking into or a
+    re-insert missing from the view) flips membership, epoch_kept, or
+    the norm and fails the hash. Complements `vector_index_latest_wins`
+    (the pre-compaction full-window shape); the disk-backed twin with
+    real micro-batches is pinned in
+    test_read_vector_index_tail_bounded_equals_full_window."""
+    from graphragdatapipeline_spark.streaming.ops import tail_bounded_view
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = e.withColumn("_epoch", F.lit(0).cast("bigint"))
+
+    def shifted(delta: float, epoch: int, mod: int) -> DataFrame:
+        return (
+            e.filter(F.col("vec_id") % mod == 0)
+            .select(
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    lambda x: (x.cast("double") + F.lit(delta)).cast("float"),
+                ).alias("embedding"),
+            )
+            .withColumn("_epoch", F.lit(epoch).cast("bigint"))
+        )
+
+    tomb = (
+        e.filter(F.col("vec_id") % 11 == 0)
+        .select("vec_id", F.lit(None).cast("array<float>").alias("embedding"))
+        .withColumn("_epoch", F.lit(2).cast("bigint"))
+    )
+    tail = shifted(0.25, 1, 7).unionByName(tomb).unionByName(shifted(-0.5, 3, 33))
+    view = tail_bounded_view(comp, tail, "vec_id", "embedding")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    return view.select(
+        "vec_id",
+        F.col("_epoch").alias("epoch_kept"),
+        dround(vs.l2_norm(ed), 6).alias("norm"),
+    )

@@ -947,6 +947,21 @@ def read_vector_index(
     )
     if comp is None and tail is None:
         return None
+    return tail_bounded_view(comp, tail, id_col, vec_col)
+
+
+def tail_bounded_view(
+    comp: DataFrame | None,
+    tail: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The latest-wins view composition of read_vector_index, over the
+    two physical halves as DataFrames — factored out (like latest_wins)
+    so the driver-oracled `vector_index_tail_read` query exercises the
+    exact production expression against a SQL replay. ``comp`` must
+    honor the compacted-generation contract: unique, non-tombstoned
+    ids. Exactly one of the inputs may be None."""
     if tail is None:
         return comp
     live_tail = latest_wins(tail, id_col).filter(F.col(vec_col).isNotNull())
