@@ -1028,6 +1028,7 @@ def vector_index_probe(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_path: str = "fold",
 ) -> DataFrame:
     """IVF probe over a streamed index: the query's ``nprobe`` nearest
     cells are ranked DRIVER-SIDE over the k-row centroid metadata (no
@@ -1081,8 +1082,12 @@ def vector_index_probe(
     # A directory-pruned 1-cell scan is often ONE file locally, so the
     # interpreted cosine fold runs on one core; fan out first (no-op at
     # cluster scale, where a cell spans many row groups — measured at
-    # the 2 M decade: 3.7 → 1.3 s/query).
-    return cosine_topk(ensure_parallelism(cand), query_vec, k, id_col, vec_col)
+    # the 2 M decade: 3.7 → 1.3 s/query). score_path="arrow" swaps the
+    # fold for the numpy matmul kernel (~1.8× per probe — serving
+    # knob; see cosine_topk).
+    return cosine_topk(
+        ensure_parallelism(cand), query_vec, k, id_col, vec_col, score_path
+    )
 
 
 def _ranked_cells(

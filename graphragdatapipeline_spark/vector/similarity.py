@@ -49,18 +49,81 @@ def cosine_topk(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_path: str = "fold",
 ) -> DataFrame:
     """V3 — brute-force cosine top-k (the exact baseline; Chroma
     n_results=8 default per README.md:459). One scan, one narrow
     TopK sort — Spark's TakeOrderedAndProject keeps only k rows per
-    partition, so this scales linearly with no full sort."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_similarity(F.col(vec_col), q)
+    partition, so this scales linearly with no full sort.
+
+    ``score_path`` picks the scoring kernel (the ingest-encode
+    fold/arrow split of kmeans_cells and ivfpq_encode_udf applied to
+    the query side):
+
+    - ``"fold"`` (default) — the interpreted zip_with + aggregate
+      column expression, bit-compatible with the DuckDB oracles
+      (list_dot_product is the same sequential left-fold); every
+      registered query scores this way.
+    - ``"arrow"`` — one numpy matmul per Arrow batch
+      (cosine_score_udf): ~1.8× faster per probe on a 123 k-vector
+      cell (1.33 → 0.74 s measured, dim=64). Same divergence class as
+      the encode kernel: numpy's pairwise summation may differ from
+      the sequential fold by ulps, so rows with EQUAL-to-the-ulp sims
+      can swap ranks at the k boundary — recall-neutral for ANN
+      serving, which is why the fold stays the value-oracle surface
+      and arrow is the serving-path knob (vector_index_probe
+      score_path)."""
+    if score_path == "arrow":
+        sim = cosine_score_udf(query_vec)(F.col(vec_col))
+    else:
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        sim = cosine_similarity(F.col(vec_col), q)
     return (
         embeddings.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_score_udf(query_vec: list[float]):
+    """Arrow-batched cosine scorer against a fixed query vector: one
+    float64 numpy matmul per batch instead of a per-row interpreted
+    fold. NULL embeddings score NULL (matching the fold — sorts last
+    under desc), and zero-norm vectors ALSO score NULL, never NaN
+    (which would sort FIRST in Spark's double ordering and corrupt
+    top-k). The zero-norm case is the one deliberate divergence from
+    the fold, which raises DIVIDE_BY_ZERO under ANSI (the Spark 4
+    default): on the serving path a degenerate vector should read as
+    no-match, not fail the query — pinned both ways in
+    test_cosine_topk_arrow_matches_fold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qa = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = qa / np.linalg.norm(qa)
+
+    @pandas_udf("double")
+    def _cos(s):
+        arrs = s.to_numpy()
+        mask = np.fromiter(
+            (a is not None for a in arrs), dtype=bool, count=len(arrs)
+        )
+        out = np.zeros(len(arrs), dtype=np.float64)
+        if mask.any():
+            m = np.vstack(arrs[mask]).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            nz = norms != 0.0
+            scored = np.zeros(len(m))
+            scored[nz] = (m[nz] @ qn) / norms[nz]
+            out[mask] = scored
+            zero_rows = np.flatnonzero(mask)[~nz]
+            mask[zero_rows] = False
+        ser = pd.Series(out, dtype="Float64")
+        ser[~mask] = pd.NA
+        return ser
+
+    return _cos
 
 
 def ivf_assignments(

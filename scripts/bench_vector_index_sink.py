@@ -210,11 +210,12 @@ def main() -> None:
         for r in emb.orderBy("vec_id").limit(N_QUERIES).collect()
     ]
 
-    def probe_wall(nprobe: int) -> float:
+    def probe_wall(nprobe: int, score_path: str = "fold") -> float:
         t = time.time()
         for qv in qvecs:
             so.vector_index_probe(
-                spark, index_dir, cents, qv, k=8, nprobe=nprobe
+                spark, index_dir, cents, qv, k=8, nprobe=nprobe,
+                score_path=score_path,
             ).collect()
         return (time.time() - t) / len(qvecs)
 
@@ -235,10 +236,12 @@ def main() -> None:
         return hit / tot
 
     p1, pf = probe_wall(1), probe_wall(len(cents))
+    p1_arrow = probe_wall(1, score_path="arrow")
     rec1 = probe_recall(cents, nprobe=1)
     print(
         f"probe top-8 over the compacted index (avg of {len(qvecs)} queries, "
         f"tail-bounded winners): nprobe=1 {p1:.2f}s (recall@8 {rec1:.3f}), "
+        f"nprobe=1 arrow-score {p1_arrow:.2f}s, "
         f"nprobe={len(cents)} (exact) {pf:.2f}s"
     )
 

@@ -593,3 +593,106 @@ def test_ivfpq_residual_stored_codes_match_inline(spark):
             ).collect()
         ]
         assert stored == inline
+
+
+def test_cosine_topk_arrow_matches_fold(spark, sf_dir):
+    """score_path="arrow" (numpy matmul kernel) must rank exactly like
+    the default interpreted fold on distinct-sim data, agree that a
+    NULL embedding scores NULL (desc-sorts to the back), and score a
+    zero-norm vector NULL — never NaN (which would sort to the FRONT
+    of Spark's double ordering and corrupt top-k), and unlike the
+    fold, which raises DIVIDE_BY_ZERO under ANSI (Spark 4 default)."""
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    fold = vs.cosine_topk(e, q, k=10).collect()
+    arrow = vs.cosine_topk(e, q, k=10, score_path="arrow").collect()
+    assert [r.vec_id for r in arrow] == [r.vec_id for r in fold]
+    for fa, ar in zip(fold, arrow):
+        assert abs(fa.sim - ar.sim) < 1e-9
+
+    dim = len(q)
+    deg = spark.createDataFrame(
+        [
+            (1, [1.0] * dim),
+            (2, None),
+            (3, [0.0] * dim),
+            (4, [float(i) for i in range(dim)]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    a = {
+        r.vec_id: r.sim
+        for r in vs.cosine_topk(deg, q, k=10, score_path="arrow").collect()
+    }
+    assert set(a) == {1, 2, 3, 4}
+    assert a[2] is None and a[3] is None
+    nondeg = deg.filter(F.col("vec_id") != 3)
+    f = {r.vec_id: r.sim for r in vs.cosine_topk(nondeg, q, k=10).collect()}
+    assert f[2] is None
+    for i in (1, 4):
+        assert abs(f[i] - a[i]) < 1e-9
+    # the fold's zero-norm behavior under ANSI (Spark 4 default) is an
+    # error — the arrow path's NULL is the deliberate serving-side
+    # divergence the docstring records
+    with pytest.raises(ArithmeticException):
+        vs.cosine_topk(deg, q, k=10).collect()
+
+
+def test_vector_index_probe_arrow_score_path(spark, tmp_path):
+    """The probe's score_path="arrow" must return the same top-k as
+    the default fold over a maintained index (upserts + a tombstone in
+    the tail, both compaction states)."""
+    import os
+    import time
+
+    import graphragdatapipeline_spark.streaming.ops as so
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    ddl = "vec_id bigint, embedding array<float>"
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    s0 = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.1, float((i * 3) % 5) + 0.2]) for i in range(1, 31)]
+        + [(100, [9.0, 9.1]), (101, [9.5, 9.0])],
+        ddl,
+    )
+    s1 = spark.createDataFrame([(5, [0.4, 0.6]), (9, None)], ddl)
+    for i, sl in enumerate([s0, s1]):
+        sl.coalesce(1).write.parquet(os.path.join(in_dir, f"slice={i}"))
+        time.sleep(1.1)
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/slice=*")
+    )
+    so.vector_index_sink(
+        stream, cents, index_dir, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+
+    def both(qvec, nprobe):
+        fold = so.vector_index_probe(
+            spark, index_dir, cents, qvec, k=8, nprobe=nprobe
+        ).collect()
+        arrow = so.vector_index_probe(
+            spark, index_dir, cents, qvec, k=8, nprobe=nprobe,
+            score_path="arrow",
+        ).collect()
+        assert [r.vec_id for r in arrow] == [r.vec_id for r in fold]
+        for fa, ar in zip(fold, arrow):
+            assert abs(fa.sim - ar.sim) < 1e-9
+
+    for qvec in ([0.3, 0.4], [9.2, 9.3]):
+        for nprobe in (1, 2):
+            both(qvec, nprobe)
+    so.compact_vector_index(spark, index_dir, gc=True)
+    for qvec in ([0.3, 0.4], [9.2, 9.3]):
+        for nprobe in (1, 2):
+            both(qvec, nprobe)
