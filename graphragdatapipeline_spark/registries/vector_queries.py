@@ -1151,3 +1151,49 @@ def vector_index_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_epoch").alias("epoch_kept"),
         dround(vs.l2_norm(ed), 6).alias("norm"),
     )
+
+
+@register(
+    "vector_knn_batch",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 50 <> 0
+), s AS (
+  SELECT q.q_id, c.vec_id,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+           AS sim
+  FROM c, q
+), r AS (
+  SELECT q_id, vec_id, sim,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS sim, rank
+FROM r WHERE rank <= 5
+""",
+)
+def vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN (cosine_topk_batch): exact cosine top-5 for a TABLE
+    of queries (every 50th id) against the rest of the collection in
+    ONE corpus pass — the retrieval-eval / reference-corpus-dedup
+    shape, vs vector_knn_bruteforce's single query vector. Registered
+    on the fold path (bit-compatible with the DuckDB cross-join +
+    row_number replay); the mapInPandas matmul scale path — shuffle
+    bounded by queries × k × partitions instead of queries × corpus —
+    is pinned fold≡arrow in test_cosine_topk_batch_arrow_matches_fold
+    and measured in SCALE.md."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.filter(F.col("vec_id") % 50 != 0)
+    out = vs.cosine_topk_batch(corpus, queries, k=5)
+    return out.select(
+        "q_id", "vec_id", dround(F.col("sim"), 6).alias("sim"), "rank"
+    )

@@ -19,7 +19,7 @@ production, but correctness gates need determinism (SURVEY §7.3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -124,6 +124,107 @@ def cosine_score_udf(query_vec: list[float]):
         return ser
 
     return _cos
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    score_path: str = "fold",
+) -> DataFrame:
+    """Batch k-NN: exact cosine top-k for a whole TABLE of queries in
+    one corpus pass — the retrieval-eval / reference-dedup shape where
+    per-query probe loops (one driver round-trip each) stop scaling.
+    Output: (q_id, vec_id, sim, rank), rank 1..k per query, ordered by
+    (sim desc, id asc) — the cosine_topk total order.
+
+    - ``score_path="fold"`` (default): broadcast the query table into
+      a cross join, score with the interpreted fold, rank with one
+      window shuffle on q_id. Bit-compatible with the DuckDB replay
+      (the `vector_knn_batch` oracle) — the value-oracle surface. The
+      cross join materializes |corpus| × |queries| scored rows, so
+      this path is for oracle-sized batches.
+    - ``score_path="arrow"``: the scale path. The query matrix ships
+      to executors once (task closure); each corpus Arrow batch is
+      scored with ONE float64 numpy matmul and reduced to its
+      per-query local top-k INSIDE the kernel, so the shuffle carries
+      ≤ |queries| × k × partitions candidate rows instead of
+      |queries| × |corpus| — per-partition top-k under a total order
+      is a superset of the global top-k, so the final window returns
+      exactly the fold ranking (pinned in
+      test_cosine_topk_batch_arrow_matches_fold; divergence class =
+      the kernel ulp ties, as cosine_topk). Queries are collected to
+      the driver first — the batch must fit in executor memory
+      (10³–10⁵ queries; shard a bigger batch outside).
+
+    Degenerate rows follow the paths' documented contracts: NULL/zero
+    vectors are excluded from arrow results; the fold scores NULL
+    (null sims rank last) or raises on zero-norm under ANSI."""
+    if score_path == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        q_rows = queries.select(q_id_col, q_vec_col).collect()
+        q_ids = np.asarray([r[0] for r in q_rows])
+        qm = np.asarray(
+            [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
+        )
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        kk = k
+
+        def gen(batches):
+            for pdf in batches:
+                arrs = pdf[vec_col].to_numpy()
+                mask = np.fromiter(
+                    (a is not None for a in arrs), dtype=bool, count=len(arrs)
+                )
+                if not mask.any():
+                    continue
+                ids = pdf[id_col].to_numpy()[mask]
+                m = np.vstack(arrs[mask]).astype(np.float64)
+                norms = np.linalg.norm(m, axis=1)
+                nz = norms != 0.0
+                ids, m, norms = ids[nz], m[nz], norms[nz]
+                if len(ids) == 0:
+                    continue
+                sims = (qm @ m.T) / norms  # n_q × batch
+                take = min(kk, sims.shape[1])
+                # local top-k per query under the GLOBAL total order
+                # (sim desc, id asc) — lexsort keys are last-primary
+                order = np.lexsort((ids[None, :].repeat(len(qm), 0), -sims))
+                top = order[:, :take]
+                out_q = np.repeat(q_ids, take)
+                out_i = ids[top].ravel()
+                out_s = np.take_along_axis(sims, top, axis=1).ravel()
+                yield pd.DataFrame(
+                    {"q_id": out_q, "vec_id": out_i, "sim": out_s}
+                )
+
+        cand = corpus.select(
+            F.col(id_col), F.col(vec_col)
+        ).mapInPandas(gen, "q_id long, vec_id long, sim double")
+        scored = cand.select(
+            F.col("q_id").alias(q_id_col),
+            F.col("vec_id").alias(id_col),
+            "sim",
+        )
+    else:
+        q = F.broadcast(queries.select(q_id_col, q_vec_col))
+        scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+            q_id_col,
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col(q_vec_col)).alias("sim"),
+        )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "sim", "rank")
+    )
 
 
 def ivf_assignments(

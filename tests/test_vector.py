@@ -696,3 +696,43 @@ def test_vector_index_probe_arrow_score_path(spark, tmp_path):
     for qvec in ([0.3, 0.4], [9.2, 9.3]):
         for nprobe in (1, 2):
             both(qvec, nprobe)
+
+
+def test_cosine_topk_batch_arrow_matches_fold(spark, sf_dir):
+    """The batch k-NN scale path (mapInPandas matmul + per-batch local
+    top-k + global window) must return exactly the fold cross-join
+    ranking — including across partition boundaries, where a wrong
+    local-top-k order (e.g. ties broken by position instead of id)
+    would surface as a different global top-k."""
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # repartition so every query's top-k spans several corpus partitions
+    corpus = e.filter(F.col("vec_id") % 50 != 0).repartition(7)
+    fold = vs.cosine_topk_batch(corpus, queries, k=6).collect()
+    arrow = vs.cosine_topk_batch(
+        corpus, queries, k=6, score_path="arrow"
+    ).collect()
+    fkey = sorted((r.q_id, r.rank, r.vec_id) for r in fold)
+    akey = sorted((r.q_id, r.rank, r.vec_id) for r in arrow)
+    assert akey == fkey
+    fsim = {(r.q_id, r.vec_id): r.sim for r in fold}
+    for r in arrow:
+        assert abs(fsim[(r.q_id, r.vec_id)] - r.sim) < 1e-9
+    n_q = queries.count()
+    assert len(arrow) == n_q * 6
+    # NULL corpus rows are excluded by the arrow kernel, not crashed on
+    corpus2 = corpus.unionByName(
+        spark.createDataFrame(
+            [(999999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    arrow2 = vs.cosine_topk_batch(
+        corpus2, queries, k=6, score_path="arrow"
+    ).collect()
+    assert sorted((r.q_id, r.rank, r.vec_id) for r in arrow2) == fkey
