@@ -75,9 +75,11 @@ def cosine_topk(
       score_path)."""
     if score_path == "arrow":
         sim = cosine_score_udf(query_vec)(F.col(vec_col))
-    else:
+    elif score_path == "fold":
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         sim = cosine_similarity(F.col(vec_col), q)
+    else:
+        raise ValueError(f"unknown score_path {score_path!r}")
     return (
         embeddings.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
@@ -95,35 +97,50 @@ def cosine_score_udf(query_vec: list[float]):
     the fold, which raises DIVIDE_BY_ZERO under ANSI (the Spark 4
     default): on the serving path a degenerate vector should read as
     no-match, not fail the query — pinned both ways in
-    test_cosine_topk_arrow_matches_fold."""
+    test_cosine_topk_arrow_matches_fold. A degenerate QUERY vector is
+    a caller error on either path (the fold raises in-flight) and
+    raises ValueError here at construction — silently scoring NaN
+    against every corpus row would return k arbitrary ids."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     qa = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    qn = qa / np.linalg.norm(qa)
+    qnorm = np.linalg.norm(qa)
+    if qnorm == 0.0 or not np.isfinite(qnorm):
+        raise ValueError("zero-norm or non-finite query vector")
+    qn = qa / qnorm
 
     @pandas_udf("double")
     def _cos(s):
         arrs = s.to_numpy()
-        mask = np.fromiter(
-            (a is not None for a in arrs), dtype=bool, count=len(arrs)
-        )
+        valid, m, norms = _valid_vector_rows(np, arrs)
         out = np.zeros(len(arrs), dtype=np.float64)
-        if mask.any():
-            m = np.vstack(arrs[mask]).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            nz = norms != 0.0
-            scored = np.zeros(len(m))
-            scored[nz] = (m[nz] @ qn) / norms[nz]
-            out[mask] = scored
-            zero_rows = np.flatnonzero(mask)[~nz]
-            mask[zero_rows] = False
+        if len(valid):
+            out[valid] = (m @ qn) / norms
         ser = pd.Series(out, dtype="Float64")
-        ser[~mask] = pd.NA
+        keep = np.zeros(len(arrs), dtype=bool)
+        keep[valid] = True
+        ser[~keep] = pd.NA
         return ser
 
     return _cos
+
+
+def _valid_vector_rows(np, arrs):
+    """Shared degenerate-row filter of the arrow scoring kernels:
+    positions of non-NULL, nonzero-norm vectors in an Arrow column
+    chunk, plus the stacked float64 matrix and its norms for exactly
+    those positions."""
+    mask = np.fromiter(
+        (a is not None for a in arrs), dtype=bool, count=len(arrs)
+    )
+    if not mask.any():
+        return np.empty(0, dtype=np.int64), None, None
+    m = np.vstack(arrs[mask]).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    nz = norms != 0.0
+    return np.flatnonzero(mask)[nz], m[nz], norms[nz]
 
 
 def cosine_topk_batch(
@@ -158,67 +175,100 @@ def cosine_topk_batch(
       exactly the fold ranking (pinned in
       test_cosine_topk_batch_arrow_matches_fold; divergence class =
       the kernel ulp ties, as cosine_topk). Queries are collected to
-      the driver first — the batch must fit in executor memory
-      (10³–10⁵ queries; shard a bigger batch outside).
+      the driver first — the batch must fit in driver/executor memory
+      (10³–10⁵ ids + vectors; shard a bigger batch outside); the
+      kernel scores queries in chunks of 1024, so its working set is
+      O(chunk × batch) regardless of the query count. A NULL or
+      zero-norm QUERY vector raises ValueError up front, naming the
+      offending ids (the NaN sims it would produce sort FIRST in
+      Spark's double ordering — k arbitrary rows per poisoned query).
 
-    Degenerate rows follow the paths' documented contracts: NULL/zero
-    vectors are excluded from arrow results; the fold scores NULL
-    (null sims rank last) or raises on zero-norm under ANSI."""
+    Degenerate CORPUS rows follow the paths' documented contracts:
+    NULL/zero vectors are excluded from arrow results; the fold
+    scores NULL (null sims rank last) or raises on zero-norm under
+    ANSI."""
     if score_path == "arrow":
         import numpy as np
         import pandas as pd
+        from pyspark.sql.types import DoubleType, StructField, StructType
 
         q_rows = queries.select(q_id_col, q_vec_col).collect()
+        if not q_rows:
+            # empty query table: the fold path's empty cross join
+            # already returns the right (empty) shape
+            return cosine_topk_batch(
+                corpus, queries, k, id_col, vec_col, q_id_col, q_vec_col
+            )
+        bad = [r[0] for r in q_rows if r[1] is None]
+        if bad:
+            raise ValueError(f"NULL query vectors for ids {bad[:5]}")
         q_ids = np.asarray([r[0] for r in q_rows])
         qm = np.asarray(
             [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
         )
-        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        kk = k
+        qnorms = np.linalg.norm(qm, axis=1)
+        degenerate = ~np.isfinite(qnorms) | (qnorms == 0.0)
+        if degenerate.any():
+            raise ValueError(
+                "zero-norm or non-finite query vectors for ids "
+                f"{q_ids[degenerate][:5].tolist()}"
+            )
+        qm = qm / qnorms[:, None]
+        kk, chunk = k, 1024
 
         def gen(batches):
             for pdf in batches:
-                arrs = pdf[vec_col].to_numpy()
-                mask = np.fromiter(
-                    (a is not None for a in arrs), dtype=bool, count=len(arrs)
+                valid, m, norms = _valid_vector_rows(
+                    np, pdf[vec_col].to_numpy()
                 )
-                if not mask.any():
+                if len(valid) == 0:
                     continue
-                ids = pdf[id_col].to_numpy()[mask]
-                m = np.vstack(arrs[mask]).astype(np.float64)
-                norms = np.linalg.norm(m, axis=1)
-                nz = norms != 0.0
-                ids, m, norms = ids[nz], m[nz], norms[nz]
-                if len(ids) == 0:
-                    continue
-                sims = (qm @ m.T) / norms  # n_q × batch
-                take = min(kk, sims.shape[1])
-                # local top-k per query under the GLOBAL total order
-                # (sim desc, id asc) — lexsort keys are last-primary
-                order = np.lexsort((ids[None, :].repeat(len(qm), 0), -sims))
-                top = order[:, :take]
-                out_q = np.repeat(q_ids, take)
-                out_i = ids[top].ravel()
-                out_s = np.take_along_axis(sims, top, axis=1).ravel()
-                yield pd.DataFrame(
-                    {"q_id": out_q, "vec_id": out_i, "sim": out_s}
-                )
+                ids = pdf[id_col].to_numpy()[valid]
+                # sort the batch by id ONCE so a kind="stable" argsort
+                # on -sims breaks equal-sim ties in id-asc order — the
+                # global (sim desc, id asc) total order, without
+                # materializing an n_q × batch id matrix for lexsort
+                bo = np.argsort(ids, kind="stable")
+                ids = ids[bo]
+                mn = m[bo] / norms[bo, None]
+                take = min(kk, len(ids))
+                for lo in range(0, len(qm), chunk):
+                    sims = qm[lo : lo + chunk] @ mn.T  # chunk × batch
+                    top = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+                    yield pd.DataFrame(
+                        {
+                            "q_id": np.repeat(q_ids[lo : lo + chunk], take),
+                            "vec_id": ids[top].ravel(),
+                            "sim": np.take_along_axis(
+                                sims, top, axis=1
+                            ).ravel(),
+                        }
+                    )
 
+        out_schema = StructType(
+            [
+                StructField("q_id", queries.schema[q_id_col].dataType),
+                StructField("vec_id", corpus.schema[id_col].dataType),
+                StructField("sim", DoubleType()),
+            ]
+        )
         cand = corpus.select(
             F.col(id_col), F.col(vec_col)
-        ).mapInPandas(gen, "q_id long, vec_id long, sim double")
+        ).mapInPandas(gen, out_schema)
         scored = cand.select(
             F.col("q_id").alias(q_id_col),
             F.col("vec_id").alias(id_col),
             "sim",
         )
-    else:
+    elif score_path == "fold":
         q = F.broadcast(queries.select(q_id_col, q_vec_col))
         scored = corpus.select(id_col, vec_col).crossJoin(q).select(
             q_id_col,
             id_col,
             cosine_similarity(F.col(vec_col), F.col(q_vec_col)).alias("sim"),
         )
+    else:
+        raise ValueError(f"unknown score_path {score_path!r}")
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

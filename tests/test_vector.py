@@ -736,3 +736,59 @@ def test_cosine_topk_batch_arrow_matches_fold(spark, sf_dir):
         corpus2, queries, k=6, score_path="arrow"
     ).collect()
     assert sorted((r.q_id, r.rank, r.vec_id) for r in arrow2) == fkey
+
+
+def test_cosine_topk_score_path_guards(spark, sf_dir):
+    """The arrow knobs fail LOUD: unknown score_path raises (a typo
+    must not silently measure the slow fold), a zero-norm/NULL QUERY
+    vector raises up front (its NaN sims would rank k arbitrary rows
+    first), an empty query table returns an empty result, and the
+    derived kernel schema carries non-bigint id columns."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.io import read_table
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = [float(x) for x in e.first().embedding]
+    dim = len(q)
+    with pytest.raises(ValueError, match="score_path"):
+        vs.cosine_topk(e, q, k=3, score_path="Arrow")
+    with pytest.raises(ValueError, match="query vector"):
+        vs.cosine_score_udf([0.0] * dim)
+
+    queries = e.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    with pytest.raises(ValueError, match="score_path"):
+        vs.cosine_topk_batch(e, queries, k=3, score_path="numpy")
+    zq = spark.createDataFrame(
+        [(1, [0.0] * dim), (2, q)], "q_id long, q_vec array<float>"
+    )
+    with pytest.raises(ValueError, match="query vectors"):
+        vs.cosine_topk_batch(e, zq, k=3, score_path="arrow")
+    nq = spark.createDataFrame(
+        [(1, None), (2, q)], "q_id long, q_vec array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL query vectors"):
+        vs.cosine_topk_batch(e, nq, k=3, score_path="arrow")
+    empty = queries.filter(F.col("q_id") < 0)
+    assert vs.cosine_topk_batch(e, empty, k=3, score_path="arrow").count() == 0
+
+    # string ids survive the arrow kernel's derived schema on both sides
+    sc = e.limit(40).select(
+        F.concat(F.lit("d-"), F.col("vec_id")).alias("doc"), "embedding"
+    )
+    sq = queries.select(
+        F.concat(F.lit("q-"), F.col("q_id")).alias("q_id"), "q_vec"
+    )
+    fold = vs.cosine_topk_batch(
+        sc, sq, k=4, id_col="doc"
+    ).collect()
+    arrow = vs.cosine_topk_batch(
+        sc, sq, k=4, id_col="doc", score_path="arrow"
+    ).collect()
+    assert sorted((r.q_id, r.rank, r.doc) for r in arrow) == sorted(
+        (r.q_id, r.rank, r.doc) for r in fold
+    )
