@@ -61,10 +61,17 @@ def community_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     settings.py:144-145 cap)."""
     c = read_table(spark, sf_dir, "customer")
     n = F.broadcast(read_table(spark, sf_dir, "nation"))
-    # One explicit repartition on the rollup key: the three aggregation
-    # branches below and the final joins all require clustering by
-    # community (or a superset), so they reuse this single exchange
-    # (ReusedExchange) instead of shuffling 3× + twice for the joins.
+    # Single-scan shape (r13): the old three-branch version planned as
+    # THREE customer scans + three Exchanges + two SortMergeJoins + two
+    # Windows — column pruning specialized each branch's projection
+    # before the repartition, so the "shared" exchange never reused.
+    # All four outputs derive from one pass instead: aggregate to
+    # (community, segment) grain, then to community grain. Both
+    # aggregations cluster by a superset of `community`, so the one
+    # explicit repartition below satisfies both and the whole query
+    # runs with exactly ONE exchange, no joins beyond the broadcast
+    # dim, and no window sorts (top-k falls out of array_sort over the
+    # collected groups: 5 segments / ≤group members per community).
     members = (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .select(
@@ -75,38 +82,54 @@ def community_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition("community")
     )
-    top_seg = rel.top_n_frequency(members, "community", "segment", n=2).select(
-        "community", F.array_join("top_segment", ",").alias("top_segments")
+    per_seg = members.groupBy("community", "segment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_list(F.struct(F.col("bal"), F.col("member_id"))).alias("ms"),
     )
-    reps = (
-        rel.top_k_per_group(
-            members, ["community"], [F.desc("bal"), F.asc("member_id")], k=5
-        )
-        .groupBy("community")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("rank", "member_id"))),
-                    lambda s: s["member_id"].cast("string"),
-                ),
-                ",",
-            ).alias("representatives")
-        )
+    rollup = per_seg.groupBy("community").agg(
+        F.sum("cnt").alias("member_count"),
+        F.flatten(F.collect_list("ms")).alias("_all"),
+        F.collect_list(F.struct(F.col("cnt"), F.col("segment"))).alias("_segs"),
     )
-    base = members.groupBy("community").agg(
-        F.count(F.lit(1)).alias("member_count"),
+
+    def _desc_asc(lo, hi):  # comparator: first field DESC, second ASC
+        def cmp(l, r):  # noqa: E741
+            return (
+                F.when(l[lo] > r[lo], F.lit(-1))
+                .when(l[lo] < r[lo], F.lit(1))
+                .when(l[hi] < r[hi], F.lit(-1))
+                .when(l[hi] > r[hi], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        return cmp
+
+    return rollup.select(
+        "community",
+        "member_count",
         F.array_join(
             F.transform(
-                F.slice(F.array_sort(F.collect_list("member_id")), 1, 50),
+                F.slice(F.array_sort("_segs", _desc_asc("cnt", "segment")), 1, 2),
+                lambda s: s["segment"],
+            ),
+            ",",
+        ).alias("top_segments"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort("_all", _desc_asc("bal", "member_id")), 1, 5),
+                lambda s: s["member_id"].cast("string"),
+            ),
+            ",",
+        ).alias("representatives"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.transform("_all", lambda s: s["member_id"])), 1, 50
+                ),
                 lambda x: x.cast("string"),
             ),
             ",",
         ).alias("member_ids"),
-    )
-    return (
-        base.join(top_seg, "community")
-        .join(reps, "community")
-        .select("community", "member_count", "top_segments", "representatives", "member_ids")
     )
 
 

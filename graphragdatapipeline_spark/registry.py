@@ -158,22 +158,36 @@ def flagship_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     # (l_orderkey, l_linenumber) is NOT unique in the fixtures — full
     # tiebreaker chain keeps the ordinal deterministic across engines.
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    # The ordinal is the row's position in that order WITHIN its order
+    # group, so it never needs a window: collect the sort-key structs
+    # with one hash aggregate, array_sort (struct comparison is
+    # field-order lexicographic = the former window's ORDER BY), and
+    # stamp ordinals from the transform index. Removes the
+    # Exchange+Sort+Window pass over the whole fact table — the only
+    # full-data exchange left is the aggregate's own, and rows tied on
+    # the entire sort key render identical entries either way.
+    key = F.struct(
+        F.col("l_linenumber").alias("_k1"),
+        F.col("l_partkey").alias("_k2"),
+        F.col("l_suppkey").alias("_k3"),
+        F.col("l_quantity").alias("_k4"),
     )
-    lines = li.select(
-        "l_orderkey",
-        ef.positioned_entry(F.row_number().over(w), F.col("l_partkey").cast("string")).alias(
-            "entry"
-        ),
-        F.row_number().over(w).alias("rn"),
-    )
-    entries = rel.collect_list_sorted(
-        lines, ["l_orderkey"], "rn", F.col("entry"), alias="entries"
-    ).select(
-        "l_orderkey",
-        F.array_join("entries", ", ").alias("line_list"),
-        F.size("entries").cast("long").alias("n_lines"),
+    entries = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(key)).alias("_ks"))
+        .select(
+            "l_orderkey",
+            F.array_join(
+                F.transform(
+                    "_ks",
+                    lambda s, i: ef.positioned_entry(
+                        i + 1, s["_k2"].cast("string")
+                    ),
+                ),
+                ", ",
+            ).alias("line_list"),
+            F.size("_ks").cast("long").alias("n_lines"),
+        )
     )
     return (
         orders.join(entries, orders.o_orderkey == entries.l_orderkey)
@@ -182,6 +196,11 @@ def flagship_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("n_lines").alias("n_lines"),
             dsum(F.col("o_totalprice"), 2).alias("total_spent"),
+            # min over a STRING has no mutable agg buffer, so this
+            # aggregation stays sort-based (SortAggregate spills
+            # gracefully; the object-hash alternatives — collect_set +
+            # array_min — hold every distinct line_list per customer in
+            # memory, an OOM class at scale for a hot customer).
             F.min("line_list").alias("sample_rollup"),
         )
         .orderBy(F.desc("n_orders"), F.asc("custkey"))
@@ -319,14 +338,25 @@ def join_multihop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_micros"
         )
     )
-    return (
+    # Second pre-aggregation to CUSTOMER grain before the dimension
+    # joins: every surviving row then carries a unique c_custkey, so
+    # count(DISTINCT c_custkey) per (region, nation) degenerates to a
+    # plain count(1) — dropping the two-level distinct expansion (an
+    # extra Exchange + aggregate tier over (region, nation, custkey))
+    # from the final aggregation. Revenue stays exact: micro-unit longs
+    # re-associate losslessly across both aggregation levels.
+    rev_per_cust = (
         rev_per_order.join(orders, rev_per_order.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_micros").alias("rev_micros"))
+    )
+    return (
+        rev_per_cust.join(cust, rev_per_cust.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_customers"),
             dround(F.sum("rev_micros").cast("double") / F.lit(1e6), 2).alias("revenue"),
         )
     )

@@ -61,11 +61,18 @@ def chunked_documents(
 
     df = ensure_parallelism(df)
     chunks = chunk_text_chars(F.col(text_col), size, overlap)
+    # total_chunks as the scalar count formula, NOT F.size(chunks):
+    # Catalyst does not CSE across Generate, so a size(chunks) column
+    # re-built the whole substring array once per EXPLODED row (plan
+    # showed the full transform(sequence...) under Project) — O(chunks²)
+    # character copying per doc. n_chunks_expr is the same value (the
+    # sequence 0..n-1 that produces the array has exactly n elements)
+    # from one length() call.
     return (
         df.select(
             F.col(id_col),
             F.posexplode(chunks).alias("pos", "chunk_text"),
-            F.size(chunks).alias("total_chunks"),
+            n_chunks_expr(F.col(text_col), size, overlap).alias("total_chunks"),
         )
         .select(
             F.concat(F.col(id_col).cast("string"), F.lit("_chunk_"), F.col("pos") + 1).alias(

@@ -189,14 +189,29 @@ def test_map_side_curation_ops_have_no_shuffle(spark, sf_dir):
     assert non_broadcast == []
 
 
-def test_community_rollup_reuses_exchange_across_branches(spark, sf_dir):
-    """The single repartition('community') must be shared by the three
-    aggregation branches as ReusedExchange — if a refactor breaks
-    subtree identity, the rollup silently starts shuffling 3×."""
+def test_community_rollup_single_exchange_no_joins(spark, sf_dir):
+    """r13 single-pass shape: the rollup must plan as ONE repartition
+    exchange feeding both aggregation grains — no SortMergeJoin, no
+    Window, no second shuffle. (The pre-r13 three-branch form planned
+    3 customer scans + 3 Exchanges + 2 SMJs + 2 Windows because column
+    pruning specialized each branch's projection below the 'shared'
+    repartition; this pins the rewrite that removed them.)"""
     df = REGISTRY["community_metadata_rollup"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    # AQE toString() appends the pre-execution "== Initial Plan ==" after
+    # the final plan; count exchanges in the executed section only.
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    non_broadcast = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(non_broadcast) == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
 
 
 def test_compact_parquet_merges_small_files_and_clusters(spark, sf_dir, tmp_path):
