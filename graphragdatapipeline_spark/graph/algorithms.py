@@ -98,6 +98,7 @@ def transitive_closure(
     count, is the latency driver."""
     closure = edges.select(F.col("src").alias("node"), F.col("dst").alias("anc")).distinct()
     closure = closure.localCheckpoint(eager=True)
+    old_count = closure.count()
     # The frame to free must be the last CHECKPOINTED one, not the loop
     # variable: with checkpoint_every > 1 `closure` is a lazy
     # union/distinct over the previous checkpoint on off rounds, so
@@ -113,9 +114,13 @@ def transitive_closure(
         new_closure = closure.unionByName(hop).distinct()
         checkpointed = (i + 1) % checkpoint_every == 0
         if checkpointed:
-            new_closure = new_closure.localCheckpoint(eager=True)
+            # Lazy: the count below is the materializing action — one
+            # job per round instead of checkpoint-then-recount. The
+            # previous round's count is carried, not recomputed (the
+            # closure table is append-monotone, so the fixpoint test
+            # only needs this round's size against last round's).
+            new_closure = new_closure.localCheckpoint(eager=False)
         new_count = new_closure.count()
-        old_count = closure.count()
         if checkpointed:
             # The closure table GROWS every round; superseded rounds'
             # checkpoint blocks must be released, not left for GC
@@ -125,6 +130,7 @@ def transitive_closure(
         closure = new_closure
         if new_count == old_count:
             break
+        old_count = new_count
     return closure
 
 
@@ -164,7 +170,11 @@ def connected_components(
     sym0 = (
         sym.filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(
+            # Lazy: the sizing count below materializes it — one job.
+            eager=False,
+            storageLevel=StorageLevel.MEMORY_AND_DISK,
+        )
     )
     # Right-size the iterative loop's partitioning to the PAIR graph:
     # the per-round joins run O(log d) times, and on a small component
@@ -221,7 +231,12 @@ def connected_components(
                     < F.col("_prev")
                 ).cast("int").alias("_changed"),
             )
-        ).localCheckpoint(eager=True)
+            # Lazy: the changed-count action right below is the
+            # materializing pass, so each round runs ONE job instead of
+            # an eager-checkpoint job followed by a re-scan for the sum
+            # (fixed-cost-per-round discipline; values untouched —
+            # the same rows are written either way).
+        ).localCheckpoint(eager=False)
         changed = updated.agg(F.sum("_changed")).first()[0] or 0
         _free_checkpoint(prev_ckpt)  # superseded round — release its blocks
         prev_ckpt = updated
@@ -292,7 +307,9 @@ def label_propagation(
     # be orders of magnitude below defaultParallelism, where full-width
     # rounds are pure fixed-cost latency, and AQE cannot re-plan across
     # checkpointed iterations.
-    sym0 = sym.localCheckpoint(eager=True)
+    # Lazy: the sizing count below materializes the checkpoint — one
+    # job instead of checkpoint-then-recount.
+    sym0 = sym.localCheckpoint(eager=False)
     par = max(2, min(par, sym0.count() // 100_000 + 1))
     sym = sym0.repartition(par, "dst").localCheckpoint(eager=True)
     _free_checkpoint(sym0)
@@ -559,7 +576,9 @@ def louvain_move(
     # Same edge-count-sized round width as detect_communities /
     # connected_components — the ladder's contracted levels are tiny,
     # and move rounds there were dominated by fixed per-round costs.
-    sym0 = sym.localCheckpoint(eager=True)
+    # Lazy: the sizing count below materializes the checkpoint — one
+    # job instead of checkpoint-then-recount.
+    sym0 = sym.localCheckpoint(eager=False)
     par = max(2, min(par, sym0.count() // 100_000 + 1))
     sym = sym0.repartition(par, "dst").localCheckpoint(eager=True)
     _free_checkpoint(sym0)
@@ -577,7 +596,9 @@ def louvain_move(
             "id",
             (F.col("_k") + 2.0 * F.coalesce("_sw", F.lit(0.0))).alias("_k"),
         )
-    nodes = nodes.repartition(par, "id").localCheckpoint(eager=True)
+    # Lazy: the 2m aggregate right below is the materializing action —
+    # one job instead of checkpoint-then-rescan (values untouched).
+    nodes = nodes.repartition(par, "id").localCheckpoint(eager=False)
     two_m = nodes.agg(F.sum("_k")).first()[0] or 1.0  # scalar graph stat
 
     memb = nodes.select("id", F.col("id").alias("community"))
@@ -639,23 +660,24 @@ def louvain_move(
                 ).alias("_score"),
             )
         )
-        stay = scored.filter(F.col("_c") == F.col("_a")).select(
-            "id", F.col("_score").alias("_stay")
-        )
         # argmax with ties to the LOWEST community label (labels are
         # strings, so the LPA bitwise-not trick is out): min_by over
         # struct(-score, c) — struct comparison is field-by-field, so
-        # -score ascending = score descending, then c ascending.
-        best = scored.groupBy("id").agg(
+        # -score ascending = score descending, then c ascending. The
+        # stay score and the current label ride the SAME aggregation
+        # (exactly one _c == _a candidate row exists per id, and _a is
+        # constant per id), so the scored subtree — three joins deep —
+        # is evaluated once per round instead of feeding a separate
+        # filter branch plus two reassembly joins (guide §2.4).
+        moved = scored.groupBy("id").agg(
             F.min_by(
                 F.struct(F.col("_c"), F.col("_score")),
                 F.struct((-F.col("_score")).alias("_ns"), F.col("_c")),
-            ).alias("_b")
-        )
-        moved = (
-            best.select("id", F.col("_b._c").alias("_bc"), F.col("_b._score").alias("_bs"))
-            .join(stay, "id")
-            .join(cur, "id")
+            ).alias("_b"),
+            F.max(
+                F.when(F.col("_c") == F.col("_a"), F.col("_score"))
+            ).alias("_stay"),
+            F.max("_a").alias("_a"),
         )
         # parity gate: only one hash-class moves per round
         gate = (F.abs(F.hash(F.col("id"))) % 2) == F.lit(r % 2)
@@ -663,8 +685,8 @@ def louvain_move(
             moved.select(
                 "id",
                 F.when(
-                    gate & (F.col("_bs") > F.col("_stay") + F.lit(1e-12)),
-                    F.col("_bc"),
+                    gate & (F.col("_b._score") > F.col("_stay") + F.lit(1e-12)),
+                    F.col("_b._c"),
                 )
                 .otherwise(F.col("_a"))
                 .alias("community"),

@@ -610,7 +610,27 @@ def quality_classifier(
         F.col("fail_reasons"),
         F.col("_y"),
         *[(F.col(f"_r{j}") - F.lit(mu[j])).alias(f"_x{j}") for j in (1, 2, 3)],
-    ).localCheckpoint(eager=False)
+    )
+    # The GD loop reads FOUR doubles per row, `iters` times; the output
+    # projection reads the id/keep/fail_reasons payload once. Checkpoint
+    # the narrow training frame for the loop so each iteration scans
+    # 4 doubles instead of deserializing the full row with its string
+    # payloads (guide §2.3 project-before-the-scan; at corpus scale the
+    # loop's 25 passes are the dominant read volume of the whole fit).
+    # Partition count is sized from n (≈2M 4-double rows ≈ 80 MB per
+    # task), not inherited from the wide frame: every iteration pays
+    # per-task scheduling on a frame whose rows are 40 bytes, and the
+    # int64 gradient sums are order-independent, so the layout cannot
+    # perturb a single bit (measured: 259 → 163 ms/iteration at the
+    # 5000-row fixture where 32 inherited partitions were pure
+    # scheduling overhead; coalesce is a no-op when the frame already
+    # has fewer partitions than the target).
+    train_parts = max(2, math.ceil(n / 2_000_000))
+    train = (
+        feats.select("_y", "_x1", "_x2", "_x3")
+        .coalesce(train_parts)
+        .localCheckpoint(eager=False)
+    )
 
     def z_expr(w: list[float]):
         return (
@@ -627,25 +647,27 @@ def quality_classifier(
     xcols = [F.lit(1.0), F.col("_x1"), F.col("_x2"), F.col("_x3")]
     for _ in range(iters):
         s = sig_expr(w)
-        aggs = [F.count(F.lit(1)).alias("_n")] + [
-            F.sum(micro((s - F.col("_y")) * xc)).alias(f"_g{j}")
-            for j, xc in enumerate(xcols)
-        ]
-        row = feats.agg(*aggs).first()
+        # Row count is invariant across iterations (the frame is
+        # checkpointed) — reuse the means-pass n instead of re-counting
+        # in every gradient aggregation.
+        row = train.agg(
+            *[
+                F.sum(micro((s - F.col("_y")) * xc)).alias(f"_g{j}")
+                for j, xc in enumerate(xcols)
+            ]
+        ).first()
         w = [
-            dround6_py(w[j] - lr * row[f"_g{j}"] / (row["_n"] * 1_000_000.0))
+            dround6_py(w[j] - lr * row[f"_g{j}"] / (n * 1_000_000.0))
             for j in range(4)
         ]
 
     scored = feats.withColumn("_sm", micro(sig_expr(w)))
-    total = scored.agg(
-        F.sum("_sm").alias("_tot"), F.count(F.lit(1)).alias("_cnt")
-    )
+    total = scored.agg(F.sum("_sm").alias("_tot"))
     return scored.crossJoin(F.broadcast(total)).select(
         F.col(id_col),
         F.col("n_tokens"),
         F.col("keep"),
         F.col("fail_reasons"),
         (F.col("_sm") / 1_000_000.0).alias("clf_score"),
-        (F.col("_sm") * F.col("_cnt") >= F.col("_tot")).alias("clf_keep"),
+        (F.col("_sm") * F.lit(n) >= F.col("_tot")).alias("clf_keep"),
     )

@@ -904,9 +904,24 @@ def graph_louvain_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the move phase is not a tweak, it is the difference between a
     modularity optimum and a propagation heuristic)."""
     g = build_tpch_graph(spark, sf_dir)
-    m1 = ga.louvain_move(g.edges, gamma=1.0, rounds=4, vertices=g.vertices)
-    m2 = ga.louvain_move(g.edges, gamma=1.0, rounds=4, vertices=g.vertices)
-    lpa = ga.label_propagation(g.edges, vertices=g.vertices, max_iter=5)
+    # The two move phases (the determinism re-run) and the LPA baseline
+    # are INDEPENDENT iterative programs whose per-round jobs otherwise
+    # serialize on the driver — overlap them from a small thread pool
+    # (guide §2.6: concurrent jobs back-fill each other's stage tails;
+    # each loop is deterministic, so every label is unchanged).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_m1 = pool.submit(
+            ga.louvain_move, g.edges, 1.0, 4, g.vertices
+        )
+        f_m2 = pool.submit(
+            ga.louvain_move, g.edges, 1.0, 4, g.vertices
+        )
+        f_lpa = pool.submit(
+            ga.label_propagation, g.edges, vertices=g.vertices, max_iter=5
+        )
+        m1, m2, lpa = f_m1.result(), f_m2.result(), f_lpa.result()
     singleton = g.vertices.select("id", F.col("id").alias("community"))
 
     stats = m1.agg(

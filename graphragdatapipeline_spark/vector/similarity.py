@@ -676,23 +676,43 @@ def pq_train(
         # vectors, k_c=16). The production analog is encode-at-ingest
         # (residuals stored beside the codes — the r12 code_cols
         # lesson); localCheckpoint is that materialization in-session.
+        # Eager: the concurrent subspace trainings below must find the
+        # residuals already materialized (a lazy checkpoint would be
+        # raced by the pool's first actions).
         embeddings = embeddings.select(
             F.col(id_col),
             residual_col(centroids, F.col(vec_col)).alias(vec_col),
-        ).localCheckpoint(eager=False)
-    row = embeddings.select(vec_col).first()
-    dim = len(row[0])
+        ).localCheckpoint(eager=True)
+        # Residuals have the coarse centroids' dimensionality — no need
+        # to pay a driver round-trip just to read a row's length.
+        dim = len(centroids[0])
+    else:
+        row = embeddings.select(vec_col).first()
+        dim = len(row[0])
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     subdim = dim // m
-    books = []
-    for mi in range(m):
+
+    def _train_sub(mi: int) -> list[list[float]]:
         sub = embeddings.select(
             F.col(id_col),
             F.slice(F.col(vec_col), mi * subdim + 1, subdim).alias(vec_col),
         )
-        _, cents = kmeans_cells(sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-        books.append(cents)
+        _, cents = kmeans_cells(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        return cents
+
+    # The m subspace trainings are INDEPENDENT (disjoint slices of the
+    # same materialized corpus) — submit them from a small thread pool
+    # so their per-iteration jobs overlap instead of serializing
+    # (guide §2.6: concurrent driver threads back-fill the tail of each
+    # other's stages; results are per-subspace deterministic, so the
+    # codebooks are identical to the sequential loop's).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        books = list(pool.map(_train_sub, range(m)))
     return books
 
 
