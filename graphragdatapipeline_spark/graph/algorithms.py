@@ -507,6 +507,7 @@ def louvain_move(
     rounds: int = 4,
     vertices: DataFrame | None = None,
     weight_col: str | None = None,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Distributed Louvain move phase → (id, community): each round,
     every vertex evaluates the Reichardt–Bornholdt modularity gain of
@@ -577,11 +578,21 @@ def louvain_move(
     # connected_components — the ladder's contracted levels are tiny,
     # and move rounds there were dominated by fixed per-round costs.
     # Lazy: the sizing count below materializes the checkpoint — one
-    # job instead of checkpoint-then-recount.
-    sym0 = sym.localCheckpoint(eager=False)
-    par = max(2, min(par, sym0.count() // 100_000 + 1))
-    sym = sym0.repartition(par, "dst").localCheckpoint(eager=True)
-    _free_checkpoint(sym0)
+    # job instead of checkpoint-then-recount. When the caller already
+    # knows the edge count (the multilevel loop counts each contracted
+    # graph as it persists it), 2·n_edges_hint upper-bounds the
+    # symmetrized row count and the sizing pass is skipped entirely —
+    # par is a layout knob, every per-round aggregate is
+    # order-independent, and at any count below the 100k round-width
+    # step both paths yield the identical par anyway.
+    if n_edges_hint is not None:
+        par = max(2, min(par, 2 * n_edges_hint // 100_000 + 1))
+        sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
+    else:
+        sym0 = sym.localCheckpoint(eager=False)
+        par = max(2, min(par, sym0.count() // 100_000 + 1))
+        sym = sym0.repartition(par, "dst").localCheckpoint(eager=True)
+        _free_checkpoint(sym0)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("_w").alias("_k"))
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
@@ -669,7 +680,15 @@ def louvain_move(
         # constant per id), so the scored subtree — three joins deep —
         # is evaluated once per round instead of feeding a separate
         # filter branch plus two reassembly joins (guide §2.4).
-        moved = scored.groupBy("id").agg(
+        # The explicit id repartition REPLACES the aggregation's
+        # ENSURE_REQUIREMENTS exchange (HashPartitioning on the group
+        # key satisfies the agg's distribution) AND pre-establishes the
+        # par-width id layout the round's checkpoint needs — the
+        # membership frame used to pay a SECOND full shuffle in the
+        # trailing repartition(par, "id") (the flagship_order_rollup
+        # exchange-merge, applied to the move loop). min_by/max are
+        # order-independent, so the regrouped layout moves no values.
+        moved = scored.repartition(par, "id").groupBy("id").agg(
             F.min_by(
                 F.struct(F.col("_c"), F.col("_score")),
                 F.struct((-F.col("_score")).alias("_ns"), F.col("_c")),
@@ -691,7 +710,7 @@ def louvain_move(
                 .otherwise(F.col("_a"))
                 .alias("community"),
             )
-            .repartition(par, "id")
+            # id layout already established by the pre-agg repartition
             .localCheckpoint(eager=True)
         )
         _free_checkpoint(memb)  # superseded round's membership blocks
@@ -742,6 +761,7 @@ def louvain_multilevel(
     vertices: DataFrame | None = None,
     weight_col: str | None = None,
     min_shrink: float = 0.01,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """FULL Louvain at one resolution → (id, community): repeat
     (parity-damped move phase → weighted contraction) until the
@@ -761,14 +781,19 @@ def louvain_multilevel(
     synchronous argmax trades the last fraction of sequential-Leiden
     quality for never collecting the graph (full table and the
     three-rung quality ladder in SCALE.md)."""
-    memb = louvain_move(edges, gamma, rounds, vertices, weight_col)
+    memb = louvain_move(
+        edges, gamma, rounds, vertices, weight_col, n_edges_hint=n_edges_hint
+    )
     mapping = memb
     cur_edges, cur_w, level_memb = edges, weight_col, memb
     prev_n = mapping.select("community").distinct().count()
     for _ in range(max_cycles - 1):
         g = _contract_weighted(cur_edges, level_memb, cur_w).persist()
-        g.count()  # materialize WITH stats (see detect_communities_louvain)
-        sup = louvain_move(g, gamma, rounds, weight_col="weight")
+        # materialize WITH stats (see detect_communities_louvain); the
+        # count doubles as the next move's edge-sizing hint, skipping
+        # its per-call sizing job
+        gn = g.count()
+        sup = louvain_move(g, gamma, rounds, weight_col="weight", n_edges_hint=gn)
         n = sup.select("community").distinct().count()
         new_mapping = (
             mapping.withColumnRenamed("community", "_lvl")
@@ -827,13 +852,14 @@ def detect_communities_louvain(
     # At deployment scale each level would be written to the lake
     # between runs, which is the same fix with durability.
     g1 = _contract_weighted(base, l0).persist()
-    g1.count()
+    g1n = g1.count()
     l1_super = louvain_multilevel(
         g1,
         gamma=resolutions[1],
         rounds=rounds_per_level[1],
         max_cycles=3,
         weight_col="weight",
+        n_edges_hint=g1n,
     )
     l1 = (
         l0.alias("a")
@@ -851,13 +877,14 @@ def detect_communities_louvain(
         )
     )
     g2 = _contract_weighted(g1, l1_super, weight_col="weight").persist()
-    g2.count()
+    g2n = g2.count()
     l2_super = louvain_multilevel(
         g2,
         gamma=resolutions[2],
         rounds=rounds_per_level[2],
         max_cycles=3,
         weight_col="weight",
+        n_edges_hint=g2n,
     )
     return (
         l1.alias("a")

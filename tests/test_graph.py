@@ -451,6 +451,29 @@ def test_louvain_move_recovers_planted_cliques(spark):
     assert {m1[f"b{i}"] for i in range(5)} == {"b0"}
 
 
+def test_louvain_move_hint_matches_unhinted(spark):
+    """The r13 edge-sizing hint (skips the per-call count job) is a
+    LAYOUT knob: hinted and unhinted moves must produce identical
+    labels on a weighted graph with self-loops — the contracted-level
+    shape the multilevel loop passes the hint for."""
+    rows = [
+        ("a", "b", 3.0), ("b", "c", 1.0), ("a", "a", 2.0),
+        ("c", "d", 4.0), ("d", "a", 0.5), ("b", "d", 1.5),
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+    base = {
+        r.id: r.community
+        for r in ga.louvain_move(edges, rounds=3, weight_col="weight").collect()
+    }
+    hinted = {
+        r.id: r.community
+        for r in ga.louvain_move(
+            edges, rounds=3, weight_col="weight", n_edges_hint=len(rows)
+        ).collect()
+    }
+    assert base == hinted
+
+
 def test_rb_quality_agg_matches_pure_python(spark):
     """The distributed RB-quality aggregate must equal graph/leiden.py's
     driver-side rb_quality on the same graph and partition."""
