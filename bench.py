@@ -1,18 +1,43 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line with per-query wall-clock seconds.
+"""Benchmark harness: runs the headline queries on data derived from
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query
+wall-clock seconds.
 
 Timing methodology: one warm-up pass of a trivial count to absorb JVM
 startup, then each query is planned + executed to completion via a
-count-style action that forces full materialization without driver
-collect overhead."""
+noop-sink action that forces full materialization without driver
+collect overhead.
+
+Measurement fix (r14, VERDICT r13 item 1, declared in
+OPTIMIZATION_r14.md): the r13 verdict showed the sf0.1 bench could no
+longer measure the engine — every fixture table is ONE parquet row
+group (scans run as a single task at any core count), every query is
+sub-second and job-scheduling-bound, untouched queries swung ±68%
+round-to-round, and all 8 core-scaling ratios were ≈1 (8 cores ≈ 32
+cores). Per that verdict's instruction ("regenerate headline fixtures
+with ≥32 row groups per table / run headline at sf1"), the untimed
+setup now materializes a FACTOR× disjoint key-shifted replication of
+the $SPARK_GRAFT_SF_DIR tables (the SCALE.md / make_scale_fixture
+uniform methodology: joins stay consistent within a replica and never
+match across replicas, so result cardinalities scale exactly FACTOR×;
+dims nation/region copied once — at scale dims stay broadcast-sized)
+written as 32-file multi-row-group tables, and times the headline
+queries against THAT. The input is derived from the source parquet on
+EVERY invocation (≈35 s untimed, deleted on exit — nothing persists
+across runs), queries/names/JSON shape/env contract are unchanged, and
+`replication_factor` in the JSON records the knob
+($SPARK_GRAFT_BENCH_FACTOR, default 10). r14 numbers are therefore NOT
+comparable to r13's: OPTIMIZATION_r14.md records this session's
+same-host numbers under BOTH methodologies."""
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -20,10 +45,85 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from graphragdatapipeline_spark.registry import REGISTRY  # noqa: E402
 from graphragdatapipeline_spark.session import get_session  # noqa: E402
 
+# table -> key columns shifted per replica (scripts/make_scale_fixture
+# uniform methodology; keep in sync). Empty list = dimension table,
+# copied once, never replicated.
+_SHIFT_COLS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+# shared key domains shift by the SAME base everywhere or joins break
+_KEY_DOMAIN = {
+    "c_custkey": "custkey",
+    "o_custkey": "custkey",
+    "o_orderkey": "orderkey",
+    "l_orderkey": "orderkey",
+    "l_partkey": "partkey",
+    "p_partkey": "partkey",
+    "l_suppkey": "suppkey",
+    "s_suppkey": "suppkey",
+}
+# replicated tables are written as this many files (= splittable row
+# groups): real tables have far more row groups than executor slots,
+# the single-row-group fixtures had exactly one
+_BENCH_FILES = 32
+
+
+def _build_bench_input(spark, sf_dir: str, factor: int) -> str:
+    """FACTOR× disjoint key-shifted replication of the fixture tables,
+    multi-row-group layout, under a fresh temp dir (untimed setup; see
+    module docstring). Deterministic: shift bases are per-domain max+1,
+    replication is a plan-level union, and the round-robin repartition
+    is retry-stable (sortBeforeRepartition). Deleted on exit."""
+    from pyspark.sql import functions as F
+
+    from graphragdatapipeline_spark.io import read_table
+
+    dst = tempfile.mkdtemp(prefix="graft_bench_input_")
+    bases: dict[str, int] = {}
+    for table, cols in _SHIFT_COLS.items():
+        if not cols:
+            continue
+        maxes = read_table(spark, sf_dir, table).agg(
+            *[F.max(c).alias(c) for c in cols]
+        ).first()
+        for c in cols:
+            domain = _KEY_DOMAIN.get(c, c)
+            bases[domain] = max(bases.get(domain, 0), int(maxes[c]) + 1)
+    for table, cols in _SHIFT_COLS.items():
+        df = read_table(spark, sf_dir, table)
+        out = os.path.join(dst, table)
+        if not cols:
+            df.write.mode("overwrite").parquet(out)
+            continue
+        parts = []
+        for i in range(factor):
+            rep = df
+            for c in cols:
+                base = bases[_KEY_DOMAIN.get(c, c)]
+                rep = rep.withColumn(
+                    c, (F.col(c) + i * base).cast(df.schema[c].dataType)
+                )
+            parts.append(rep)
+        whole = parts[0]
+        for p in parts[1:]:
+            whole = whole.unionByName(p)
+        whole.repartition(_BENCH_FILES).write.mode("overwrite").parquet(out)
+    return dst
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    factor = int(os.environ.get("SPARK_GRAFT_BENCH_FACTOR", "10"))
     spark = get_session(
         "graphrag-spark-bench",
         master=f"local[{cpus}]",
@@ -36,33 +136,42 @@ def main() -> None:
 
     read_table(spark, sf_dir, "lineitem").count()
 
+    # Untimed: replicated multi-row-group input (measurement fix, see
+    # module docstring). Recomputed from the parquet inputs every run.
+    bench_dir = _build_bench_input(spark, sf_dir, factor)
+
     headline = {n: q for n, q in REGISTRY.items() if q.headline}
 
-    # Steady-state methodology: one untimed pass first so whole-stage
-    # codegen JIT compilation and shuffle-service init are not charged
-    # to whichever query happens to run first; the timed pass then
-    # measures the throughput a resident engine actually delivers.
-    for name, qd in sorted(headline.items()):
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        # Steady-state methodology: one untimed pass first so whole-stage
+        # codegen JIT compilation and shuffle-service init are not charged
+        # to whichever query happens to run first; the timed pass then
+        # measures the throughput a resident engine actually delivers.
+        for name, qd in sorted(headline.items()):
+            qd.fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, qd in sorted(headline.items()):
-        # Best of 3 timed runs: one stray GC pause / OS scheduling blip
-        # otherwise lands permanently in the recorded number (observed:
-        # a loaded host doubled every query uniformly in one recorded
-        # run — more repetitions give each query more chances to land
-        # in a quiet scheduling window).
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = qd.fn(spark, sf_dir)
-            # Force full execution of every row JVM-side: the noop sink
-            # materializes the whole result with no Python/driver
-            # transfer (df.foreach would pay a Python worker round-trip
-            # per row).
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings: dict[str, float] = {}
+        for name, qd in sorted(headline.items()):
+            # Best of 3 timed runs: one stray GC pause / OS scheduling blip
+            # otherwise lands permanently in the recorded number (observed:
+            # a loaded host doubled every query uniformly in one recorded
+            # run — more repetitions give each query more chances to land
+            # in a quiet scheduling window).
+            spark.sparkContext.setJobDescription(f"bench: {name}")
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = qd.fn(spark, bench_dir)
+                # Force full execution of every row JVM-side: the noop sink
+                # materializes the whole result with no Python/driver
+                # transfer (df.foreach would pay a Python worker round-trip
+                # per row).
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            spark.sparkContext.setJobDescription(None)
+    finally:
+        shutil.rmtree(bench_dir, ignore_errors=True)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -78,6 +187,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "replication_factor": factor,
             }
         )
     )
