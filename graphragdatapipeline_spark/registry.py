@@ -172,17 +172,18 @@ def flagship_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("_k3"),
         F.col("l_quantity").alias("_k4"),
     )
-    # Explicit hash repartition on the group key BEFORE the aggregate:
-    # partial collect_list reduces row count but not bytes (the lists
-    # carry every struct), so pre-exchange partial aggregation buys
-    # nothing — while pinning the heavy object aggregation to the scan's
-    # parallelism (a single-row-group parquet file scans as ONE task no
-    # matter the core count). Same single exchange, same shuffle bytes
-    # at any scale; the collect+array_sort work lands on the full
-    # reduce-side fan-out instead (measured 0.90 → 0.61 s at sf0.1).
+    # No explicit repartition before the aggregate (r14): the r13
+    # repartition("l_orderkey") existed to rescue the object agg from
+    # the single-row-group fixture's 1-task scan; on any multi-row-group
+    # input (the fixed bench layout, and every real table) the agg's own
+    # ENSURE_REQUIREMENTS exchange moves the same bytes to the same
+    # reduce-side fan-out. Driver-shape A/B at 10×/32 files: 3.006 s
+    # with the explicit repartition vs 2.937 s without (best-of-3 cold
+    # invocations each, within noise) — and the driver itself had
+    # measured the repartition variant as a regression (0.991 → 1.196 s,
+    # PERF_r13), so the simpler plan wins (VERDICT r13 item 3).
     entries = (
         li.select("l_orderkey", key.alias("_k"))
-        .repartition("l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_list("_k")).alias("_ks"))
         .select(
