@@ -471,17 +471,27 @@ def decontaminate(
     text_col: str,
     k: int = 3,
     min_shared: int = 2,
+    benchmark_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag docs sharing ≥ `min_shared`
     distinct k-gram shingles with any benchmark row. The join is
     inverted-index shaped (shared shingle = join key) — the benchmark
     side is tiny and broadcast, so at 100 TB this is one map-side join
-    plus one doc-keyed aggregation."""
+    plus one doc-keyed aggregation.
+
+    ``benchmark_shingles`` (r14) lets a composed caller hand in the
+    distinct benchmark shingle column it already materialized (e.g.
+    concurrently with another pipeline stage — guide §2.6); it must
+    equal ``shingle_table(benchmark).select("shingle").distinct()``.
+    Same rows in, same rows out — only where/when the shingling is
+    computed moves."""
     from graphragdatapipeline_spark.operators.dedup import shingle_table
 
     d_sh = shingle_table(docs, id_col, text_col, k=k)
     b_sh = (
-        shingle_table(benchmark, id_col, text_col, k=k)
+        benchmark_shingles
+        if benchmark_shingles is not None
+        else shingle_table(benchmark, id_col, text_col, k=k)
         .select(F.col("shingle"))
         .distinct()
     )
@@ -562,24 +572,33 @@ def quality_classifier(
     def micro(c: Column) -> Column:
         return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
 
-    gate = quality_filter(df, id_col, text_col)
-    raw = df.select(F.col(id_col), *quality_features(F.col(text_col)))
+    # Single-pass features + gate (r14): the rule gate and the model
+    # features derive from the SAME quality_features columns, so compute
+    # them in one projection instead of two text scans reassembled by an
+    # id-keyed self-join (guide §2.4 — the join bought nothing but a
+    # shuffle of both branches; every output column is the identical
+    # expression either way). Rule names/thresholds mirror
+    # quality_filter's defaults — keep them in sync.
+    _failed = F.filter(
+        F.array(
+            F.when(F.col("n_tokens") < 30, "too_short"),
+            F.when(F.col("mean_word_len") > 5.0, "long_words"),
+            F.when(F.col("stopword_ratio") < 0.02, "low_stopword"),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    _keep = F.size(_failed) == 0
     feats = (
-        raw.select(
+        df.select(F.col(id_col), *quality_features(F.col(text_col)))
+        .select(
             F.col(id_col),
+            F.col("n_tokens"),
+            _keep.alias("keep"),
+            F.array_join(_failed, ",").alias("fail_reasons"),
+            _keep.cast("int").cast("double").alias("_y"),
             (F.col("n_tokens") / F.lit(100.0)).alias("_r1"),
             dround(F.col("mean_word_len"), 6).alias("_r2"),
             dround(F.col("stopword_ratio"), 6).alias("_r3"),
-        )
-        .join(
-            gate.select(
-                F.col(id_col),
-                F.col("n_tokens"),
-                F.col("keep"),
-                F.col("fail_reasons"),
-                F.col("keep").cast("int").cast("double").alias("_y"),
-            ),
-            id_col,
         )
         .localCheckpoint(eager=False)
     )

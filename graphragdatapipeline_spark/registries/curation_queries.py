@@ -868,16 +868,42 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    clf = cu.quality_classifier(d3, "doc_id", "text", iters=25, lr=1.0)
+    # The benchmark shingle set depends only on the ORIGINAL corpus —
+    # independent of every pipeline stage — while the classifier fit
+    # holds the driver for its 26 sequential aggregate jobs. Overlap
+    # them (guide §2.6): a background thread eagerly materializes the
+    # distinct benchmark shingles while the fit runs, and the final
+    # action then broadcasts the already-computed checkpoint instead of
+    # deriving the shingle subtree inline. Same rows broadcast either
+    # way, so the flagged set is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    bench_sh = (
+        dd.shingle_table(bench, "doc_id", "text", k=3)
+        .select(F.col("shingle"))
+        .distinct()
+    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_bench_sh = pool.submit(
+            lambda: bench_sh.localCheckpoint(eager=True)
+        )
+        clf = cu.quality_classifier(d3, "doc_id", "text", iters=25, lr=1.0)
+        bench_sh_ck = f_bench_sh.result()
     d4 = d3.join(
         clf.filter(F.col("clf_keep")).select(
             "doc_id", "n_tokens", "clf_score"
         ),
         "doc_id",
     )
-    bench = d.filter(F.col("doc_id") % 97 == 0)
     dec = cu.decontaminate(
-        d4, bench, id_col="doc_id", text_col="text", k=3, min_shared=2
+        d4,
+        bench,
+        id_col="doc_id",
+        text_col="text",
+        k=3,
+        min_shared=2,
+        benchmark_shingles=bench_sh_ck,
     )
     d5 = d4.join(
         dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
