@@ -585,14 +585,20 @@ def louvain_move(
     # par is a layout knob, every per-round aggregate is
     # order-independent, and at any count below the 100k round-width
     # step both paths yield the identical par anyway.
+    # The repartitioned edge checkpoint is LAZY in both paths (r14):
+    # its first consumer is the `nodes` lineage feeding the 2m
+    # aggregate below, so that single job materializes sym AND nodes
+    # together — one job instead of eager-checkpoint-then-aggregate
+    # (guide §1.2; the rounds then read the cached blocks). Values
+    # untouched: the same rows land in the same layout either way.
+    sym0 = None
     if n_edges_hint is not None:
         par = max(2, min(par, 2 * n_edges_hint // 100_000 + 1))
-        sym = sym.repartition(par, "dst").localCheckpoint(eager=True)
+        sym = sym.repartition(par, "dst").localCheckpoint(eager=False)
     else:
         sym0 = sym.localCheckpoint(eager=False)
         par = max(2, min(par, sym0.count() // 100_000 + 1))
-        sym = sym0.repartition(par, "dst").localCheckpoint(eager=True)
-        _free_checkpoint(sym0)
+        sym = sym0.repartition(par, "dst").localCheckpoint(eager=False)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("_w").alias("_k"))
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
@@ -611,6 +617,11 @@ def louvain_move(
     # one job instead of checkpoint-then-rescan (values untouched).
     nodes = nodes.repartition(par, "id").localCheckpoint(eager=False)
     two_m = nodes.agg(F.sum("_k")).first()[0] or 1.0  # scalar graph stat
+    if sym0 is not None:
+        # safe to drop only now: sym (lazy) materialized inside the 2m
+        # job above, and freeing a lazy checkpoint's SOURCE before the
+        # dependent checkpoint exists would make it unrecomputable
+        _free_checkpoint(sym0)
 
     memb = nodes.select("id", F.col("id").alias("community"))
     # Renamed copy for strength lookups inside comm_K: `nodes` also
@@ -781,37 +792,59 @@ def louvain_multilevel(
     synchronous argmax trades the last fraction of sequential-Leiden
     quality for never collecting the graph (full table and the
     three-rung quality ladder in SCALE.md)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     memb = louvain_move(
         edges, gamma, rounds, vertices, weight_col, n_edges_hint=n_edges_hint
     )
     mapping = memb
     cur_edges, cur_w, level_memb = edges, weight_col, memb
-    prev_n = mapping.select("community").distinct().count()
-    for _ in range(max_cycles - 1):
-        g = _contract_weighted(cur_edges, level_memb, cur_w).persist()
-        # materialize WITH stats (see detect_communities_louvain); the
-        # count doubles as the next move's edge-sizing hint, skipping
-        # its per-call sizing job
-        gn = g.count()
-        sup = louvain_move(g, gamma, rounds, weight_col="weight", n_edges_hint=gn)
-        n = sup.select("community").distinct().count()
-        new_mapping = (
-            mapping.withColumnRenamed("community", "_lvl")
-            .join(
-                sup.select(
-                    F.col("id").alias("_lvl"), F.col("community").alias("community")
-                ),
-                "_lvl",
-            )
-            .select("id", "community")
-            .localCheckpoint(eager=True)
+    # The convergence scalars and the level-composition checkpoint are
+    # INDEPENDENT consumers of the same frames — overlap them from a
+    # 2-thread pool so their jobs back-fill each other's stage tails
+    # instead of serializing on the driver (guide §2.6; the same
+    # pattern as the r13 louvain/pq pools). Each count is a pure
+    # aggregate, so every label and every break decision is unchanged.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        # prev_n isn't consulted until the first cycle's break check —
+        # let it run while the first contraction materializes.
+        f_prev_n = pool.submit(
+            lambda: mapping.select("community").distinct().count()
         )
-        _free_checkpoint(mapping)  # superseded level composition
-        mapping = new_mapping
-        cur_edges, cur_w, level_memb = g, "weight", sup
-        if n >= prev_n * (1.0 - min_shrink):
-            break
-        prev_n = n
+        prev_n = None
+        for _ in range(max_cycles - 1):
+            g = _contract_weighted(cur_edges, level_memb, cur_w).persist()
+            # materialize WITH stats (see detect_communities_louvain);
+            # the count doubles as the next move's edge-sizing hint,
+            # skipping its per-call sizing job
+            gn = g.count()
+            sup = louvain_move(
+                g, gamma, rounds, weight_col="weight", n_edges_hint=gn
+            )
+            f_n = pool.submit(
+                lambda s=sup: s.select("community").distinct().count()
+            )
+            new_mapping = (
+                mapping.withColumnRenamed("community", "_lvl")
+                .join(
+                    sup.select(
+                        F.col("id").alias("_lvl"),
+                        F.col("community").alias("community"),
+                    ),
+                    "_lvl",
+                )
+                .select("id", "community")
+                .localCheckpoint(eager=True)
+            )
+            n = f_n.result()
+            _free_checkpoint(mapping)  # superseded level composition
+            mapping = new_mapping
+            cur_edges, cur_w, level_memb = g, "weight", sup
+            if prev_n is None:
+                prev_n = f_prev_n.result()
+            if n >= prev_n * (1.0 - min_shrink):
+                break
+            prev_n = n
     return mapping
 
 
@@ -1086,7 +1119,20 @@ def triangle_count(edges: DataFrame, max_forward_degree: int | None = None) -> D
     forward degree above it is dropped before the joins — triangles
     involving those hub fan-outs are undercounted (the standard
     approximate-triangle trade) and the wedge cost bound becomes
-    edges × cap."""
+    edges × cap.
+
+    Build-side memory bound: the shuffle_hash hints below force
+    ShuffledHashJoinExec, whose build-side hash map does NOT spill —
+    the row-asymmetry argument says SHJ is the cheaper strategy, not
+    that it is memory-safe unconditionally. Each build partition holds
+    one post-shuffle slice of the canonical edge table, so the bound
+    is edge_bytes / shuffle_partitions per task: at 100 TB-scale edge
+    tables size shuffle partitions so that slice fits executor memory
+    (AQE skew-split applies to SHJ and advisory partition sizing keeps
+    slices bounded), or drop the hints and let the planner fall back
+    to sort-merge, which spills. Uncapped callers (e.g.
+    graph_clustering_coefficient, which invokes this without
+    max_forward_degree) inherit the same bound."""
     canon = (
         edges.select(
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
