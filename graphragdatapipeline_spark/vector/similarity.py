@@ -687,19 +687,47 @@ def pq_train(
         # to pay a driver round-trip just to read a row's length.
         dim = len(centroids[0])
     else:
-        row = embeddings.select(vec_col).first()
-        dim = len(row[0])
+        dim = None
+    # ONE TakeOrdered seeds every subspace (r14): each subspace k-means
+    # inits from the k lowest-id rows of ITS slice, and slicing commutes
+    # with the row pick — so collecting the k lowest-id FULL rows once
+    # and slicing driver-side yields bit-identical seeds while replacing
+    # m init jobs (plus the raw path's dim-probing first()) with one.
+    import math as _math
+
+    def _q6(x: float) -> float:
+        return _math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    init_rows = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("pq_train: embeddings corpus is empty")
+    if dim is None:
+        dim = len(init_rows[0]["v"])
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     subdim = dim // m
 
     def _train_sub(mi: int) -> list[list[float]]:
+        lo = mi * subdim
+        seed = [
+            [_q6(float(x)) for x in r["v"][lo : lo + subdim]] for r in init_rows
+        ]
         sub = embeddings.select(
             F.col(id_col),
             F.slice(F.col(vec_col), mi * subdim + 1, subdim).alias(vec_col),
         )
         _, cents = kmeans_cells(
-            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+            sub,
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            init_centroids=seed,
         )
         return cents
 
@@ -1057,6 +1085,7 @@ def kmeans_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_path: str = "auto",
+    init_centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic distributed k-means (Lloyd's algorithm) — the
     REAL IVF training step (replacing the fixture label standing in as
@@ -1106,13 +1135,24 @@ def kmeans_cells(
     def q6(x: float) -> float:
         return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
-    init_rows = (
-        embeddings.orderBy(id_col)
-        .limit(k)
-        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
-        .collect()
-    )
-    cents = [[q6(float(x)) for x in r["v"]] for r in init_rows]
+    if init_centroids is not None:
+        # Caller-provided seeds (r14): pq_train's m subspace trainings
+        # all init from the SAME k lowest-id rows, so ONE TakeOrdered at
+        # the caller replaces m per-subspace init jobs. The caller must
+        # pass already-6dp-quantized values identical to what the
+        # collect below would produce (pq_train slices + q6-quantizes
+        # the exact same collected rows).
+        cents = [list(c) for c in init_centroids]
+    else:
+        init_rows = (
+            embeddings.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+            )
+            .collect()
+        )
+        cents = [[q6(float(x)) for x in r["v"]] for r in init_rows]
     if not cents:
         raise ValueError("kmeans_cells: embeddings corpus is empty")
     # Corpus smaller than k: train with the clusters we can seed (the

@@ -295,6 +295,50 @@ def test_pq_train_encode_adc_contract(spark):
     assert dists == sorted(dists)
 
 
+def test_kmeans_shared_init_matches_per_subspace_init(spark):
+    """pq_train's single shared init collect (r14) must seed each
+    subspace k-means with exactly what that subspace's own TakeOrdered
+    would have collected: train each slice BOTH ways and compare
+    centroids AND assignments bit-for-bit."""
+    import math
+
+    from pyspark.sql import functions as F
+    from graphragdatapipeline_spark.vector import similarity as vs
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17) / 4.0 - 2.0 for d in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    k, subdim = 4, 4
+    init_rows = (
+        df.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+        )
+        .collect()
+    )
+    for mi in range(2):
+        lo = mi * subdim
+        seed = [
+            [q6(float(x)) for x in r["v"][lo : lo + subdim]] for r in init_rows
+        ]
+        sub = df.select(
+            "vec_id",
+            F.slice(F.col("embedding"), lo + 1, subdim).alias("embedding"),
+        )
+        a_df, a_c = vs.kmeans_cells(sub, k=k, iters=2, init_centroids=seed)
+        b_df, b_c = vs.kmeans_cells(sub, k=k, iters=2)
+        assert a_c == b_c
+        assert sorted(map(tuple, a_df.collect())) == sorted(
+            map(tuple, b_df.collect())
+        )
+
+
 def test_pq_adc_matches_table_lookup_locally(spark):
     """ADC scores are exactly the sum of per-subspace table entries at
     each vector's code — recompute driver-side for every row."""
