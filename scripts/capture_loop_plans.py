@@ -5,8 +5,8 @@ gradient aggregation) — the plans a registry-level capture cannot see
 because each round ends in a localCheckpoint.
 
 Usage: python scripts/capture_loop_plans.py TAG
-Writes plans/r13/louvain_move_round_<TAG>.txt and
-plans/r13/clf_grad_iter_<TAG>.txt, captured at sf0.01 (the loop shapes
+Writes plans/$SPARK_GRAFT_PLANS_ROUND (default r14)/louvain_move_round_<TAG>.txt and
+plans/.../clf_grad_iter_<TAG>.txt, captured at sf0.01 (the loop shapes
 are scale-independent).
 """
 
@@ -22,7 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from graphragdatapipeline_spark.session import get_session  # noqa: E402
 
 OUT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
 )
 
 
@@ -87,21 +87,33 @@ def main() -> None:
     d = read_table(spark, sf_dir, "documents")
     captured2: list = []
     orig_agg = cls.agg
+    captured3: list = []
 
     def spy_agg(self, *a, **kw):
         out = orig_agg(self, *a, **kw)
         captured2.append(out)
         return out
 
+    def spy_ckpt(self, eager=True):
+        captured3.append(self)
+        return orig(self, eager=eager)
+
     cls.agg = spy_agg
+    cls.localCheckpoint = spy_ckpt
     try:
         cu.quality_classifier(d, "doc_id", "text", iters=1).write.format(
             "noop"
         ).mode("overwrite").save()
     finally:
         cls.agg = orig_agg
+        cls.localCheckpoint = orig
     grad = [df for df in captured2 if "_g0" in df.columns]
     _dump(grad[0], os.path.join(OUT, f"clf_grad_iter_{tag}.txt"))
+    # the FEATURE frame entering the fit (the first checkpoint the
+    # classifier takes): the registered query's output plan cannot show
+    # it — the checkpoint hides everything upstream behind ExistingRDD
+    feats = [df for df in captured3 if "_r1" in df.columns]
+    _dump(feats[0], os.path.join(OUT, f"clf_feats_{tag}.txt"))
     spark.stop()
 
 

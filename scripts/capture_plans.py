@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for registry queries to plans/r13/.
+"""Dump .explain("formatted") for registry queries to plans/$SPARK_GRAFT_PLANS_ROUND (default r14)..
 
 Usage: python scripts/capture_plans.py TAG [query ...]
 With no query names, dumps every headline query. TAG is the filename
@@ -29,7 +29,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

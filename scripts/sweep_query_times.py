@@ -29,7 +29,12 @@ def main() -> None:
         sf_dir = args[0]
         args = args[1:]
     if args and args[0] == "--skip":
+        if len(args) < 2:
+            raise SystemExit("--skip requires a comma-separated name list")
         skip = set(args[1].split(","))
+        args = args[2:]
+    if args:
+        raise SystemExit(f"unrecognized arguments: {args}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session(
         "graphrag-spark-sweep", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
@@ -41,6 +46,7 @@ def main() -> None:
     read_table(spark, sf_dir, "lineitem").count()
 
     out: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, qd in sorted(REGISTRY.items()):
         if name in skip:
             continue
@@ -50,13 +56,15 @@ def main() -> None:
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - t0, 3)
+            print(f"{name}: {out[name]}", flush=True)
         except Exception as exc:  # noqa: BLE001 — sweep must finish
-            out[name] = -1.0
+            # failures go under a separate key, never into the timing
+            # map (a -1.0 sentinel reads as a fast timing to a ranker)
+            errors[name] = str(exc)
             print(f"ERR {name}: {exc}", file=sys.stderr, flush=True)
         spark.sparkContext.setJobDescription(None)
-        print(f"{name}: {out[name]}", flush=True)
     ranked = dict(sorted(out.items(), key=lambda kv: -kv[1]))
-    print(json.dumps({"sf_dir": sf_dir, "queries": ranked}))
+    print(json.dumps({"sf_dir": sf_dir, "queries": ranked, "errors": errors}))
     spark.stop()
 
 
