@@ -629,6 +629,18 @@ def louvain_move(
     # `_k` attribute in both subtrees makes the reference ambiguous
     # after Spark's self-join de-duplication.
     strength = nodes.select("id", F.col("_k").alias("_ck"))
+    # Per-round checkpoints are LAZY except the last (r14, guide §1.2):
+    # Louvain's move rounds have a FIXED count — unlike the CC/closure/
+    # pagerank loops there is no per-round convergence scalar forcing a
+    # driver sync — so the whole rounds chain can materialize in the
+    # final round's single eager checkpoint job (each lazy checkpoint
+    # still truncates the logical plan, so per-round plan size stays
+    # flat; the blocks of every round persist as they are computed,
+    # exactly as under eager). One job per move call instead of one per
+    # round. Superseded rounds are freed only AFTER that job: freeing a
+    # lazy checkpoint's blocks before it materializes would make it
+    # unrecomputable.
+    superseded: list[DataFrame] = []
     for r in range(rounds):
         comm_K = (
             memb.join(strength, "id")
@@ -722,10 +734,12 @@ def louvain_move(
                 .alias("community"),
             )
             # id layout already established by the pre-agg repartition
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(r == rounds - 1))
         )
-        _free_checkpoint(memb)  # superseded round's membership blocks
+        superseded.append(memb)
         memb = new_memb
+    for old in superseded:  # superseded rounds' membership blocks
+        _free_checkpoint(old)
     # canonical labels: the minimum member vertex id
     canon = memb.groupBy("community").agg(F.min("id").alias("_label"))
     return memb.join(canon, "community").select(
