@@ -33,7 +33,7 @@ def sf_dir():
 #   * oracle-parity rungs: the driver itself hash-checks a rotating 50-query
 #     window against DuckDB each round, and scripts/driver_sim.py replays the
 #     full 155-query contract at every commit gate — the marked parity rungs
-#     are the 5 slowest duplicates of that evidence (each >10 s; the other
+#     are the slowest duplicates of that evidence (each >10 s; the other
 #     ~45 parity rungs stay in the default run);
 #   * 100x-fixture / property-replica rungs (entity resolution recall,
 #     incremental==one-shot, python replicas, stream==batch equivalences
@@ -54,10 +54,13 @@ SLOW_TESTS = {
     "test_oracle_parity[graph_personalized_pagerank]",  # 78.5 s
     "test_oracle_parity[graph_louvain_ladder]",         # 55.1 s
     "test_oracle_parity[dedup_keep_best_by_quality]",   # 11.9 s
+    "test_oracle_parity[graph_louvain_distributed]",    # 11.5 s
     # 100x-fixture / replica / equivalence property rungs
     "test_entity_resolution_prefix_filter_is_recall_preserving",  # 85.6 s
     "test_substring_incremental_equals_one_shot_any_split",       # 60.2 s
     "test_quality_classifier_matches_python_replica",             # 40.0 s
+    "test_quality_classifier_deterministic_weights",              # 23.9 s
+    "test_louvain_ladder_nested_and_weighted_semantics",          # 28.6 s
     "test_jaccard_candidate_keyed_equals_filtered_full_join",     # 25.0 s
     "test_remove_duplicated_spans_matches_reference",             # 24.2 s
     "test_weighted_pagerank_equals_parallel_edges",               # 15.7 s
