@@ -311,8 +311,16 @@ def label_propagation(
     # job instead of checkpoint-then-recount.
     sym0 = sym.localCheckpoint(eager=False)
     par = max(2, min(par, sym0.count() // 100_000 + 1))
-    sym = sym0.repartition(par, "dst").localCheckpoint(eager=True)
-    _free_checkpoint(sym0)
+    # Lazy edge/init/round checkpoints (r14): LPA has a FIXED round
+    # count — no per-round convergence scalar forces a driver sync —
+    # so the LAST round's single eager checkpoint materializes the
+    # repartitioned edges, the init labels, and every round in ONE job
+    # (the louvain_move fusion; each lazy checkpoint still truncates
+    # the logical plan and its blocks persist as computed). sym0 and
+    # superseded rounds are freed only after that job — freeing a lazy
+    # checkpoint's source or blocks pre-materialization would make it
+    # unrecomputable.
+    sym = sym0.repartition(par, "dst").localCheckpoint(eager=False)
     ids = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id")).distinct()
@@ -331,9 +339,10 @@ def label_propagation(
         10,
     ).cast("long")
     labels = ids.withColumn("community", init).repartition(par, "id").localCheckpoint(
-        eager=True
+        eager=(max_iter == 0)
     )
-    for _ in range(max_iter):
+    superseded: list[DataFrame] = []
+    for r in range(max_iter):
         votes = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy(F.col("src").alias("id"), F.col("community"))
@@ -355,12 +364,16 @@ def label_propagation(
                 "id", F.coalesce("new_community", F.col("community")).alias("community")
             )
             .coalesce(par)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(r == max_iter - 1))
         )
-        _free_checkpoint(labels)  # superseded round (vertex-sized, but
-        # at 100 TB vertex tables are billions of rows — same
-        # accumulate-until-OOM hazard the components loop measured)
+        superseded.append(labels)
         labels = new_labels
+    # superseded rounds are vertex-sized, but at 100 TB vertex tables
+    # are billions of rows — same accumulate-until-OOM hazard the
+    # components loop measured; safe to free only now (materialized)
+    for old in superseded:
+        _free_checkpoint(old)
+    _free_checkpoint(sym0)
     return labels
 
 
